@@ -1,0 +1,174 @@
+"""Static configuration layer.
+
+The reference has no config system at all — every parameter is a
+compile-time template argument or hard-coded literal (see SURVEY.md §5:
+/root/reference/app/QFDemoWindow.cpp:204-218 hard-codes cp=8 and 4
+bytes/frame). Here configuration is first-class: frozen dataclasses that
+are hashable, so they can be passed as static arguments to ``jax.jit``
+and participate in trace-time validation (the JAX analog of the
+reference's runtime ``std::expected`` size guards, fft.hpp:90-92).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Optional, Tuple
+
+
+class Modulation(enum.Enum):
+    """Modulation scheme roster.
+
+    The reference names this exact roster as type tags
+    (/root/reference/lib/inc/modulation.hpp:13-14, 70-72) but implements
+    only 16-QAM. All are implemented here as Gray-coded square
+    constellations; the 16-QAM table reproduces
+    modulation.hpp:29-47 point-for-point (validated in
+    tests/test_modulation.py).
+    """
+
+    BPSK = "bpsk"
+    QPSK = "qpsk"
+    QAM16 = "16qam"
+    QAM64 = "64qam"
+    QAM256 = "256qam"
+    QAM1024 = "1024qam"
+
+    @property
+    def bits_per_symbol(self) -> int:
+        return _BITS[self]
+
+    @property
+    def bits_per_axis(self) -> int:
+        """Bits mapped onto each of the I/Q axes (0 for Q on BPSK)."""
+        if self is Modulation.BPSK:
+            return 1
+        return self.bits_per_symbol // 2
+
+    @property
+    def levels_per_axis(self) -> int:
+        """Number of PAM levels per axis (2 for BPSK's real axis)."""
+        return 1 << self.bits_per_axis
+
+    @property
+    def unit_energy_scale(self) -> float:
+        """1/sqrt(Es) normalization making average symbol power 1.
+
+        For square M-QAM with per-axis levels {±1, ±3, ..., ±(L-1)}:
+        Es = 2*(L²-1)/3. For 16-QAM this is 1/sqrt(10), matching the
+        reference's ``norm`` (modulation.hpp:18-20).
+        """
+        L = self.levels_per_axis
+        if self is Modulation.BPSK:
+            es = float(L * L - 1) / 3.0  # one axis only
+        else:
+            es = 2.0 * float(L * L - 1) / 3.0
+        return 1.0 / math.sqrt(es)
+
+
+_BITS = {
+    Modulation.BPSK: 1,
+    Modulation.QPSK: 2,
+    Modulation.QAM16: 4,
+    Modulation.QAM64: 6,
+    Modulation.QAM256: 8,
+    Modulation.QAM1024: 10,
+}
+
+
+def _require_power_of_two(name: str, value: int) -> None:
+    # Trace-time analog of the reference's runtime guard (fft.hpp:91-92).
+    if value <= 0 or (value & (value - 1)) != 0:
+        raise ValueError(f"{name} must be a power of 2, got {value}")
+
+
+@dataclasses.dataclass(frozen=True)
+class OFDMConfig:
+    """OFDM numerology: FFT size and cyclic-prefix length.
+
+    The reference fixes numerology implicitly per call (ofdm.hpp:13-54:
+    N = in.size(), cp_size an argument). Symbol layout matches the
+    reference exactly: a transmitted symbol is ``n_fft + cp_len``
+    samples, the CP being a copy of the LAST ``cp_len`` time-domain
+    samples placed FIRST (ofdm.hpp:21).
+    """
+
+    n_fft: int = 64
+    cp_len: int = 16
+
+    def __post_init__(self) -> None:
+        _require_power_of_two("n_fft", self.n_fft)
+        if not 0 <= self.cp_len <= self.n_fft:
+            raise ValueError(
+                f"cp_len must be in [0, n_fft], got {self.cp_len} (n_fft={self.n_fft})"
+            )
+
+    @property
+    def symbol_len(self) -> int:
+        return self.n_fft + self.cp_len
+
+
+class ChannelModel(enum.Enum):
+    IDENTITY = "identity"  # the reference's loopback "channel" (QFDemoWindow.cpp:213-218)
+    AWGN = "awgn"
+    RAYLEIGH_FLAT = "rayleigh_flat"
+    MULTIPATH = "multipath"  # tapped-delay-line, frequency selective
+
+
+class Equalizer(enum.Enum):
+    NONE = "none"
+    ZF = "zf"
+    MMSE = "mmse"
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelConfig:
+    model: ChannelModel = ChannelModel.AWGN
+    ebno_db: float = 10.0
+    # Power-delay profile for MULTIPATH, as a tuple of per-tap linear
+    # powers (normalized internally). Length must be <= cp_len + 1 for
+    # ISI-free operation — validated against the OFDMConfig in LinkConfig.
+    pdp: Tuple[float, ...] = (1.0,)
+
+    def __post_init__(self) -> None:
+        if len(self.pdp) < 1:
+            raise ValueError("pdp needs at least one tap")
+        if any(p < 0 for p in self.pdp):
+            raise ValueError("pdp powers must be non-negative")
+
+
+@dataclasses.dataclass(frozen=True)
+class LinkConfig:
+    """Full link: modulation + OFDM + channel + receiver options."""
+
+    modulation: Modulation = Modulation.QPSK
+    ofdm: OFDMConfig = OFDMConfig()
+    channel: ChannelConfig = ChannelConfig()
+    equalizer: Equalizer = Equalizer.NONE
+    # Number of OFDM symbols processed per link invocation.
+    n_symbols: int = 16
+    # Leading batch of independent links (vmapped / mesh-sharded).
+    n_channels: int = 1
+
+    def __post_init__(self) -> None:
+        if self.channel.model == ChannelModel.MULTIPATH:
+            if len(self.channel.pdp) > self.ofdm.cp_len + 1:
+                raise ValueError(
+                    "multipath delay spread exceeds cyclic prefix: "
+                    f"{len(self.channel.pdp)} taps > cp_len+1={self.ofdm.cp_len + 1}"
+                )
+        if self.n_symbols < 1 or self.n_channels < 1:
+            raise ValueError("n_symbols and n_channels must be >= 1")
+
+    @property
+    def bits_per_ofdm_symbol(self) -> int:
+        return self.ofdm.n_fft * self.modulation.bits_per_symbol
+
+    @property
+    def bits_total(self) -> int:
+        return self.n_channels * self.n_symbols * self.bits_per_ofdm_symbol
+
+    @property
+    def samples_per_symbol(self) -> int:
+        return self.ofdm.symbol_len

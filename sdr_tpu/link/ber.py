@@ -1,0 +1,68 @@
+"""BER utilities: error counting and exact AWGN theory curves.
+
+The reference asserts only exact loopback equality (ofdm_test.cpp:
+28-36); a statistical simulator needs theory to validate against. For
+Gray-coded square QAM over AWGN the exact bit error probability is the
+Cho–Yoon closed form (per-axis PAM decomposition — the same
+decomposition the LLR demapper exploits), implemented host-side in
+numpy for test oracles and plot overlays.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from sdr_tpu.core.config import Modulation
+
+
+def qfunc(x):
+    """Gaussian tail Q(x) = 0.5 erfc(x / sqrt(2)). Scalar or ndarray."""
+    return 0.5 * np.vectorize(math.erfc)(np.asarray(x, np.float64) / math.sqrt(2.0))
+
+
+def _pam_bit_error(L: int, k: int, arg_base: float) -> float:
+    """Exact Gray L-PAM error probability of axis-bit position k (1-based).
+
+    Cho & Yoon (2002): with a = (2i+1) * arg_base, arg_base being the
+    normalized half-spacing over the per-real-dimension noise sigma,
+
+      P(k) = (1/L) * sum_{i=0}^{(1-2^-k)L - 1}
+             (-1)^floor(i 2^(k-1)/L) * (2^(k-1) - floor(i 2^(k-1)/L + 1/2))
+             * 2 Q((2i+1) * arg_base)
+    """
+    total = 0.0
+    half = 1 << (k - 1)
+    for i in range(int((1.0 - 2.0 ** (-k)) * L)):
+        sign = -1.0 if ((i * half) // L) % 2 else 1.0
+        weight = half - math.floor(i * half / L + 0.5)
+        total += sign * weight * 2.0 * float(qfunc((2 * i + 1) * arg_base))
+    return total / L
+
+
+def ber_awgn_exact(mod: Modulation, ebno_db: float) -> float:
+    """Exact AWGN BER for Gray square QAM / BPSK (Cho–Yoon 2002).
+
+    Derivation of arg_base: constellations are unit-Es normalized
+    (sdr_tpu.ops.modulation), so adjacent levels sit 2*norm apart and a
+    decision boundary is norm away; per-real-dim noise sigma_d =
+    sqrt(N0/2) with N0 = 1/(k_total * gamma_b). Hence
+    arg_base = norm * sqrt(2 * k_total * gamma_b).
+    """
+    gamma_b = 10.0 ** (ebno_db / 10.0)
+    L = mod.levels_per_axis
+    m = mod.bits_per_axis
+    arg_base = mod.unit_energy_scale * math.sqrt(2.0 * mod.bits_per_symbol * gamma_b)
+    per_axis_bits = [_pam_bit_error(L, k, arg_base) for k in range(1, m + 1)]
+    # Square schemes: both axes identical; BPSK: single axis. Either
+    # way the average over all bits equals the per-axis-bit average.
+    return float(np.mean(per_axis_bits))
+
+
+def count_bit_errors(tx_bits, rx_bits) -> int:
+    import jax.numpy as jnp
+
+    return int(
+        jnp.sum((jnp.asarray(tx_bits) != jnp.asarray(rx_bits)).astype(jnp.int32))
+    )

@@ -1,0 +1,150 @@
+"""End-to-end link pipeline: bits → TX → channel → RX → LLR → BER.
+
+The jitted, batched, shardable analog of the reference demo's frame
+loop (QFDemoWindow.cpp:201-224: to_constl → ofdm::tx → ofdm::rx →
+from_constl), extended with the channel/equalizer/soft-demap stages the
+reference lacks. One ``simulate`` call processes
+(n_channels, n_symbols) OFDM symbols as a single fused XLA program;
+``vmap`` provides the channel batch, and the same function runs under
+``shard_map`` for multi-chip execution (sdr_tpu.parallel).
+
+Randomness is keyed per channel via fold_in (sdr_tpu.core.prng), so
+results are invariant to how channels are batched or sharded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sdr_tpu.core import prng
+from sdr_tpu.core.config import ChannelModel, Equalizer, LinkConfig
+from sdr_tpu.ops import channel as chan
+from sdr_tpu.ops import equalize as eq
+from sdr_tpu.ops.llr import llr_maxlog, llr_to_hard_bits
+from sdr_tpu.ops.modulation import modulate
+from sdr_tpu.ops.ofdm import ofdm_rx, ofdm_tx
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LinkResult:
+    """Per-invocation link statistics (device arrays)."""
+
+    bit_errors: jnp.ndarray  # (n_channels,) int32
+    bits_counted: jnp.ndarray  # (n_channels,) int32
+    llrs: jnp.ndarray | None = None  # (n_channels, n_symbols, bits/sym) or None
+
+    @property
+    def ber(self) -> jnp.ndarray:
+        return self.bit_errors.astype(jnp.float32) / jnp.maximum(
+            self.bits_counted.astype(jnp.float32), 1.0
+        )
+
+
+def generate_bits(cfg: LinkConfig, key: jax.Array) -> jnp.ndarray:
+    """Source bits (n_symbols, bits_per_ofdm_symbol), int8, for ONE channel."""
+    shape = (cfg.n_symbols, cfg.bits_per_ofdm_symbol)
+    return jax.random.bernoulli(key, 0.5, shape).astype(jnp.int8)
+
+
+def tx_chain(cfg: LinkConfig, bits: jnp.ndarray) -> jnp.ndarray:
+    """Bits (..., n_symbols, bits/sym) → time samples (..., n_symbols, sym_len)."""
+    points = modulate(bits, cfg.modulation)  # (..., n_symbols, n_fft)
+    return ofdm_tx(points, cfg.ofdm.cp_len)
+
+
+def apply_channel(cfg: LinkConfig, key: jax.Array, tx: jnp.ndarray):
+    """Channel for ONE link: (n_symbols, sym_len) → (rx, h_freq, noise_var).
+
+    h_freq is the per-subcarrier response (broadcastable against the
+    post-FFT grid) or None for non-fading channels; noise_var is the
+    per-subcarrier complex noise variance (scalar).
+    """
+    model = cfg.channel.model
+    nv = chan.ebno_db_to_noise_var(cfg.channel.ebno_db, cfg.modulation.bits_per_symbol)
+    k_noise = prng.role_key(key, prng.ROLE_NOISE)
+    k_fade = prng.role_key(key, prng.ROLE_FADING)
+
+    if model == ChannelModel.IDENTITY:
+        return tx, None, jnp.float32(0.0)
+
+    tvar = chan.time_noise_var(nv, cfg.ofdm.n_fft)
+    if model == ChannelModel.AWGN:
+        return chan.awgn(k_noise, tx, tvar), None, nv
+
+    if model == ChannelModel.RAYLEIGH_FLAT:
+        h = chan.rayleigh_flat(k_fade, ())  # one gain per link per frame
+        rx = chan.awgn(k_noise, tx * h, tvar)
+        return rx, h, nv
+
+    if model == ChannelModel.MULTIPATH:
+        taps = chan.multipath_taps(k_fade, cfg.channel.pdp)
+        stream = tx.reshape(-1)  # serialize symbols to a sample stream
+        faded = chan.apply_multipath(stream, taps)
+        rx = chan.awgn(k_noise, faded, tvar).reshape(tx.shape)
+        h_freq = chan.freq_response(taps, cfg.ofdm.n_fft)  # (n_fft,)
+        return rx, h_freq, nv
+
+    raise ValueError(f"unhandled channel model {model}")
+
+
+def rx_chain(
+    cfg: LinkConfig,
+    rx_samples: jnp.ndarray,
+    h_freq: jnp.ndarray | None,
+    noise_var,
+):
+    """Receiver: samples → (llrs, hard_bits).
+
+    CP strip + FFT (ofdm.hpp:37-43 semantics) → one-tap equalizer →
+    max-log LLR. noise_var is floored so the IDENTITY channel (the
+    reference's loopback) yields ±inf-free LLRs with correct signs.
+    """
+    y = ofdm_rx(rx_samples, cfg.ofdm.cp_len)  # (..., n_symbols, n_fft)
+    nv = jnp.maximum(jnp.asarray(noise_var, jnp.float32), 1e-12)
+
+    if h_freq is not None and cfg.equalizer != Equalizer.NONE:
+        if cfg.equalizer == Equalizer.ZF:
+            s, eff_var = eq.equalize_zf(y, h_freq, nv)
+        else:
+            s, eff_var = eq.equalize_mmse(y, h_freq, nv)
+    else:
+        s, eff_var = y, nv
+
+    llrs = llr_maxlog(s, cfg.modulation, eff_var)
+    return llrs, llr_to_hard_bits(llrs)
+
+
+def _simulate_one(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
+    """One channel's link, keyed; returns (errors, counted, llrs|None)."""
+    bits = generate_bits(cfg, prng.role_key(key, prng.ROLE_PAYLOAD))
+    tx = tx_chain(cfg, bits)
+    rx, h_freq, nv = apply_channel(cfg, key, tx)
+    llrs, hard = rx_chain(cfg, rx, h_freq, nv)
+    errors = jnp.sum((hard != bits).astype(jnp.int32))
+    counted = jnp.int32(bits.size)
+    return errors, counted, (llrs if want_llrs else None)
+
+
+def simulate(cfg: LinkConfig, key: jax.Array, want_llrs: bool = False) -> LinkResult:
+    """Run cfg.n_channels independent links, vmapped; returns LinkResult.
+
+    Per-channel keys come from fold_in(channel_index) so the result is
+    identical however the channel axis is later sharded.
+    """
+    ch_keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(
+        jnp.arange(cfg.n_channels)
+    )
+    errors, counted, llrs = jax.vmap(
+        functools.partial(_simulate_one, cfg, want_llrs=want_llrs)
+    )(ch_keys)
+    return LinkResult(bit_errors=errors, bits_counted=counted, llrs=llrs)
+
+
+def make_simulate_fn(cfg: LinkConfig, want_llrs: bool = False):
+    """Jitted simulate with cfg closed over (cfg is static/hashable)."""
+    return jax.jit(functools.partial(simulate, cfg, want_llrs=want_llrs))

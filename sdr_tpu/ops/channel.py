@@ -1,0 +1,118 @@
+"""Channel models: AWGN, flat Rayleigh, tapped-delay-line multipath.
+
+The reference has NO channel at all — its demo feeds TX straight into
+RX (QFDemoWindow.cpp:213-218) and decodes exactly every frame. The
+north star (BASELINE.json) requires AWGN/fading. All models here are
+pure functions of an explicit PRNG key (sdr_tpu.core.prng discipline),
+batched over leading dims.
+
+Noise calibration
+-----------------
+Constellations are unit-average-power (Es = 1 per subcarrier). With the
+reference's FFT scaling (unscaled forward / 1/N inverse, fft.hpp:
+176-205), a unit-power frequency-domain symbol becomes a time-domain
+signal of average power Es/N, and the RX forward FFT multiplies noise
+power by N. ``time_noise_var`` therefore divides by n_fft so that the
+post-FFT per-subcarrier SNR equals the requested Es/N0 exactly; tests
+verify the measured subcarrier SNR against the request.
+
+Eb/N0 accounting: Es/N0 = bits_per_symbol * Eb/N0 (CP overhead is
+excluded, the standard convention for OFDM BER curves).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def ebno_db_to_noise_var(ebno_db: float | jnp.ndarray, bits_per_symbol: int):
+    """Eb/N0 [dB] → complex noise variance N0 at the subcarrier (Es=1)."""
+    esno = 10.0 ** (jnp.asarray(ebno_db, jnp.float32) / 10.0) * bits_per_symbol
+    return 1.0 / esno
+
+
+def time_noise_var(noise_var, n_fft: int):
+    """Subcarrier noise variance → time-domain (pre-FFT) variance."""
+    return jnp.asarray(noise_var, jnp.float32) / n_fft
+
+
+def cgauss(key: jax.Array, shape, var=1.0) -> jnp.ndarray:
+    """Circularly-symmetric complex Gaussian CN(0, var), complex64."""
+    kr, ki = jax.random.split(key)
+    std = jnp.sqrt(jnp.asarray(var, jnp.float32) * 0.5)
+    re = jax.random.normal(kr, shape, jnp.float32) * std
+    im = jax.random.normal(ki, shape, jnp.float32) * std
+    return jax.lax.complex(re, im)
+
+
+def awgn(key: jax.Array, x: jnp.ndarray, noise_var) -> jnp.ndarray:
+    """y = x + CN(0, noise_var); noise_var broadcasts against x."""
+    return x + cgauss(key, x.shape, var=1.0) * jnp.sqrt(
+        jnp.asarray(noise_var, jnp.float32)
+    ).astype(jnp.float32)
+
+
+def rayleigh_flat(key: jax.Array, shape) -> jnp.ndarray:
+    """Flat Rayleigh fading gains h ~ CN(0, 1), E|h|^2 = 1."""
+    return cgauss(key, shape, var=1.0)
+
+
+def multipath_taps(key: jax.Array, pdp, batch_shape=()) -> jnp.ndarray:
+    """Random Rayleigh taps for a power-delay profile.
+
+    pdp: per-tap linear powers (any positive scale; normalized to sum 1
+    so total channel energy is 1 on average). Returns complex64 taps of
+    shape batch_shape + (len(pdp),).
+    """
+    p = jnp.asarray(pdp, jnp.float32)
+    p = p / jnp.sum(p)
+    taps = cgauss(key, tuple(batch_shape) + (p.shape[0],), var=1.0)
+    return taps * jnp.sqrt(p)
+
+
+def apply_multipath(
+    samples: jnp.ndarray, taps: jnp.ndarray, history: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Causal FIR channel along the last (time) axis.
+
+    y[n] = sum_l taps[..., l] * x[n - l], with x[n<0] taken from
+    ``history`` (the last L-1 samples of the preceding block) or zeros.
+    ``history`` is the sequence-parallel halo hook: a time-sharded
+    stream passes its left neighbor's tail here and the seam is
+    bit-exact vs the unsharded stream (tests/test_parallel.py).
+
+    Implemented as an L-term shift-and-add (L <= cp_len+1 by config
+    validation) — fuses into a handful of VPU ops, no gather.
+    """
+    L = taps.shape[-1]
+    n = samples.shape[-1]
+    if history is None:
+        history = jnp.zeros(samples.shape[:-1] + (L - 1,), samples.dtype)
+    elif L > 1:
+        history = history[..., -(L - 1) :]
+    if L == 1:
+        return samples * taps[..., 0:1]
+    ext = jnp.concatenate([history, samples], axis=-1)  # (..., L-1+n)
+    y = jnp.zeros_like(samples)
+    for l in range(L):
+        y = y + taps[..., l : l + 1] * jax.lax.dynamic_slice_in_dim(
+            ext, L - 1 - l, n, axis=-1
+        )
+    return y
+
+
+def freq_response(taps: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """Per-subcarrier channel response H = FFT_N(taps zero-padded).
+
+    With CP >= L-1 the FIR channel is circulant per OFDM symbol, so the
+    frequency-domain model is Y = H * X + N — used by the one-tap
+    equalizers (sdr_tpu.ops.equalize).
+    """
+    L = taps.shape[-1]
+    pad = [(0, 0)] * (taps.ndim - 1) + [(0, n_fft - L)]
+    from sdr_tpu.ops.fft import fft as _fft_op
+
+    return _fft_op(jnp.pad(taps, pad))
