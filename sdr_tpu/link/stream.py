@@ -1,0 +1,143 @@
+"""Blocked stream simulation — the sequence-parallel link.
+
+The reference processes exactly one OFDM symbol per call (ofdm.hpp:
+14-24); "streaming" is its GUI timer loop appending to a ring buffer
+(QFDemoWindow.cpp:229). The north star scales this to long sample
+streams: a frame of ``n_symbols`` OFDM symbols per channel is split
+into ``n_blocks`` contiguous time blocks, and blocks are distributed
+across devices (sdr_tpu.parallel). The only cross-block coupling in
+the whole chain is the multipath FIR's L-1 sample history at each
+block seam — the halo that ``ppermute`` exchanges when sharded.
+
+This module is the UNSHARDED oracle for that computation: it uses the
+identical per-(channel, block) key folding and identical blockwise
+channel application, so the sharded path (sdr_tpu.parallel.shard) must
+match it BIT-exactly — the north star's seam requirement, asserted in
+tests/test_parallel.py.
+
+Canonical keying (must match parallel/shard.py):
+    payload bits of (c, b): block_key(root, ROLE_PAYLOAD, c, b)
+    noise of (c, b):        block_key(root, ROLE_NOISE, c, b)
+    fading taps of c:       channel_key(root, ROLE_FADING, c)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sdr_tpu.core import prng
+from sdr_tpu.core.config import ChannelModel, Equalizer, LinkConfig
+from sdr_tpu.ops import channel as chan
+from sdr_tpu.ops import equalize as eq
+from sdr_tpu.ops.llr import llr_maxlog, llr_to_hard_bits
+from sdr_tpu.ops.modulation import modulate
+from sdr_tpu.ops.ofdm import ofdm_rx, ofdm_tx
+
+
+def _check_blocking(cfg: LinkConfig, n_blocks: int) -> int:
+    if cfg.n_symbols % n_blocks != 0:
+        raise ValueError(
+            f"n_symbols={cfg.n_symbols} not divisible by n_blocks={n_blocks}"
+        )
+    return cfg.n_symbols // n_blocks
+
+
+def _block_tx(cfg: LinkConfig, root: jax.Array, c, b, sym_per_block: int):
+    """TX for one block: bits + serialized time-domain stream."""
+    kbits = prng.block_key(root, prng.ROLE_PAYLOAD, c, b)
+    bits = jax.random.bernoulli(
+        kbits, 0.5, (sym_per_block, cfg.bits_per_ofdm_symbol)
+    ).astype(jnp.int8)
+    points = modulate(bits, cfg.modulation)
+    tx = ofdm_tx(points, cfg.ofdm.cp_len)  # (sym_per_block, sym_len)
+    return bits, tx.reshape(-1)  # serialized block stream
+
+
+def _channel_taps(cfg: LinkConfig, root: jax.Array, c):
+    """Per-channel fading state: (taps | None, h_freq | None)."""
+    model = cfg.channel.model
+    kf = prng.channel_key(root, prng.ROLE_FADING, c)
+    if model == ChannelModel.MULTIPATH:
+        taps = chan.multipath_taps(kf, cfg.channel.pdp)
+        return taps, chan.freq_response(taps, cfg.ofdm.n_fft)
+    if model == ChannelModel.RAYLEIGH_FLAT:
+        h = chan.rayleigh_flat(kf, ())
+        return None, h
+    return None, None
+
+
+def _block_rx(
+    cfg: LinkConfig,
+    root: jax.Array,
+    c,
+    b,
+    stream: jnp.ndarray,
+    taps,
+    h_freq,
+    sym_per_block: int,
+    halo: jnp.ndarray | None,
+):
+    """Channel + receiver for one serialized block; returns hard bits."""
+    model = cfg.channel.model
+    nv = chan.ebno_db_to_noise_var(cfg.channel.ebno_db, cfg.modulation.bits_per_symbol)
+    tvar = chan.time_noise_var(nv, cfg.ofdm.n_fft)
+    knoise = prng.block_key(root, prng.ROLE_NOISE, c, b)
+
+    if model == ChannelModel.MULTIPATH:
+        stream = chan.apply_multipath(stream, taps, history=halo)
+    elif model == ChannelModel.RAYLEIGH_FLAT:
+        stream = stream * h_freq  # flat gain
+    if model != ChannelModel.IDENTITY:
+        stream = chan.awgn(knoise, stream, tvar)
+
+    rx = stream.reshape(sym_per_block, cfg.ofdm.symbol_len)
+    y = ofdm_rx(rx, cfg.ofdm.cp_len)
+    nv_f = jnp.maximum(jnp.asarray(nv, jnp.float32), 1e-12)
+    if h_freq is not None and cfg.equalizer != Equalizer.NONE:
+        if cfg.equalizer == Equalizer.ZF:
+            s, eff = eq.equalize_zf(y, h_freq, nv_f)
+        else:
+            s, eff = eq.equalize_mmse(y, h_freq, nv_f)
+    else:
+        s, eff = y, nv_f
+    return llr_to_hard_bits(llr_maxlog(s, cfg.modulation, eff))
+
+
+def _halo_len(cfg: LinkConfig) -> int:
+    if cfg.channel.model == ChannelModel.MULTIPATH:
+        return max(len(cfg.channel.pdp) - 1, 0)
+    return 0
+
+
+def _one_channel_blocked(cfg: LinkConfig, root: jax.Array, c, n_blocks: int):
+    """All blocks of one channel, sequential halo threading (oracle)."""
+    spb = cfg.n_symbols // n_blocks
+    taps, h_freq = _channel_taps(cfg, root, c)
+    L_halo = _halo_len(cfg)
+    errors = jnp.int32(0)
+    halo = jnp.zeros((L_halo,), jnp.complex64) if L_halo else None
+    for b in range(n_blocks):
+        bits, stream = _block_tx(cfg, root, c, b, spb)
+        hard = _block_rx(cfg, root, c, b, stream, taps, h_freq, spb, halo)
+        errors = errors + jnp.sum((hard != bits).astype(jnp.int32))
+        if L_halo:
+            halo = stream[-L_halo:]
+    return errors
+
+
+def stream_simulate(cfg: LinkConfig, key: jax.Array, n_blocks: int):
+    """Unsharded blocked-stream link over all channels.
+
+    Returns (bit_errors (n_channels,) int32, bits_counted (n_channels,)).
+    The sharded twin (parallel.shard.make_sharded_stream_fn) must match
+    this bit-exactly for any device layout.
+    """
+    _check_blocking(cfg, n_blocks)
+    fn = functools.partial(_one_channel_blocked, cfg, key, n_blocks=n_blocks)
+    errors = jax.vmap(lambda c: fn(c))(jnp.arange(cfg.n_channels))
+    counted = jnp.full((cfg.n_channels,), cfg.n_symbols * cfg.bits_per_ofdm_symbol,
+                       jnp.int32)
+    return errors, counted

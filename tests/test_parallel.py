@@ -1,0 +1,144 @@
+"""Sharding tests on the virtual 8-device CPU mesh.
+
+The north-star invariant: sharded execution is BIT-exact vs the
+unsharded oracle for every mesh layout — including the multipath halo
+seams exchanged over ppermute.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from sdr_tpu.core.config import (
+    ChannelConfig,
+    ChannelModel,
+    Equalizer,
+    LinkConfig,
+    Modulation,
+    OFDMConfig,
+)
+from sdr_tpu.link.pipeline import make_simulate_fn
+from sdr_tpu.link.stream import stream_simulate
+from sdr_tpu.parallel import (
+    make_link_mesh,
+    make_sharded_simulate_fn,
+    make_sharded_stream_fn,
+)
+
+
+def _awgn_cfg(n_channels=16, n_symbols=8):
+    return LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=8.0),
+        n_symbols=n_symbols,
+        n_channels=n_channels,
+    )
+
+
+def _multipath_cfg(n_channels=8, n_symbols=8):
+    return LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(
+            model=ChannelModel.MULTIPATH, ebno_db=12.0, pdp=(1.0, 0.6, 0.3, 0.1)
+        ),
+        equalizer=Equalizer.MMSE,
+        n_symbols=n_symbols,
+        n_channels=n_channels,
+    )
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+
+
+@pytest.mark.parametrize("tshape", [(1, 8), (2, 4), (1, 4)])
+def test_sharded_simulate_bit_exact(tshape):
+    nt, nc = tshape
+    devices = jax.devices()[: nt * nc]
+    mesh = make_link_mesh(nt, nc, devices=devices)
+    cfg = _awgn_cfg(n_channels=16)
+    key = jax.random.PRNGKey(42)
+    ref = make_simulate_fn(cfg)(key)
+    got_err, got_cnt = make_sharded_simulate_fn(cfg, mesh)(key)
+    np.testing.assert_array_equal(np.asarray(got_err), np.asarray(ref.bit_errors))
+    np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(ref.bits_counted))
+
+
+@pytest.mark.parametrize("tshape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_stream_bit_exact_multipath(tshape):
+    """The flagship seam test: time-sharded multipath stream with
+    ppermute halos equals the sequential blocked oracle exactly."""
+    nt, nc = tshape
+    mesh = make_link_mesh(nt, nc)
+    cfg = _multipath_cfg(n_channels=8, n_symbols=8)
+    key = jax.random.PRNGKey(7)
+    ref_err, ref_cnt = jax.jit(
+        lambda k: stream_simulate(cfg, k, n_blocks=nt), static_argnums=()
+    )(key)
+    got_err, got_cnt = make_sharded_stream_fn(cfg, mesh)(key)
+    np.testing.assert_array_equal(np.asarray(got_err), np.asarray(ref_err))
+    np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(ref_cnt))
+
+
+@pytest.mark.parametrize("model", [ChannelModel.AWGN, ChannelModel.RAYLEIGH_FLAT])
+def test_sharded_stream_bit_exact_other_channels(model):
+    mesh = make_link_mesh(4, 2)
+    cfg = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(model=model, ebno_db=6.0),
+        equalizer=Equalizer.ZF if model == ChannelModel.RAYLEIGH_FLAT else Equalizer.NONE,
+        n_symbols=8,
+        n_channels=8,
+    )
+    key = jax.random.PRNGKey(3)
+    ref_err, _ = jax.jit(lambda k: stream_simulate(cfg, k, n_blocks=4))(key)
+    got_err, _ = make_sharded_stream_fn(cfg, mesh)(key)
+    np.testing.assert_array_equal(np.asarray(got_err), np.asarray(ref_err))
+
+
+def test_stream_identity_loopback_zero_errors():
+    mesh = make_link_mesh(2, 4)
+    cfg = LinkConfig(
+        modulation=Modulation.QAM64,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(model=ChannelModel.IDENTITY),
+        n_symbols=4,
+        n_channels=8,
+    )
+    err, cnt = make_sharded_stream_fn(cfg, mesh)(jax.random.PRNGKey(0))
+    assert int(np.sum(np.asarray(err))) == 0
+    assert int(np.sum(np.asarray(cnt))) == cfg.bits_total
+
+
+def test_multipath_blocking_invariance_noiseless():
+    """Noiseless multipath: any blocking gives identical demod output
+    (the halo fully reconstructs the convolution at every seam)."""
+    cfg = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(
+            model=ChannelModel.MULTIPATH, ebno_db=300.0, pdp=(1.0, 0.5, 0.25)
+        ),
+        equalizer=Equalizer.ZF,
+        n_symbols=8,
+        n_channels=4,
+    )
+    key = jax.random.PRNGKey(1)
+    errs = []
+    for nb in (1, 2, 4, 8):
+        e, _ = jax.jit(lambda k, nb=nb: stream_simulate(cfg, k, n_blocks=nb))(key)
+        errs.append(np.asarray(e))
+    for e in errs[1:]:
+        np.testing.assert_array_equal(e, errs[0])
+    assert int(np.sum(errs[0])) == 0  # 300 dB SNR ⇒ error-free
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError, match="mesh"):
+        make_link_mesh(3, 3)
+    cfg = _awgn_cfg(n_channels=3)
+    with pytest.raises(ValueError, match="divisible"):
+        make_sharded_simulate_fn(cfg, make_link_mesh(1, 8))
