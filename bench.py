@@ -7,6 +7,17 @@ chip. A "sample" is one complex time-domain sample ENTERING the
 demodulator (CP included), the honest accounting the survey calls for
 (SURVEY.md §7 risk 5).
 
+Timing methodology (important on this runtime): the axon TPU tunnel has
+~1.4 ms fixed dispatch latency per RPC and its ``block_until_ready``
+does not reliably synchronize device execution, so per-dispatch wall
+timing is meaningless. Instead ALL iterations run inside ONE jitted
+``lax.fori_loop`` whose carry feeds each iteration's input (so nothing
+is loop-invariant-hoistable or dead-code-eliminable), and the final
+scalar is fetched to host — the fetch cannot complete until every
+iteration has executed. The carry perturbation fuses into the FFT-input
+materialization pass that exists anyway, so measured traffic equals the
+real chain's traffic.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "samples/s/chip", "vs_baseline": N}
 vs_baseline is value / 1e9 (the reference publishes no numbers —
@@ -14,12 +25,12 @@ README.md:1 is a title only — so the north-star target 1e9
 complex samples/s/chip is the baseline).
 
 Environment knobs: SDR_BENCH_BATCH, SDR_BENCH_SYMS, SDR_BENCH_ITERS,
-SDR_TPU_FFT_BACKEND (xla|matmul|auto).
+SDR_BENCH_REPS, SDR_TPU_FFT_BACKEND (xla|matmul|auto),
+SDR_TPU_DEMOD_BACKEND (jnp|pallas|auto).
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
@@ -27,6 +38,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 
 N_FFT = 256
@@ -35,12 +47,10 @@ SYM_LEN = N_FFT + CP
 EBNO_DB = 12.0
 
 
-def _build(batch: int, n_syms: int):
+def _build(batch: int, n_syms: int, iters: int):
     from sdr_tpu.core.config import Modulation
     from sdr_tpu.ops.channel import ebno_db_to_noise_var
-    from sdr_tpu.ops.equalize import equalize_mmse
-    from sdr_tpu.ops.llr import llr_maxlog
-    from sdr_tpu.ops.ofdm import ofdm_rx
+    from sdr_tpu.ops.demod import demod_chain
 
     mod = Modulation.QAM16
     nv = float(ebno_db_to_noise_var(EBNO_DB, mod.bits_per_symbol))
@@ -57,39 +67,44 @@ def _build(batch: int, n_syms: int):
         return re, im, hr, hi
 
     @jax.jit
-    def demod_llr(re, im, hr, hi):
-        """The benched chain: CP strip → FFT → MMSE → max-log LLR."""
-        x = jax.lax.complex(re, im)
-        h = jax.lax.complex(hr, hi)
-        y = ofdm_rx(x, CP)
-        s, eff = equalize_mmse(y, h, nv)
-        llr = llr_maxlog(s, mod, eff)
-        # Tiny reduction forces full materialization without a big D2H.
-        return jnp.sum(llr, dtype=jnp.float32)
+    def run(re, im, hr, hi):
+        """iters chained demod iterations in one device program."""
 
-    return gen, demod_llr
+        def body(_, acc):
+            # The carry folds into the input via an add that fuses into
+            # the complex/CP-strip pass the chain performs anyway: no
+            # extra HBM traffic, but every iteration depends on the
+            # previous one and every LLR feeds the result.
+            llr_sum = demod_chain(
+                re + acc * jnp.float32(1e-30), im, hr, hi, CP, mod, nv,
+                reduce_sum=True,
+            )
+            return acc + llr_sum * jnp.float32(1e-12)
+
+        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    return gen, run
 
 
 def main() -> None:
     batch = int(os.environ.get("SDR_BENCH_BATCH", "512"))
     n_syms = int(os.environ.get("SDR_BENCH_SYMS", "64"))
-    iters = int(os.environ.get("SDR_BENCH_ITERS", "30"))
+    iters = int(os.environ.get("SDR_BENCH_ITERS", "50"))
+    reps = int(os.environ.get("SDR_BENCH_REPS", "3"))
 
-    gen, demod_llr = _build(batch, n_syms)
-    args = jax.block_until_ready(gen(jax.random.PRNGKey(0)))
+    gen, run = _build(batch, n_syms, iters)
+    args = gen(jax.random.PRNGKey(0))
 
-    # Warmup (compile + cache).
-    for _ in range(3):
-        jax.block_until_ready(demod_llr(*args))
+    _ = float(run(*args))  # warmup: compile + one full execution, synced by fetch
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = demod_llr(*args)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(run(*args))  # host fetch forces completion of all iters
+        best = min(best, time.perf_counter() - t0)
 
     samples = batch * n_syms * SYM_LEN * iters
-    rate = samples / dt
+    rate = samples / best
     print(
         json.dumps(
             {
@@ -101,9 +116,10 @@ def main() -> None:
         )
     )
     print(
-        f"# batch={batch} syms={n_syms} iters={iters} dt={dt:.3f}s "
-        f"bytes/iter~{batch * n_syms * (SYM_LEN * 8 + N_FFT * (8 + 16)) / 1e6:.0f}MB "
-        f"backend={jax.default_backend()} fft={os.environ.get('SDR_TPU_FFT_BACKEND', 'auto')}",
+        f"# batch={batch} syms={n_syms} iters={iters} best={best * 1e3:.2f}ms "
+        f"({best / iters * 1e3:.3f}ms/iter) backend={jax.default_backend()} "
+        f"fft={os.environ.get('SDR_TPU_FFT_BACKEND', 'auto')} "
+        f"demod={os.environ.get('SDR_TPU_DEMOD_BACKEND', 'auto')}",
         file=sys.stderr,
     )
 

@@ -1,0 +1,247 @@
+"""Fused Pallas TPU demodulator: CP strip → DFT → MMSE → max-log LLR.
+
+One kernel owns the whole receive chain the north-star metric counts
+(BASELINE.json; the reference's equivalent path is ofdm.hpp:37-54 +
+modulation.hpp:50-67 run serially on CPU). Fusing it means the only
+HBM traffic is the planar input read (+ the LLR write when not
+reducing): every intermediate — the CP-stripped symbol matrix, the
+frequency-domain grid, the equalized symbols, the per-level distance
+metrics — lives in VMEM.
+
+Design notes (TPU-first, not a translation):
+
+- The DFT is a dense matmul against a precomputed N×N DFT matrix run
+  on the MXU as four real f32 matmuls (complex via planar re/im).
+  The reference's bit-reverse + butterfly recurrence (fft.hpp:35-155)
+  is a scalar-CPU formulation with no TPU analog; at OFDM sizes
+  (64..4096 subcarriers) the O(N²) matmul beats the O(N log N)
+  butterfly because it runs at MXU rates instead of VPU rates.
+- Rows = OFDM symbols: a (TB·S, sym_len) tile puts the transform on
+  the lane axis and the symbol batch on sublanes, so the matmul tiles
+  cleanly onto the 128×128 systolic array.
+- Unbiased per-tap MMSE equals ZF for a one-tap channel:
+  s = conj(h)·y / |h|², eff_var = nv / |h|². The kernel never divides
+  by eff_var: LLR = (d1 − d0) · |h|² / nv, so h→0 fades LLRs to zero
+  instead of amplifying noise.
+- Max-log LLR over a Gray square constellation separates per axis
+  (I bits from Re, Q bits from Im). The per-level distance scan is
+  unrolled at trace time (L ≤ 32 levels) keeping only 2·m running
+  minima — no (rows, N, L) tensor is ever materialized.
+
+Bit ordering matches sdr_tpu.ops.llr.llr_maxlog exactly: per
+subcarrier, m I-axis bits (MSB first) then m Q-axis bits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sdr_tpu.core.config import Modulation
+from sdr_tpu.ops.llr import _axis_bit_masks
+from sdr_tpu.ops.modulation import _tables
+
+# Target rows (= OFDM symbols) per grid block; batch tile adapts to it.
+_TARGET_ROWS = 512
+
+
+def _pick_batch_tile(batch: int, n_syms: int) -> int:
+    """Largest divisor of ``batch`` with tile*n_syms <= _TARGET_ROWS."""
+    best = 1
+    for tb in range(1, batch + 1):
+        if batch % tb == 0 and tb * n_syms <= _TARGET_ROWS:
+            best = tb
+    return best
+
+
+def supported(shape, cp_len: int, mod: Modulation) -> bool:
+    """Whether the fused kernel handles this problem shape.
+
+    Requires 3-D (batch, n_syms, sym_len) planar input, an n_fft that
+    fills whole 128-lane registers, and a row count that tiles the
+    sublane dimension.
+    """
+    if len(shape) != 3:
+        return False
+    batch, n_syms, sym_len = shape
+    n_fft = sym_len - cp_len
+    if n_fft < 128 or n_fft % 128 != 0:
+        return False
+    if (batch * n_syms) % 8 != 0:
+        return False
+    return True
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_mats(n: int):
+    """(Wr, Wi) float32 (n, n), forward unscaled kernel e^{-2πi jk/n}.
+
+    Same convention as the reference's forward transform (fft.hpp:114
+    with inverse=false); precomputed in float64 — no twiddle recurrence,
+    hence none of the drift the reference renormalizes (fft.hpp:144-150).
+    """
+    jk = np.outer(np.arange(n), np.arange(n)).astype(np.float64)
+    w = np.exp(-2j * np.pi * jk / n)
+    return np.real(w).astype(np.float32), np.imag(w).astype(np.float32)
+
+
+def _llr_axis(v, inv_eff, mod: Modulation):
+    """Unrolled per-axis max-log metric. v, inv_eff: (rows, n_fft)."""
+    _, pam, norm, _ = _tables(mod)
+    levels = [float(a) * float(norm) for a in pam]
+    masks = _axis_bit_masks(mod)  # (m, L) numpy bool
+    m = mod.bits_per_axis
+    big = jnp.float32(3.4e38)
+    d0 = [None] * m
+    d1 = [None] * m
+    for l, lev in enumerate(levels):
+        d2 = (v - jnp.float32(lev)) ** 2
+        for j in range(m):
+            if masks[j, l]:
+                d1[j] = d2 if d1[j] is None else jnp.minimum(d1[j], d2)
+            else:
+                d0[j] = d2 if d0[j] is None else jnp.minimum(d0[j], d2)
+    for j in range(m):
+        if d0[j] is None:
+            d0[j] = big
+        if d1[j] is None:
+            d1[j] = big
+    return [(d1[j] - d0[j]) * inv_eff for j in range(m)]
+
+
+def _make_kernel(
+    tb: int, n_syms: int, sym_len: int, cp_len: int, mod: Modulation,
+    noise_var: float, reduce_sum: bool
+):
+    n_fft = sym_len - cp_len
+    rows = tb * n_syms
+    m = mod.bits_per_axis
+    bps = mod.bits_per_symbol
+    inv_nv = np.float32(1.0 / max(noise_var, 1e-12))
+
+    def kernel(re_ref, im_ref, hr_ref, hi_ref, wr_ref, wi_ref, out_ref):
+        # CP strip + row-major reshape: (tb, S, sym_len) → (rows, n_fft).
+        xr = re_ref[:].reshape(rows, sym_len)[:, cp_len:]
+        xi = im_ref[:].reshape(rows, sym_len)[:, cp_len:]
+
+        # DFT on the MXU: Y = X @ W (complex as 4 real matmuls).
+        wr = wr_ref[:]
+        wi = wi_ref[:]
+        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        yr = dot(xr, wr) - dot(xi, wi)
+        yi = dot(xr, wi) + dot(xi, wr)
+
+        # Channel response, broadcast over symbols: (tb,1,N) → (rows,N).
+        hr = jnp.broadcast_to(hr_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
+        hi = jnp.broadcast_to(hi_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
+        h2 = hr * hr + hi * hi
+
+        # Unbiased one-tap MMSE (= ZF): s = conj(h) y / |h|².
+        inv_h2 = jnp.float32(1.0) / jnp.maximum(h2, jnp.float32(1e-12))
+        sr = (hr * yr + hi * yi) * inv_h2
+        si = (hr * yi - hi * yr) * inv_h2
+        # LLR scale: 1/eff_var = |h|²/nv (no division by a vanishing h).
+        inv_eff = h2 * inv_nv
+
+        if mod is Modulation.BPSK:
+            llr_bits = _llr_axis(sr, inv_eff, mod)
+        else:
+            llr_bits = _llr_axis(sr, inv_eff, mod) + _llr_axis(si, inv_eff, mod)
+
+        if reduce_sum:
+            total = jnp.float32(0.0)
+            for b_llr in llr_bits:
+                total = total + jnp.sum(b_llr, dtype=jnp.float32)
+            out_ref[0, 0] = total
+        else:
+            # Bit-major lane concat (Mosaic cannot lower the per-
+            # subcarrier interleave reshape); the caller transposes to
+            # the public (..., subcarrier-major) bit order.
+            out_ref[:] = jnp.concatenate(llr_bits, axis=-1)
+
+    return kernel
+
+
+def demod_chain_pallas(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    hr: jnp.ndarray,
+    hi: jnp.ndarray,
+    cp_len: int,
+    mod: Modulation,
+    noise_var: float,
+    reduce_sum: bool = False,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused demod chain over (batch, n_syms, sym_len) planar inputs.
+
+    hr/hi: (batch, 1, n_fft) per-link channel response. Returns LLRs
+    (batch, n_syms, n_fft·bps) float32, or their scalar sum when
+    ``reduce_sum``. Matches ops.demod.demod_chain_jnp to float32
+    matmul tolerance (tests/test_demod.py).
+    """
+    if not supported(re.shape, cp_len, mod):
+        raise ValueError(f"unsupported shape {re.shape} for fused demod kernel")
+    batch, n_syms, sym_len = re.shape
+    n_fft = sym_len - cp_len
+    bps = mod.bits_per_symbol
+    tb = _pick_batch_tile(batch, n_syms)
+    grid = (batch // tb,)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    wr, wi = _dft_mats(n_fft)
+    kernel = _make_kernel(
+        tb, n_syms, sym_len, cp_len, mod, float(noise_var), reduce_sum
+    )
+
+    in_specs = [
+        pl.BlockSpec((tb, n_syms, sym_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, n_syms, sym_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, 1, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, 1, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    rows = tb * n_syms
+    cost = pl.CostEstimate(
+        flops=8 * rows * n_fft * n_fft * grid[0],
+        bytes_accessed=(2 * batch * n_syms * sym_len + 2 * batch * n_fft) * 4
+        + (0 if reduce_sum else batch * n_syms * n_fft * bps * 4),
+        transcendentals=0,
+    )
+
+    if reduce_sum:
+        partial = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((grid[0], 1), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(re, im, hr, hi, wr, wi)
+        return jnp.sum(partial, dtype=jnp.float32)
+
+    rows_per_block = tb * n_syms
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (rows_per_block, n_fft * bps), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch * n_syms, n_fft * bps), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(re, im, hr, hi, wr, wi)
+    # Kernel emits bit-major lanes [j·N + k]; public order is
+    # subcarrier-major [k·bps + j] (matches ops.llr.llr_maxlog). One
+    # XLA transpose restores it.
+    out = out.reshape(batch * n_syms, bps, n_fft).transpose(0, 2, 1)
+    return out.reshape(batch, n_syms, n_fft * bps)

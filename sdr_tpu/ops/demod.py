@@ -1,0 +1,91 @@
+"""Fused receive chain: CP strip → FFT → MMSE equalize → max-log LLR.
+
+This is the hot path of the whole framework — the chain the north-star
+throughput metric counts (BASELINE.json). The reference's equivalent is
+``ofdm::rx`` followed by the hard-decision nearest scan
+(/root/reference/lib/inc/ofdm.hpp:37-54, modulation.hpp:50-67); here the
+demapper is soft (max-log LLR) and the chain is batched over
+(batch, n_syms, sym_len) planar float32 inputs.
+
+Backends (SDR_TPU_DEMOD_BACKEND / ``backend=``):
+- "jnp":    composition of the public ops (XLA fuses the elementwise
+            stages around its FFT).
+- "pallas": single fused Pallas TPU kernel — DFT-as-matmul on the MXU
+            with CP strip, equalization, and LLR fused in VMEM so the
+            only HBM traffic is the input read (+ LLR write when not
+            reducing). See sdr_tpu/kernels/demod_pallas.py.
+- "auto":   pallas on TPU when shapes are supported, else jnp.
+
+Inputs are PLANAR (separate re/im float32) because that is the layout
+the TPU runtime transfers and Pallas tiles; complex exists only inside.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from sdr_tpu.core.config import Modulation
+from sdr_tpu.ops.equalize import equalize_mmse
+from sdr_tpu.ops.llr import llr_maxlog
+from sdr_tpu.ops.ofdm import ofdm_rx
+
+
+def _default_backend() -> str:
+    return os.environ.get("SDR_TPU_DEMOD_BACKEND", "auto")
+
+
+def demod_chain_jnp(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    hr: jnp.ndarray,
+    hi: jnp.ndarray,
+    cp_len: int,
+    mod: Modulation,
+    noise_var: float,
+    reduce_sum: bool = False,
+) -> jnp.ndarray:
+    """Reference composition of the public ops (always available)."""
+    x = jax.lax.complex(re, im)
+    h = jax.lax.complex(hr, hi)
+    y = ofdm_rx(x, cp_len)
+    s, eff = equalize_mmse(y, h, noise_var)
+    llr = llr_maxlog(s, mod, eff)
+    if reduce_sum:
+        return jnp.sum(llr, dtype=jnp.float32)
+    return llr
+
+
+def demod_chain(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    hr: jnp.ndarray,
+    hi: jnp.ndarray,
+    cp_len: int,
+    mod: Modulation,
+    noise_var: float,
+    reduce_sum: bool = False,
+    backend: str | None = None,
+) -> jnp.ndarray:
+    """Demod chain over (..., n_syms, sym_len) planar inputs.
+
+    hr/hi broadcast against the post-FFT grid (..., n_syms, n_fft).
+    Returns LLRs (..., n_syms, n_fft * bits_per_symbol) float32, or
+    their scalar sum when ``reduce_sum`` (bench/reduction use).
+    """
+    b = backend or _default_backend()
+    if b == "auto":
+        from sdr_tpu.kernels.demod_pallas import supported as _pl_ok
+
+        b = "pallas" if _pl_ok(re.shape, cp_len, mod) else "jnp"
+    if b == "pallas":
+        from sdr_tpu.kernels.demod_pallas import demod_chain_pallas
+
+        return demod_chain_pallas(
+            re, im, hr, hi, cp_len, mod, noise_var, reduce_sum=reduce_sum
+        )
+    if b != "jnp":
+        raise ValueError(f"unknown demod backend {b!r}")
+    return demod_chain_jnp(re, im, hr, hi, cp_len, mod, noise_var, reduce_sum)

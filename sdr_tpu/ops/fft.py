@@ -19,8 +19,8 @@ the MXU (see sdr_tpu/kernels/fft_matmul.py).
 Backends:
 - "xla":    jnp.fft — XLA's built-in FFT.
 - "matmul": MXU matmul-DFT (four-step decomposition), batched.
-- "auto":   per-size choice (matmul for the small/medium sizes where it
-            wins on TPU; xla otherwise). Tuned by benchmarks.
+- "auto":   per-size choice (xla for small/medium transforms, matmul
+            from the measured crossover up). Tuned by benchmarks.
 
 All functions operate on the last axis and accept arbitrary leading
 batch dims.
@@ -37,10 +37,12 @@ Backend = Literal["auto", "xla", "matmul"]
 
 _DEFAULT_BACKEND: Backend = os.environ.get("SDR_TPU_FFT_BACKEND", "auto")  # type: ignore[assignment]
 
-# Sizes where the matmul-DFT backend beats XLA's FFT on TPU (batched
-# transforms; see bench results in docs/PERF.md). Conservative default;
-# refined by sdr_tpu.obs autotune.
-_MATMUL_MAX_N = 4096
+# Crossover where the matmul-DFT backend starts beating XLA's FFT on
+# TPU (batched transforms, measured on v5e — see docs/PERF.md): XLA
+# wins for N <= 4096 (e.g. 343 vs 256 Gelem/s at N=256), matmul wins
+# from N = 8192 up (404 vs 302 at 8192, 329 vs 185 at 16384).
+# Refined by sdr_tpu.obs.autotune.
+_MATMUL_MIN_N = 8192
 
 
 def set_default_backend(backend: Backend) -> None:
@@ -63,7 +65,7 @@ def _validate(n: int) -> None:
 def _resolve(n: int, backend: Backend | None) -> str:
     b = backend or _DEFAULT_BACKEND
     if b == "auto":
-        return "matmul" if n <= _MATMUL_MAX_N else "xla"
+        return "matmul" if n >= _MATMUL_MIN_N else "xla"
     return b
 
 
