@@ -1,0 +1,179 @@
+"""Command-line interface — the framework's executable entry point.
+
+The reference's only executable is the Qt demo (app/main.cpp:3-12,
+zero CLI flags — SURVEY.md §5 "Config / flag system: No"). This CLI is
+its replacement plus the config system the reference lacks:
+
+  python -m sdr_tpu demo      # terminal loopback demo (the GUI analog)
+  python -m sdr_tpu bench     # run a BASELINE.json config by name/index
+  python -m sdr_tpu sweep     # Eb/N0 BER sweep with checkpoint/resume
+  python -m sdr_tpu info      # devices, backends, component inventory
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _cmd_demo(args) -> int:
+    from sdr_tpu.app.demo import DemoConfig, run_demo
+    from sdr_tpu.core.config import Modulation
+
+    cfg = DemoConfig(
+        n_fft=args.n_fft,
+        cp_len=args.cp,
+        modulation=Modulation(args.mod),
+        ebno_db=args.ebno,
+    )
+    run_demo(cfg, frames=args.frames, interval_ms=args.interval)
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import jax
+
+    from sdr_tpu.app.baseline_configs import baseline_cases, get_case
+    from sdr_tpu.link.ber import ber_awgn_exact
+    from sdr_tpu.core.config import ChannelModel
+
+    if args.list:
+        for i, c in enumerate(baseline_cases()):
+            print(f"[{i}] {c.name}: {c.description}")
+        return 0
+
+    case = get_case(args.config)
+    key = jax.random.PRNGKey(args.seed)
+    if case.sharded and len(jax.devices()) > 1:
+        from sdr_tpu.parallel import make_link_mesh, make_sharded_stream_fn
+
+        n = len(jax.devices())
+        n_time = 2 if n % 2 == 0 else 1
+        mesh = make_link_mesh(n_time, n // n_time)
+        errors, counted = make_sharded_stream_fn(case.cfg, mesh)(key)
+    else:
+        from sdr_tpu.link.pipeline import make_simulate_fn
+
+        res = make_simulate_fn(case.cfg)(key)
+        errors, counted = res.bit_errors, res.bits_counted
+    errors = np.asarray(errors)
+    counted = np.asarray(counted)
+    ber = float(errors.sum()) / float(counted.sum())
+    out = {
+        "case": case.name,
+        "bits": int(counted.sum()),
+        "bit_errors": int(errors.sum()),
+        "ber": ber,
+        "per_channel_ber": (errors / np.maximum(counted, 1)).tolist()
+        if args.per_channel
+        else None,
+    }
+    if case.cfg.channel.model == ChannelModel.AWGN:
+        out["ber_theory_awgn"] = ber_awgn_exact(
+            case.cfg.modulation, case.cfg.channel.ebno_db
+        )
+    print(json.dumps(out))
+    return 0
+
+
+def _cmd_sweep(args) -> int:
+    import jax
+
+    from sdr_tpu.app.baseline_configs import get_case
+    from sdr_tpu.obs.sweep import ebno_sweep
+
+    case = get_case(args.config)
+    grid = (
+        [float(x) for x in args.ebno_grid.split(",")]
+        if args.ebno_grid
+        else list(case.ebno_sweep_db) or [0, 2, 4, 6, 8, 10]
+    )
+    res = ebno_sweep(
+        case.cfg,
+        grid,
+        jax.random.PRNGKey(args.seed),
+        target_errors=args.target_errors,
+        max_bits=args.max_bits,
+        checkpoint_path=args.checkpoint,
+        progress=lambda p: print(
+            f"# ebno={p.ebno_db:5.1f} dB  ber={p.ber:.3e}  "
+            f"({p.bit_errors}/{p.bits_counted})",
+            file=sys.stderr,
+        ),
+    )
+    theory = res.theory(case.cfg.modulation)
+    print(
+        json.dumps(
+            {
+                "case": case.name,
+                "config": res.config_summary,
+                "ebno_db": res.ebnos().tolist(),
+                "ber": res.bers().tolist(),
+                "ber_theory_awgn": theory.tolist(),
+            }
+        )
+    )
+    return 0
+
+
+def _cmd_info(args) -> int:
+    import jax
+
+    from sdr_tpu.core.config import Modulation
+    from sdr_tpu.ops.fft import get_default_backend
+
+    info = {
+        "version": "0.1",
+        "jax_backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "fft_backend": get_default_backend(),
+        "modulations": [m.value for m in Modulation],
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sdr_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("demo", help="terminal loopback demo")
+    d.add_argument("--frames", type=int, default=100)
+    d.add_argument("--interval", type=float, default=50.0, help="ms per frame")
+    d.add_argument("--n-fft", type=int, default=8)
+    d.add_argument("--cp", type=int, default=8)
+    d.add_argument("--mod", default="16qam")
+    d.add_argument("--ebno", type=float, default=None, help="AWGN Eb/N0 dB (default: identity loopback)")
+    d.set_defaults(fn=_cmd_demo)
+
+    b = sub.add_parser("bench", help="run a BASELINE config")
+    b.add_argument("--config", default="0", help="case name or index 0-4")
+    b.add_argument("--list", action="store_true")
+    b.add_argument("--seed", type=int, default=0)
+    b.add_argument("--per-channel", action="store_true")
+    b.set_defaults(fn=_cmd_bench)
+
+    s = sub.add_parser("sweep", help="Eb/N0 BER sweep")
+    s.add_argument("--config", default="1")
+    s.add_argument("--ebno-grid", default=None, help="comma-separated dB list")
+    s.add_argument("--target-errors", type=int, default=500)
+    s.add_argument("--max-bits", type=int, default=20_000_000)
+    s.add_argument("--checkpoint", default=None, help="JSON checkpoint path (resume)")
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=_cmd_sweep)
+
+    i = sub.add_parser("info", help="environment and inventory")
+    i.set_defaults(fn=_cmd_info)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

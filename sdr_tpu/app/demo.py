@@ -1,0 +1,157 @@
+"""Terminal loopback demo — the reference Qt GUI's TPU-native analog.
+
+The reference demo (app/QFDemoWindow.cpp:201-266) runs a timer loop:
+take 4 payload bytes from a cyclic text, map to 16-QAM, OFDM-modulate
+with CP, feed TX straight into RX, demap, and render three views —
+time-domain Re/Im, the constellation scatter, and the decoded text —
+with a 512-sample sliding plot history and a 50-char decoded ring
+(QFDemoWindow.cpp:19-27).
+
+This demo reproduces that frame loop with the whole PHY chain inside
+ONE jitted program (bytes in → bytes + plot samples out; the axon TPU
+runtime transfers real/int arrays only), renders the three views as
+terminal ASCII panels, and optionally replaces the reference's identity
+channel with AWGN so the constellation actually scatters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sdr_tpu.core.config import Modulation
+from sdr_tpu.ops.modulation import from_constl, to_constl
+from sdr_tpu.ops.channel import awgn, ebno_db_to_noise_var, time_noise_var
+from sdr_tpu.ops.ofdm import ofdm_rx, ofdm_tx
+from sdr_tpu.utils import SlidingBuffer
+
+# Our own cyclic payload (the reference cycles a fixed greeting string,
+# QFDemoWindow.cpp:23-27).
+PAYLOAD = (
+    b"Hello from sdr_tpu! A TPU-native software-defined-radio stack: "
+    b"bits -> QAM -> OFDM -> channel -> OFDM' -> QAM' -> bits. "
+)
+
+
+@dataclasses.dataclass
+class DemoConfig:
+    n_fft: int = 8          # reference: 8 subcarriers/frame (QFDemoWindow.cpp:210-213)
+    cp_len: int = 8         # reference: CP == symbol length (cp=8)
+    modulation: Modulation = Modulation.QAM16
+    ebno_db: Optional[float] = None  # None → identity loopback like the reference
+    history: int = 512      # plot ring size (QFDemoWindow.cpp:20)
+    text_ring: int = 50     # decoded text ring (QFDemoWindow.cpp:21)
+
+
+def make_frame_fn(cfg: DemoConfig):
+    """One jitted frame: payload bytes → (decoded bytes, tx re, tx im, points)."""
+    bytes_per_frame = cfg.n_fft * cfg.modulation.bits_per_symbol // 8
+    if bytes_per_frame < 1:
+        raise ValueError("frame smaller than one byte; increase n_fft")
+
+    @jax.jit
+    def frame(data: jnp.ndarray, key: jax.Array):
+        points = to_constl(data, cfg.modulation)  # (n_fft,)
+        tx = ofdm_tx(points, cfg.cp_len)
+        if cfg.ebno_db is not None:
+            nv = ebno_db_to_noise_var(cfg.ebno_db, cfg.modulation.bits_per_symbol)
+            rx = awgn(key, tx, time_noise_var(nv, cfg.n_fft))
+        else:
+            rx = tx  # the reference's identity "channel" (QFDemoWindow.cpp:213-218)
+        rx_points = ofdm_rx(rx, cfg.cp_len)
+        decoded = from_constl(rx_points, cfg.modulation)
+        return decoded, jnp.real(tx), jnp.imag(tx), jnp.real(rx_points), jnp.imag(rx_points)
+
+    return frame, bytes_per_frame
+
+
+# --- ASCII rendering -------------------------------------------------------
+
+
+def render_wave(samples: np.ndarray, width: int = 64, height: int = 7) -> list:
+    """Time-domain Re trace as an ASCII panel (newest right)."""
+    s = samples[-width:] if len(samples) >= width else samples
+    grid = [[" "] * width for _ in range(height)]
+    if len(s):
+        lim = max(float(np.max(np.abs(s))), 1e-9)
+        for x, v in enumerate(s):
+            y = int((1.0 - (float(v) / lim + 1.0) / 2.0) * (height - 1) + 0.5)
+            grid[min(max(y, 0), height - 1)][x + width - len(s)] = "*"
+    return ["".join(row) for row in grid]
+
+
+def render_constellation(pts: np.ndarray, size: int = 17) -> list:
+    """I/Q scatter on a size×size grid spanning ±1.2 (unit-Es points)."""
+    grid = [[" "] * size for _ in range(size)]
+    mid = size // 2
+    for i in range(size):
+        grid[i][mid] = "|"
+        grid[mid][i] = "-"
+    grid[mid][mid] = "+"
+    lim = 1.2
+    for p in pts:
+        x = int((np.real(p) / lim + 1.0) / 2.0 * (size - 1) + 0.5)
+        y = int((1.0 - (np.imag(p) / lim + 1.0) / 2.0) * (size - 1) + 0.5)
+        if 0 <= x < size and 0 <= y < size:
+            grid[y][x] = "o"
+    return ["".join(row) for row in grid]
+
+
+def render_frame_panel(wave_ring, const_pts, text: str) -> str:
+    wave = render_wave(np.array(wave_ring.tolist(), dtype=np.float64))
+    const = render_constellation(const_pts)
+    lines = ["  TX time (Re)" + " " * 52 + "RX constellation"]
+    for i in range(max(len(wave), len(const))):
+        left = wave[i] if i < len(wave) else " " * 64
+        right = const[i] if i < len(const) else ""
+        lines.append(f"  {left}  {right}")
+    lines.append(f"  decoded: {text!r}")
+    return "\n".join(lines)
+
+
+# --- frame loop ------------------------------------------------------------
+
+
+def run_demo(
+    cfg: DemoConfig | None = None,
+    frames: int = 100,
+    interval_ms: float = 50.0,   # the reference's default timer (QFDemoWindow.cpp:152)
+    render: bool = True,
+    out=sys.stdout,
+) -> str:
+    """Run the loopback frame loop; returns the final decoded text ring."""
+    cfg = cfg or DemoConfig()
+    frame, bpf = make_frame_fn(cfg)
+    plot_ring = SlidingBuffer(cfg.history)
+    text_ring = SlidingBuffer(cfg.text_ring)
+    text_ring.push_back(list(b" " * cfg.text_ring))
+    key = jax.random.PRNGKey(0)
+
+    pos = 0
+    for fi in range(frames):
+        chunk = bytes(
+            PAYLOAD[(pos + i) % len(PAYLOAD)] for i in range(bpf)
+        )
+        pos = (pos + bpf) % len(PAYLOAD)
+        decoded, tx_re, tx_im, rx_re, rx_im = frame(
+            jnp.asarray(np.frombuffer(chunk, np.uint8)), jax.random.fold_in(key, fi)
+        )
+        plot_ring.push_back([float(v) for v in np.asarray(tx_re)])
+        text_ring.push_back(list(bytes(np.asarray(decoded))))
+        if render:
+            pts = np.asarray(rx_re) + 1j * np.asarray(rx_im)
+            txt = bytes(b & 0x7F for b in text_ring.tolist()).decode("ascii", "replace")
+            out.write("\x1b[2J\x1b[H" if out.isatty() else "")
+            out.write(render_frame_panel(plot_ring, pts, txt) + "\n")
+            out.flush()
+        if interval_ms and render:
+            time.sleep(interval_ms / 1000.0)
+
+    return bytes(b & 0x7F for b in text_ring.tolist()).decode("ascii", "replace")

@@ -1,0 +1,3 @@
+from sdr_tpu.obs.sweep import SweepPoint, SweepResult, ebno_sweep  # noqa: F401
+from sdr_tpu.obs.roofline import RooflineReport, demod_roofline  # noqa: F401
+from sdr_tpu.obs.profile import trace  # noqa: F401

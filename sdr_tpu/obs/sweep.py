@@ -1,0 +1,142 @@
+"""Eb/N0 sweep driver with checkpoint/resume.
+
+The reference has no benchmark, sweep, or persistence machinery at all
+(SURVEY.md §5: no checkpointing, no metrics, no config system — its
+only "observability" is the GUI, QFDemoWindow.cpp:226-265). This module
+is the statistical engine the north star requires: BER curves over an
+Eb/N0 grid, validated against exact AWGN theory (link.ber), with
+error-count accumulation across batched link invocations and atomic
+JSON checkpoints so a long sweep survives interruption — the
+checkpoint/resume aux subsystem of SURVEY.md §5 done host-side (device
+state is pure-functional; the counters ARE the whole state).
+
+Termination per point follows standard Monte-Carlo practice: stop at
+``target_errors`` bit errors (confidence ~1/sqrt(errors)) or at
+``max_bits``, whichever first.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import tempfile
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+from sdr_tpu.core.config import LinkConfig
+from sdr_tpu.link.ber import ber_awgn_exact
+from sdr_tpu.link.pipeline import make_simulate_fn
+
+
+@dataclasses.dataclass
+class SweepPoint:
+    ebno_db: float
+    bit_errors: int
+    bits_counted: int
+
+    @property
+    def ber(self) -> float:
+        return self.bit_errors / max(self.bits_counted, 1)
+
+    def to_json(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class SweepResult:
+    points: list  # list[SweepPoint], ascending ebno
+    config_summary: str
+
+    def bers(self) -> np.ndarray:
+        return np.array([p.ber for p in self.points])
+
+    def ebnos(self) -> np.ndarray:
+        return np.array([p.ebno_db for p in self.points])
+
+    def theory(self, mod) -> np.ndarray:
+        return np.array([ber_awgn_exact(mod, e) for e in self.ebnos()])
+
+
+def _cfg_summary(cfg: LinkConfig) -> str:
+    return (
+        f"{cfg.modulation.value}/{cfg.ofdm.n_fft}sc/cp{cfg.ofdm.cp_len}/"
+        f"{cfg.channel.model.value}/eq={cfg.equalizer.value}"
+    )
+
+
+def _atomic_write(path: str, payload: dict) -> None:
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def ebno_sweep(
+    cfg: LinkConfig,
+    ebno_grid_db: Sequence[float],
+    key: jax.Array,
+    target_errors: int = 500,
+    max_bits: int = 20_000_000,
+    checkpoint_path: Optional[str] = None,
+    progress=None,
+) -> SweepResult:
+    """BER over an Eb/N0 grid with stop-at-target-errors accumulation.
+
+    One jitted simulate program per Eb/N0 point (ebno is static in the
+    config); each invocation adds cfg.bits_total bits. If
+    ``checkpoint_path`` exists and matches this sweep's config summary,
+    completed points are loaded and the sweep resumes after them;
+    every completed point rewrites the checkpoint atomically.
+    """
+    summary = _cfg_summary(cfg)
+    done: dict[float, SweepPoint] = {}
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with open(checkpoint_path) as f:
+            ck = json.load(f)
+        if ck.get("config_summary") == summary:
+            for p in ck.get("points", []):
+                done[float(p["ebno_db"])] = SweepPoint(**p)
+
+    points: list[SweepPoint] = []
+    for i, ebno in enumerate(ebno_grid_db):
+        ebno = float(ebno)
+        if ebno in done:
+            points.append(done[ebno])
+            continue
+        pt_cfg = dataclasses.replace(
+            cfg, channel=dataclasses.replace(cfg.channel, ebno_db=ebno)
+        )
+        fn = make_simulate_fn(pt_cfg)
+        errors = 0
+        bits = 0
+        batch = 0
+        pt_key = jax.random.fold_in(key, i)
+        while errors < target_errors and bits < max_bits:
+            res = fn(jax.random.fold_in(pt_key, batch))
+            errors += int(np.asarray(res.bit_errors).sum())
+            bits += int(np.asarray(res.bits_counted).sum())
+            batch += 1
+        pt = SweepPoint(ebno_db=ebno, bit_errors=errors, bits_counted=bits)
+        points.append(pt)
+        done[ebno] = pt
+        if progress is not None:
+            progress(pt)
+        if checkpoint_path:
+            _atomic_write(
+                checkpoint_path,
+                {
+                    "config_summary": summary,
+                    "points": [p.to_json() for p in sorted(done.values(), key=lambda q: q.ebno_db)],
+                },
+            )
+    return SweepResult(points=points, config_summary=summary)

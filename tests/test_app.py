@@ -1,0 +1,111 @@
+"""App layer: demo frame loop, CLI, baseline cases, sweep driver."""
+
+import io
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from sdr_tpu.app.baseline_configs import baseline_cases, get_case
+from sdr_tpu.app.cli import main
+from sdr_tpu.app.demo import DemoConfig, run_demo
+from sdr_tpu.core.config import Modulation
+
+
+def test_demo_identity_loopback_decodes_payload():
+    """Identity channel (the reference's demo config) decodes exactly."""
+    from sdr_tpu.app.demo import PAYLOAD
+
+    out = io.StringIO()
+    text = run_demo(
+        DemoConfig(), frames=30, interval_ms=0, render=True, out=out
+    )
+    # 30 frames x 4 bytes = 120 decoded bytes; the 50-char ring holds the
+    # most recent 50, which must be a contiguous slice of the payload.
+    assert len(text) == 50
+    doubled = (PAYLOAD + PAYLOAD).decode()
+    assert text in doubled
+    assert "constellation" in out.getvalue()
+
+
+def test_demo_awgn_runs():
+    text = run_demo(
+        DemoConfig(ebno_db=20.0), frames=5, interval_ms=0, render=False
+    )
+    assert len(text) == 50
+
+
+def test_baseline_cases_cover_the_five_configs():
+    cases = baseline_cases()
+    assert len(cases) == 5
+    assert cases[0].cfg.modulation is Modulation.QPSK
+    assert cases[0].cfg.ofdm.n_fft == 64
+    assert cases[0].cfg.bits_total >= 1_000_000
+    assert cases[1].cfg.ofdm.n_fft == 256 and cases[1].ebno_sweep_db
+    assert cases[2].cfg.modulation is Modulation.QAM64
+    assert cases[3].cfg.n_channels == 64 and cases[3].sharded
+    assert cases[4].cfg.ofdm.n_fft == 4096 and cases[4].cfg.n_channels == 256
+    assert get_case("qam64-1024") is not None
+    assert get_case("2").name == "qam64-1024"
+    with pytest.raises(KeyError):
+        get_case("nope")
+
+
+def test_cli_info(capsys):
+    assert main(["info"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert "16qam" in info["modulations"]
+
+
+def test_cli_bench_list(capsys):
+    assert main(["bench", "--list"]) == 0
+    assert "qpsk64-awgn" in capsys.readouterr().out
+
+
+def test_cli_bench_runs_config0_small(capsys, monkeypatch):
+    """Config 0 semantics via CLI (shrunk: full 1e6-bit run is covered
+    by the TPU drive in the verify recipe)."""
+    import sdr_tpu.app.baseline_configs as bc
+    import dataclasses
+
+    orig = bc.baseline_cases
+
+    def small():
+        cases = orig()
+        c0 = cases[0]
+        cases[0] = dataclasses.replace(
+            c0, cfg=dataclasses.replace(c0.cfg, n_channels=4, n_symbols=16)
+        )
+        return cases
+
+    monkeypatch.setattr(bc, "baseline_cases", small)
+    assert main(["bench", "--config", "0"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["bits"] == 4 * 16 * 64 * 2
+    # 10 dB QPSK: BER ~4e-6; a handful of errors at most in 8k bits.
+    assert out["ber"] < 1e-2
+    assert "ber_theory_awgn" in out
+
+
+def test_cli_sweep_with_checkpoint_resume(tmp_path, capsys):
+    ck = str(tmp_path / "sweep.json")
+    args = [
+        "sweep", "--config", "1", "--ebno-grid", "2,4",
+        "--target-errors", "50", "--max-bits", "200000",
+        "--checkpoint", ck,
+    ]
+    assert main(args) == 0
+    first = json.loads(capsys.readouterr().out)
+    assert os.path.exists(ck)
+    saved = json.load(open(ck))
+    assert len(saved["points"]) == 2
+
+    # Resume: completed points load from the checkpoint (no recompute —
+    # results must be identical).
+    assert main(args) == 0
+    second = json.loads(capsys.readouterr().out)
+    assert second["ber"] == first["ber"]
+    # Theory overlay is monotone decreasing and bracketed by sim.
+    assert first["ber_theory_awgn"][0] > first["ber_theory_awgn"][1]

@@ -1,0 +1,61 @@
+"""Observability layer: roofline model, sweep accumulation math."""
+
+import numpy as np
+import jax
+
+from sdr_tpu.core.config import (
+    ChannelConfig,
+    ChannelModel,
+    LinkConfig,
+    Modulation,
+    OFDMConfig,
+)
+from sdr_tpu.obs.roofline import ChipProfile, demod_roofline
+from sdr_tpu.obs.sweep import ebno_sweep
+
+
+def test_roofline_fused_traffic_at_256():
+    r = demod_roofline(256, 64, Modulation.QAM16, fused=True)
+    # Fused kernel reads 8 B/sample; nothing else touches HBM. The N²
+    # matmul-DFT makes it compute-bound on f32 MXU rates.
+    assert abs(r.bytes_per_sample - 8.0) < 1e-9
+    assert r.bound == "compute"
+    assert r.sol_samples_per_s > 1e9  # speed of light far above target
+    assert r.sol_samples_per_s_datasheet >= r.sol_samples_per_s
+
+
+def test_roofline_unfused_pays_more_traffic():
+    fused = demod_roofline(256, 64, Modulation.QAM16, fused=True)
+    unfused = demod_roofline(256, 64, Modulation.QAM16, fused=False)
+    assert unfused.bytes_per_sample > fused.bytes_per_sample
+
+
+def test_roofline_efficiency_fraction():
+    r = demod_roofline(
+        256, 64, Modulation.QAM16, fused=True, measured_samples_per_s=5e9
+    )
+    assert 0.0 < r.efficiency < 1.0
+
+
+def test_roofline_compute_bound_at_large_n():
+    """At 4096 subcarriers the N² matmul DFT dominates the 8 B/sample."""
+    r = demod_roofline(4096, 512, Modulation.QAM16, fused=True)
+    assert r.bound == "compute"
+
+
+def test_sweep_accumulates_until_target(tmp_path):
+    cfg = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=4.0),
+        n_symbols=8,
+        n_channels=4,
+    )
+    res = ebno_sweep(
+        cfg, [4.0], jax.random.PRNGKey(0), target_errors=40, max_bits=10**6
+    )
+    pt = res.points[0]
+    assert pt.bit_errors >= 40  # kept drawing batches until target met
+    assert pt.bits_counted % cfg.bits_total == 0  # whole batches only
+    th = res.theory(Modulation.QPSK)[0]
+    assert 0.5 * th < pt.ber < 2.0 * th
