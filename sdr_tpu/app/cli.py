@@ -119,6 +119,32 @@ def _cmd_sweep(args) -> int:
     return 0
 
 
+def _cmd_autotune(args) -> int:
+    from sdr_tpu.obs.autotune import recommend_crossover, tune_fft
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    points = tune_fft(sizes=sizes, iters=args.iters)
+    for p in points:
+        print(
+            f"# n={p.n:6d}  xla={p.xla_gelems:7.1f}  matmul={p.matmul_gelems:7.1f} "
+            f"Gelem/s  -> {p.winner}",
+            file=sys.stderr,
+        )
+    cross = recommend_crossover(points)
+    print(
+        json.dumps(
+            {
+                "matmul_min_n": cross,
+                "points": [
+                    {"n": p.n, "xla": p.xla_gelems, "matmul": p.matmul_gelems}
+                    for p in points
+                ],
+            }
+        )
+    )
+    return 0
+
+
 def _cmd_info(args) -> int:
     import jax
 
@@ -167,6 +193,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("info", help="environment and inventory")
     i.set_defaults(fn=_cmd_info)
+
+    a = sub.add_parser("autotune", help="measure FFT backend crossover on this device")
+    a.add_argument("--sizes", default="128,256,512,1024,2048,4096,8192,16384")
+    a.add_argument("--iters", type=int, default=20)
+    a.set_defaults(fn=_cmd_autotune)
     return p
 
 

@@ -45,6 +45,12 @@ _DEFAULT_BACKEND: Backend = os.environ.get("SDR_TPU_FFT_BACKEND", "auto")  # typ
 _MATMUL_MIN_N = 8192
 
 
+def set_matmul_min_n(n: int) -> None:
+    """Set the auto-backend crossover (from obs.autotune measurements)."""
+    global _MATMUL_MIN_N
+    _MATMUL_MIN_N = int(n)
+
+
 def set_default_backend(backend: Backend) -> None:
     global _DEFAULT_BACKEND
     if backend not in ("auto", "xla", "matmul"):

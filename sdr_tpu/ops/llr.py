@@ -7,8 +7,8 @@ the 2-D max-log metric separates exactly into two independent PAM
 problems (I bits depend only on Re, Q bits only on Im), so the
 per-symbol cost is O(2*L) instead of O(M=L^2) — this is the per-
 subcarrier inner loop the north star names, and it vectorizes directly
-onto the 8x128 VPU lanes (a fused Pallas variant lives in
-sdr_tpu/kernels/llr_pallas.py).
+onto the 8x128 VPU lanes (the fused Pallas receive chain in
+sdr_tpu/kernels/demod_pallas.py runs the same metric in VMEM).
 
 Definition (natural log, noise ~ CN(0, noise_var) per symbol):
 
