@@ -145,6 +145,30 @@ def _cmd_autotune(args) -> int:
     return 0
 
 
+def _cmd_scale(args) -> int:
+    import dataclasses
+    import jax
+
+    from sdr_tpu.app.baseline_configs import get_case
+    from sdr_tpu.obs.scaling import weak_scaling
+
+    case = get_case(args.config)
+    counts = [int(x) for x in args.devices.split(",")] if args.devices else None
+    # Per-device channel count: shrink the case's channels to one shard.
+    per_dev = max(case.cfg.n_channels // max(len(jax.devices()), 1), 1)
+    cfg = dataclasses.replace(case.cfg, n_channels=per_dev)
+    points = weak_scaling(cfg, device_counts=counts, iters=args.iters)
+    print(
+        json.dumps(
+            {
+                "case": case.name,
+                "points": [dataclasses.asdict(p) for p in points],
+            }
+        )
+    )
+    return 0
+
+
 def _cmd_info(args) -> int:
     import jax
 
@@ -198,6 +222,12 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--sizes", default="128,256,512,1024,2048,4096,8192,16384")
     a.add_argument("--iters", type=int, default=20)
     a.set_defaults(fn=_cmd_autotune)
+
+    w = sub.add_parser("scale", help="weak-scaling samples/s over the device mesh")
+    w.add_argument("--config", default="3")
+    w.add_argument("--devices", default=None, help="comma list, e.g. 1,2,4,8")
+    w.add_argument("--iters", type=int, default=10)
+    w.set_defaults(fn=_cmd_scale)
     return p
 
 

@@ -59,3 +59,24 @@ def test_sweep_accumulates_until_target(tmp_path):
     assert pt.bits_counted % cfg.bits_total == 0  # whole batches only
     th = res.theory(Modulation.QPSK)[0]
     assert 0.5 * th < pt.ber < 2.0 * th
+
+
+def test_weak_scaling_runs_on_virtual_mesh():
+    """Weak scaling over the 8-device CPU mesh: functional smoke +
+    monotone channel growth (efficiency numbers are meaningless on a
+    shared-host CPU 'mesh')."""
+    import dataclasses
+    from sdr_tpu.obs.scaling import weak_scaling
+
+    cfg = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=8.0),
+        n_symbols=8,
+        n_channels=2,
+    )
+    pts = weak_scaling(cfg, device_counts=[1, 2], iters=2, reps=1)
+    assert [p.n_devices for p in pts] == [1, 2]
+    assert pts[0].n_channels == 2 and pts[1].n_channels == 4
+    assert all(p.samples_per_s > 0 for p in pts)
+    assert pts[0].efficiency == 1.0
