@@ -1,0 +1,159 @@
+"""Fused Pallas TPU modulator: Gray QAM map → IFFT → CP insert.
+
+TX twin of kernels/demod_pallas.py — the transmit chain the reference
+runs as to_constl + ofdm::tx (modulation.hpp:79-94, ofdm.hpp:13-35),
+fused into one VMEM-resident kernel:
+
+- input: per-subcarrier SYMBOL INDICES (int32) — the bits→index pack is
+  a cheap fused XLA op at the caller (ops.modulation._bits_to_ints);
+- Gray→binary→PAM level is computed ARITHMETICALLY on the VPU
+  (prefix-XOR Gray decode, level = 2·b − (L−1), unit-Es scale) — no
+  table gather, which Pallas TPU has no efficient primitive for;
+- the IFFT runs as an MXU matmul against the inverse DFT matrix with
+  the reference's 1/N scaling folded into the matrix (fft.hpp:197-204);
+- the cyclic prefix is two static slice writes: out[:, :cp] = y[:, N−cp:],
+  out[:, cp:] = y (the last-cp-samples-first layout of ofdm.hpp:21).
+
+Output is planar float32 (re, im), shape (batch, n_syms, n_fft+cp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sdr_tpu.core.config import Modulation
+
+_TARGET_ROWS = 512
+
+
+def _pick_batch_tile(batch: int, n_syms: int) -> int:
+    best = 1
+    for tb in range(1, batch + 1):
+        if batch % tb == 0 and tb * n_syms <= _TARGET_ROWS:
+            best = tb
+    return best
+
+
+def supported(shape, mod: Modulation) -> bool:
+    """(batch, n_syms, n_fft) int32 indices; n_fft fills 128 lanes."""
+    if len(shape) != 3:
+        return False
+    batch, n_syms, n_fft = shape
+    return n_fft >= 128 and n_fft % 128 == 0 and (batch * n_syms) % 8 == 0
+
+
+@functools.lru_cache(maxsize=None)
+def _idft_mats(n: int):
+    """(Wr, Wi) float32 (n, n): inverse kernel e^{+2πi jk/n} / n."""
+    jk = np.outer(np.arange(n), np.arange(n)).astype(np.float64)
+    w = np.exp(2j * np.pi * jk / n) / n
+    return np.real(w).astype(np.float32), np.imag(w).astype(np.float32)
+
+
+def _gray_to_binary_vec(g, m: int):
+    """Prefix-XOR Gray decode, unrolled for m-bit values."""
+    b = g
+    shift = 1
+    while shift < m:
+        b = b ^ (b >> shift)
+        shift <<= 1
+    return b
+
+
+def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int, mod: Modulation):
+    rows = tb * n_syms
+    m = mod.bits_per_axis
+    L = mod.levels_per_axis
+    norm = np.float32(mod.unit_energy_scale)
+    sym_len = n_fft + cp_len
+
+    def kernel(idx_ref, wr_ref, wi_ref, re_ref, im_ref):
+        idx = idx_ref[:].reshape(rows, n_fft)
+        if mod is Modulation.BPSK:
+            gi = idx
+            gq = None
+        else:
+            gi = idx >> m
+            gq = idx & jnp.int32(L - 1)
+        bi = _gray_to_binary_vec(gi, m)
+        xr = (2 * bi - (L - 1)).astype(jnp.float32) * norm
+        if gq is None:
+            xi = jnp.zeros_like(xr)
+        else:
+            bq = _gray_to_binary_vec(gq, m)
+            xi = (2 * bq - (L - 1)).astype(jnp.float32) * norm
+
+        wr = wr_ref[:]
+        wi = wi_ref[:]
+        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        yr = dot(xr, wr) - dot(xi, wi)
+        yi = dot(xr, wi) + dot(xi, wr)
+
+        if cp_len:
+            re_ref[:, :cp_len] = yr[:, n_fft - cp_len :]
+            im_ref[:, :cp_len] = yi[:, n_fft - cp_len :]
+        re_ref[:, cp_len:] = yr
+        im_ref[:, cp_len:] = yi
+
+    return kernel, sym_len
+
+
+def tx_chain_pallas(
+    indices: jnp.ndarray,
+    cp_len: int,
+    mod: Modulation,
+    interpret: bool | None = None,
+):
+    """Symbol indices (batch, n_syms, n_fft) int32 → planar (re, im)
+    time samples (batch, n_syms, n_fft + cp_len) float32.
+
+    Matches ops.modulation.modulate ∘ ops.ofdm.ofdm_tx exactly up to
+    f32 matmul-DFT rounding (tests/test_tx_pallas.py).
+    """
+    if not supported(indices.shape, mod):
+        raise ValueError(f"unsupported shape {indices.shape} for fused TX kernel")
+    batch, n_syms, n_fft = indices.shape
+    if not 0 <= cp_len <= n_fft:
+        raise ValueError(f"cp_len {cp_len} out of range for n_fft {n_fft}")
+    tb = _pick_batch_tile(batch, n_syms)
+    grid = (batch // tb,)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    wr, wi = _idft_mats(n_fft)
+    kernel, sym_len = _make_kernel(tb, n_syms, n_fft, cp_len, mod)
+    rows_per_block = tb * n_syms
+
+    re, im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows_per_block, sym_len), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_block, sym_len), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch * n_syms, sym_len), jnp.float32),
+            jax.ShapeDtypeStruct((batch * n_syms, sym_len), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * batch * n_syms * n_fft * n_fft,
+            bytes_accessed=(batch * n_syms * (n_fft + 2 * sym_len)) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(indices.astype(jnp.int32), wr, wi)
+    return (
+        re.reshape(batch, n_syms, sym_len),
+        im.reshape(batch, n_syms, sym_len),
+    )
