@@ -1,0 +1,107 @@
+"""Fast batched link: fused-kernel TX → channel → fused-kernel RX.
+
+The production throughput path. Where link.pipeline composes per-channel
+ops under vmap (maximum flexibility, arbitrary shapes), this module runs
+the whole link at BATCH level on 3-D (n_channels, n_symbols, ·) arrays
+so the fused Pallas kernels (kernels/tx_pallas, kernels/demod_pallas)
+own the hot loops; the channel sits between them as fused XLA
+elementwise work on planar arrays. Falls back to the jnp compositions
+off-TPU or for unsupported shapes.
+
+Note: this path draws source SYMBOL INDICES directly (uniform over the
+constellation — the same distribution as i.i.d. bits, but a different
+PRNG stream than pipeline.generate_bits), so its BER is validated
+statistically against theory rather than bit-exactly against
+link.pipeline (tests/test_fast.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sdr_tpu.core import prng
+from sdr_tpu.core.config import ChannelModel, Equalizer, LinkConfig, Modulation
+from sdr_tpu.ops import channel as chan
+from sdr_tpu.ops.demod import demod_chain
+from sdr_tpu.ops.modulation import _ints_to_bits
+from sdr_tpu.ops.ofdm import ofdm_tx
+
+
+def _tx(cfg: LinkConfig, idx: jnp.ndarray, backend: str):
+    """(B,S,N) indices → planar (re, im) (B,S,sym_len)."""
+    from sdr_tpu.kernels.tx_pallas import supported as tx_ok, tx_chain_pallas
+
+    use_pallas = backend == "pallas" or (
+        backend == "auto"
+        and jax.default_backend() != "cpu"
+        and tx_ok(idx.shape, cfg.modulation)
+    )
+    if use_pallas:
+        return tx_chain_pallas(idx, cfg.ofdm.cp_len, cfg.modulation)
+    bits = _ints_to_bits(idx, cfg.modulation.bits_per_symbol)
+    from sdr_tpu.ops.modulation import modulate
+
+    x = ofdm_tx(modulate(bits, cfg.modulation), cfg.ofdm.cp_len)
+    return jnp.real(x), jnp.imag(x)
+
+
+def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto"):
+    """Full link over (n_channels, n_symbols) as one batched program.
+
+    Returns (bit_errors (n_channels,) int32, bits_counted (n_channels,)).
+    """
+    B, S, N = cfg.n_channels, cfg.n_symbols, cfg.ofdm.n_fft
+    mod = cfg.modulation
+    bps = mod.bits_per_symbol
+    # Host floats (cfg is static) so they stay trace-time constants.
+    nv = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps)
+    tvar = nv / N
+
+    k_idx = prng.role_key(key, prng.ROLE_PAYLOAD)
+    k_noise = prng.role_key(key, prng.ROLE_NOISE)
+    k_fade = prng.role_key(key, prng.ROLE_FADING)
+
+    idx = jax.random.randint(k_idx, (B, S, N), 0, 1 << bps, jnp.int32)
+    re, im = _tx(cfg, idx, backend)
+
+    model = cfg.channel.model
+    h = None
+    if model == ChannelModel.RAYLEIGH_FLAT:
+        h = chan.rayleigh_flat(k_fade, (B, 1, 1))
+    elif model == ChannelModel.MULTIPATH:
+        taps = chan.multipath_taps(k_fade, cfg.channel.pdp, batch_shape=(B,))
+        h = chan.freq_response(taps, N)[:, None, :]  # (B,1,N)
+
+    x = jax.lax.complex(re, im)
+    if model == ChannelModel.MULTIPATH:
+        stream = x.reshape(B, -1)
+        x = chan.apply_multipath(stream, taps).reshape(x.shape)
+    elif model == ChannelModel.RAYLEIGH_FLAT:
+        x = x * h
+    if model != ChannelModel.IDENTITY:
+        x = chan.awgn(k_noise, x, tvar)
+
+    if h is None:
+        hb = jnp.broadcast_to(jnp.complex64(1.0), (B, 1, N))
+    else:
+        hb = jnp.broadcast_to(h, (B, 1, N)).astype(jnp.complex64)
+
+    llr = demod_chain(
+        jnp.real(x), jnp.imag(x),
+        jnp.real(hb), jnp.imag(hb),
+        cfg.ofdm.cp_len, mod, max(nv, 1e-12),
+        backend=None if backend == "auto" else backend,
+    )
+    hard = (llr < 0).astype(jnp.int8)  # (B, S, N*bps)
+    tx_bits = _ints_to_bits(idx, bps)
+    errors = jnp.sum((hard != tx_bits).astype(jnp.int32), axis=(1, 2))
+    counted = jnp.full((B,), S * N * bps, jnp.int32)
+    return errors, counted
+
+
+def make_fast_fn(cfg: LinkConfig, backend: str = "auto"):
+    """Jitted fast link with cfg closed over."""
+    return jax.jit(functools.partial(fast_simulate, cfg, backend=backend))

@@ -1,0 +1,82 @@
+"""Fast batched link (fused-kernel path) — statistical and parity checks."""
+
+import numpy as np
+import jax
+import pytest
+
+from sdr_tpu.core.config import (
+    ChannelConfig,
+    ChannelModel,
+    Equalizer,
+    LinkConfig,
+    Modulation,
+    OFDMConfig,
+)
+from sdr_tpu.link.ber import ber_awgn_exact
+from sdr_tpu.link.fast import fast_simulate, make_fast_fn
+
+
+def _ber(errors, counted) -> float:
+    return float(np.asarray(errors).sum()) / float(np.asarray(counted).sum())
+
+
+@pytest.mark.parametrize("mod", [Modulation.QPSK, Modulation.QAM16])
+def test_fast_awgn_ber_matches_theory(mod):
+    cfg = LinkConfig(
+        modulation=mod,
+        ofdm=OFDMConfig(n_fft=128, cp_len=16),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=6.0),
+        n_symbols=32,
+        n_channels=16,
+    )
+    errors, counted = make_fast_fn(cfg, backend="jnp")(jax.random.PRNGKey(0))
+    ber = _ber(errors, counted)
+    th = ber_awgn_exact(mod, 6.0)
+    assert 0.85 * th < ber < 1.15 * th  # ~65k+ bits, loose statistical gate
+
+
+def test_fast_identity_is_error_free():
+    cfg = LinkConfig(
+        modulation=Modulation.QAM64,
+        ofdm=OFDMConfig(n_fft=128, cp_len=32),
+        channel=ChannelConfig(model=ChannelModel.IDENTITY),
+        n_symbols=8,
+        n_channels=4,
+    )
+    errors, counted = fast_simulate(cfg, jax.random.PRNGKey(1), backend="jnp")
+    assert int(np.asarray(errors).sum()) == 0
+    assert int(np.asarray(counted).sum()) == cfg.bits_total
+
+
+def test_fast_multipath_mmse_decodes_at_high_snr():
+    cfg = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(n_fft=128, cp_len=16),
+        channel=ChannelConfig(
+            model=ChannelModel.MULTIPATH, ebno_db=30.0, pdp=(1.0, 0.4, 0.2)
+        ),
+        equalizer=Equalizer.MMSE,
+        n_symbols=16,
+        n_channels=8,
+    )
+    errors, counted = fast_simulate(cfg, jax.random.PRNGKey(2), backend="jnp")
+    # CP >= delay spread + one-tap MMSE at 30 dB: essentially error-free
+    # up to deep per-channel fades; allow a small residue.
+    assert _ber(errors, counted) < 5e-3
+
+
+def test_fast_pallas_backend_matches_jnp_small(rng):
+    """Same key → identical error counts between backends (both paths
+    demap the same noisy grid; LLR rounding differences would need a
+    sample to sit exactly on a decision boundary to flip a bit)."""
+    cfg = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(n_fft=128, cp_len=32),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=8.0),
+        n_symbols=8,
+        n_channels=2,
+    )
+    e_j, c_j = fast_simulate(cfg, jax.random.PRNGKey(3), backend="jnp")
+    e_p, c_p = fast_simulate(cfg, jax.random.PRNGKey(3), backend="pallas")
+    np.testing.assert_array_equal(np.asarray(c_j), np.asarray(c_p))
+    np.testing.assert_array_equal(np.asarray(e_j), np.asarray(e_p))
