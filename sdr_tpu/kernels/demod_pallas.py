@@ -132,7 +132,13 @@ def _make_kernel(
         # DFT on the MXU: Y = X @ W (complex as 4 real matmuls).
         wr = wr_ref[:]
         wi = wi_ref[:]
-        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        # HIGHEST → bf16x6 passes ≈ true f32: without it the MXU runs
+        # one bf16 pass and LLRs drift ~4% (fails the 0.1 dB BER bound).
+        dot = functools.partial(
+            jnp.dot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         yr = dot(xr, wr) - dot(xi, wi)
         yi = dot(xr, wi) + dot(xi, wr)
 
@@ -157,7 +163,9 @@ def _make_kernel(
             total = jnp.float32(0.0)
             for b_llr in llr_bits:
                 total = total + jnp.sum(b_llr, dtype=jnp.float32)
-            out_ref[0, 0] = total
+            # One (8,128) VMEM tile per grid block (SMEM scalar outputs
+            # don't tile across grids); caller reads [:, 0, 0].
+            out_ref[0] = jnp.broadcast_to(total, (8, 128))
         else:
             # Bit-major lane concat (Mosaic cannot lower the per-
             # subcarrier interleave reshape); the caller transposes to
@@ -221,12 +229,14 @@ def demod_chain_pallas(
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((grid[0], 1), jnp.float32),
+            out_specs=pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
             cost_estimate=cost,
             interpret=interpret,
         )(re, im, hr, hi, wr, wi)
-        return jnp.sum(partial, dtype=jnp.float32)
+        return jnp.sum(partial[:, 0, 0], dtype=jnp.float32)
 
     rows_per_block = tb * n_syms
     out = pl.pallas_call(

@@ -91,7 +91,12 @@ def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int, mod: Modulation)
 
         wr = wr_ref[:]
         wi = wi_ref[:]
-        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        # bf16x6 (≈ f32) matmul; see demod_pallas for rationale.
+        dot = functools.partial(
+            jnp.dot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         yr = dot(xr, wr) - dot(xi, wi)
         yi = dot(xr, wi) + dot(xi, wr)
 
