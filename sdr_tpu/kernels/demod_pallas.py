@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sdr_tpu.core.config import Modulation
+from sdr_tpu.kernels import _matmul
 from sdr_tpu.ops.llr import _axis_bit_masks
 from sdr_tpu.ops.modulation import _tables
 
@@ -124,23 +125,17 @@ def _make_kernel(
     bps = mod.bits_per_symbol
     inv_nv = np.float32(1.0 / max(noise_var, 1e-12))
 
-    def kernel(re_ref, im_ref, hr_ref, hi_ref, wr_ref, wi_ref, out_ref):
+    precision = _matmul.mxu_precision()
+
+    def kernel(re_ref, im_ref, hr_ref, hi_ref, wa_ref, wb_ref, wc_ref, out_ref):
         # CP strip + row-major reshape: (tb, S, sym_len) → (rows, n_fft).
         xr = re_ref[:].reshape(rows, sym_len)[:, cp_len:]
         xi = im_ref[:].reshape(rows, sym_len)[:, cp_len:]
 
-        # DFT on the MXU: Y = X @ W (complex as 4 real matmuls).
-        wr = wr_ref[:]
-        wi = wi_ref[:]
-        # HIGHEST → bf16x6 passes ≈ true f32: without it the MXU runs
-        # one bf16 pass and LLRs drift ~4% (fails the 0.1 dB BER bound).
-        dot = functools.partial(
-            jnp.dot,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        yr = dot(xr, wr) - dot(xi, wi)
-        yi = dot(xr, wi) + dot(xi, wr)
+        # DFT on the MXU: Gauss 3-matmul complex product. Precision
+        # defaults to bf16x6 ≈ f32: single-pass bf16 drifts LLRs ~4%
+        # (fails the 0.1 dB BER bound); see kernels/_matmul.py.
+        yr, yi = _matmul.complex_dot_gauss(xr, xi, wa_ref, wb_ref, wc_ref, precision)
 
         # Channel response, broadcast over symbols: (tb,1,N) → (rows,N).
         hr = jnp.broadcast_to(hr_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
@@ -203,7 +198,7 @@ def demod_chain_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    wr, wi = _dft_mats(n_fft)
+    wa, wb, wc = _matmul.gauss_w_mats(*_dft_mats(n_fft))
     kernel = _make_kernel(
         tb, n_syms, sym_len, cp_len, mod, float(noise_var), reduce_sum
     )
@@ -215,10 +210,11 @@ def demod_chain_pallas(
         pl.BlockSpec((tb, 1, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     rows = tb * n_syms
     cost = pl.CostEstimate(
-        flops=8 * rows * n_fft * n_fft * grid[0],
+        flops=6 * rows * n_fft * n_fft * grid[0],
         bytes_accessed=(2 * batch * n_syms * sym_len + 2 * batch * n_fft) * 4
         + (0 if reduce_sum else batch * n_syms * n_fft * bps * 4),
         transcendentals=0,
@@ -235,7 +231,7 @@ def demod_chain_pallas(
             out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
             cost_estimate=cost,
             interpret=interpret,
-        )(re, im, hr, hi, wr, wi)
+        )(re, im, hr, hi, wa, wb, wc)
         return jnp.sum(partial[:, 0, 0], dtype=jnp.float32)
 
     rows_per_block = tb * n_syms
@@ -249,7 +245,7 @@ def demod_chain_pallas(
         out_shape=jax.ShapeDtypeStruct((batch * n_syms, n_fft * bps), jnp.float32),
         cost_estimate=cost,
         interpret=interpret,
-    )(re, im, hr, hi, wr, wi)
+    )(re, im, hr, hi, wa, wb, wc)
     # Kernel emits bit-major lanes [j·N + k]; public order is
     # subcarrier-major [k·bps + j] (matches ops.llr.llr_maxlog). One
     # XLA transpose restores it.

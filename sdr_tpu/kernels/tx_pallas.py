@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sdr_tpu.core.config import Modulation
+from sdr_tpu.kernels import _matmul
 
 _TARGET_ROWS = 512
 
@@ -73,7 +74,9 @@ def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int, mod: Modulation)
     norm = np.float32(mod.unit_energy_scale)
     sym_len = n_fft + cp_len
 
-    def kernel(idx_ref, wr_ref, wi_ref, re_ref, im_ref):
+    precision = _matmul.mxu_precision()
+
+    def kernel(idx_ref, wa_ref, wb_ref, wc_ref, re_ref, im_ref):
         idx = idx_ref[:].reshape(rows, n_fft)
         if mod is Modulation.BPSK:
             gi = idx
@@ -89,16 +92,9 @@ def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int, mod: Modulation)
             bq = _gray_to_binary_vec(gq, m)
             xi = (2 * bq - (L - 1)).astype(jnp.float32) * norm
 
-        wr = wr_ref[:]
-        wi = wi_ref[:]
-        # bf16x6 (≈ f32) matmul; see demod_pallas for rationale.
-        dot = functools.partial(
-            jnp.dot,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        yr = dot(xr, wr) - dot(xi, wi)
-        yi = dot(xr, wi) + dot(xi, wr)
+        # Gauss 3-matmul complex product at bf16x6 (≈ f32) by default;
+        # see kernels/_matmul.py.
+        yr, yi = _matmul.complex_dot_gauss(xr, xi, wa_ref, wb_ref, wc_ref, precision)
 
         if cp_len:
             re_ref[:, :cp_len] = yr[:, n_fft - cp_len :]
@@ -131,7 +127,7 @@ def tx_chain_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    wr, wi = _idft_mats(n_fft)
+    wa, wb, wc = _matmul.gauss_w_mats(*_idft_mats(n_fft))
     kernel, sym_len = _make_kernel(tb, n_syms, n_fft, cp_len, mod)
     rows_per_block = tb * n_syms
 
@@ -140,6 +136,7 @@ def tx_chain_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -152,12 +149,12 @@ def tx_chain_pallas(
             jax.ShapeDtypeStruct((batch * n_syms, sym_len), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * batch * n_syms * n_fft * n_fft,
+            flops=6 * batch * n_syms * n_fft * n_fft,
             bytes_accessed=(batch * n_syms * (n_fft + 2 * sym_len)) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(indices.astype(jnp.int32), wr, wi)
+    )(indices.astype(jnp.int32), wa, wb, wc)
     return (
         re.reshape(batch, n_syms, sym_len),
         im.reshape(batch, n_syms, sym_len),
