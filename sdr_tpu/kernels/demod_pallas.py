@@ -125,9 +125,12 @@ def _make_kernel(
     bps = mod.bits_per_symbol
     inv_nv = np.float32(1.0 / max(noise_var, 1e-12))
 
-    precision = _matmul.mxu_precision()
+    mode = _matmul.mxu_mode()
+    n_w = _matmul.n_w_operands(mode)
 
-    def kernel(re_ref, im_ref, hr_ref, hi_ref, wa_ref, wb_ref, wc_ref, out_ref):
+    def kernel(re_ref, im_ref, hr_ref, hi_ref, *rest):
+        w_refs = rest[:n_w]
+        out_ref = rest[n_w]
         # CP strip + row-major reshape: (tb, S, sym_len) → (rows, n_fft).
         xr = re_ref[:].reshape(rows, sym_len)[:, cp_len:]
         xi = im_ref[:].reshape(rows, sym_len)[:, cp_len:]
@@ -135,7 +138,7 @@ def _make_kernel(
         # DFT on the MXU: Gauss 3-matmul complex product. Precision
         # defaults to bf16x6 ≈ f32: single-pass bf16 drifts LLRs ~4%
         # (fails the 0.1 dB BER bound); see kernels/_matmul.py.
-        yr, yi = _matmul.complex_dot_gauss(xr, xi, wa_ref, wb_ref, wc_ref, precision)
+        yr, yi = _matmul.complex_dot(xr, xi, w_refs, mode)
 
         # Channel response, broadcast over symbols: (tb,1,N) → (rows,N).
         hr = jnp.broadcast_to(hr_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
@@ -198,7 +201,7 @@ def demod_chain_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    wa, wb, wc = _matmul.gauss_w_mats(*_dft_mats(n_fft))
+    w_ops = _matmul.prepare_w(*_dft_mats(n_fft), _matmul.mxu_mode())
     kernel = _make_kernel(
         tb, n_syms, sym_len, cp_len, mod, float(noise_var), reduce_sum
     )
@@ -208,9 +211,9 @@ def demod_chain_pallas(
         pl.BlockSpec((tb, n_syms, sym_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, 1, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, 1, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for _ in w_ops
     ]
     rows = tb * n_syms
     cost = pl.CostEstimate(
@@ -231,7 +234,7 @@ def demod_chain_pallas(
             out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
             cost_estimate=cost,
             interpret=interpret,
-        )(re, im, hr, hi, wa, wb, wc)
+        )(re, im, hr, hi, *w_ops)
         return jnp.sum(partial[:, 0, 0], dtype=jnp.float32)
 
     rows_per_block = tb * n_syms
@@ -245,7 +248,7 @@ def demod_chain_pallas(
         out_shape=jax.ShapeDtypeStruct((batch * n_syms, n_fft * bps), jnp.float32),
         cost_estimate=cost,
         interpret=interpret,
-    )(re, im, hr, hi, wa, wb, wc)
+    )(re, im, hr, hi, *w_ops)
     # Kernel emits bit-major lanes [j·N + k]; public order is
     # subcarrier-major [k·bps + j] (matches ops.llr.llr_maxlog). One
     # XLA transpose restores it.

@@ -74,9 +74,12 @@ def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int, mod: Modulation)
     norm = np.float32(mod.unit_energy_scale)
     sym_len = n_fft + cp_len
 
-    precision = _matmul.mxu_precision()
+    mode = _matmul.mxu_mode()
+    n_w = _matmul.n_w_operands(mode)
 
-    def kernel(idx_ref, wa_ref, wb_ref, wc_ref, re_ref, im_ref):
+    def kernel(idx_ref, *rest):
+        w_refs = rest[:n_w]
+        re_ref, im_ref = rest[n_w], rest[n_w + 1]
         idx = idx_ref[:].reshape(rows, n_fft)
         if mod is Modulation.BPSK:
             gi = idx
@@ -94,7 +97,7 @@ def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int, mod: Modulation)
 
         # Gauss 3-matmul complex product at bf16x6 (≈ f32) by default;
         # see kernels/_matmul.py.
-        yr, yi = _matmul.complex_dot_gauss(xr, xi, wa_ref, wb_ref, wc_ref, precision)
+        yr, yi = _matmul.complex_dot(xr, xi, w_refs, mode)
 
         if cp_len:
             re_ref[:, :cp_len] = yr[:, n_fft - cp_len :]
@@ -127,7 +130,7 @@ def tx_chain_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    wa, wb, wc = _matmul.gauss_w_mats(*_idft_mats(n_fft))
+    w_ops = _matmul.prepare_w(*_idft_mats(n_fft), _matmul.mxu_mode())
     kernel, sym_len = _make_kernel(tb, n_syms, n_fft, cp_len, mod)
     rows_per_block = tb * n_syms
 
@@ -136,9 +139,9 @@ def tx_chain_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for _ in w_ops
         ],
         out_specs=(
             pl.BlockSpec((rows_per_block, sym_len), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -154,7 +157,7 @@ def tx_chain_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(indices.astype(jnp.int32), wa, wb, wc)
+    )(indices.astype(jnp.int32), *w_ops)
     return (
         re.reshape(batch, n_syms, sym_len),
         im.reshape(batch, n_syms, sym_len),

@@ -78,4 +78,9 @@ def test_demod_chain_auto_dispatch(rng):
     re, im, hr, hi = _inputs(rng, 2, 8, n_fft + cp, n_fft)
     auto = demod_chain(re, im, hr, hi, cp, mod, nv, backend="auto")
     ref = demod_chain(re, im, hr, hi, cp, mod, nv, backend="jnp")
-    np.testing.assert_allclose(np.asarray(auto), np.asarray(ref), rtol=2e-3, atol=2e-3)
+    # Default MXU mode is bf16x3 — scale-relative tolerance (see
+    # kernels/_matmul.py; hard decisions are bit-identical on hardware).
+    scale = float(np.abs(np.asarray(ref)).max())
+    np.testing.assert_allclose(
+        np.asarray(auto), np.asarray(ref), rtol=2e-2, atol=2e-3 * max(scale, 1.0)
+    )
