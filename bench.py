@@ -71,12 +71,15 @@ def _build(batch: int, n_syms: int, iters: int):
         """iters chained demod iterations in one device program."""
 
         def body(_, acc):
-            # The carry folds into the input via an add that fuses into
-            # the complex/CP-strip pass the chain performs anyway: no
-            # extra HBM traffic, but every iteration depends on the
-            # previous one and every LLR feeds the result.
+            # The carry folds into the CHANNEL input (0.5 MB — a
+            # negligible extra pass, unlike perturbing the 84 MB sample
+            # planes, which would add a full materialization before the
+            # Pallas call). Every iteration still depends on the
+            # previous one, every LLR feeds the result, and the kernel
+            # re-reads all inputs from HBM each iteration — nothing is
+            # hoistable or dead.
             llr_sum = demod_chain(
-                re + acc * jnp.float32(1e-30), im, hr, hi, CP, mod, nv,
+                re, im, hr + acc * jnp.float32(1e-30), hi, CP, mod, nv,
                 reduce_sum=True,
             )
             return acc + llr_sum * jnp.float32(1e-12)
