@@ -80,3 +80,28 @@ def test_weak_scaling_runs_on_virtual_mesh():
     assert pts[0].n_channels == 2 and pts[1].n_channels == 4
     assert all(p.samples_per_s > 0 for p in pts)
     assert pts[0].efficiency == 1.0
+
+
+def test_metrics_counters_and_jsonl(tmp_path):
+    from sdr_tpu.obs.metrics import Metrics
+
+    path = str(tmp_path / "m.jsonl")
+    m = Metrics(path=path)
+    m.count("frames")
+    m.count("frames", 2)
+    m.gauge("samples_per_s", 1.3e10)
+    rec = m.emit("bench_done", case="qam16-256-llr")
+    assert rec["counters"]["frames"] == 3
+    assert rec["gauges"]["samples_per_s"] == 1.3e10
+    import json as _json
+
+    lines = [_json.loads(l) for l in open(path)]
+    assert lines[-1]["event"] == "bench_done"
+    assert lines[-1]["case"] == "qam16-256-llr"
+
+
+def test_probe_device_healthy_on_cpu():
+    from sdr_tpu.obs.health import probe_device
+
+    rep = probe_device(timeout_s=60.0)
+    assert rep.healthy and rep.backend == "cpu" and rep.latency_s is not None
