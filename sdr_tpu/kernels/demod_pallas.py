@@ -51,27 +51,36 @@ from sdr_tpu.ops.modulation import _tables
 _TARGET_ROWS = 512
 
 
-def _pick_batch_tile(batch: int, n_syms: int) -> int:
-    """Largest divisor of ``batch`` with tile*n_syms <= _TARGET_ROWS."""
+def _pick_batch_tile(batch: int, n_syms: int, n_fft: int = 256) -> int:
+    """Largest divisor of ``batch`` with tile*n_syms within the row
+    target (halved at n_fft=512 to stay inside VMEM with the W tiles)."""
+    target = _TARGET_ROWS if n_fft <= 256 else _TARGET_ROWS // 2
     best = 1
     for tb in range(1, batch + 1):
-        if batch % tb == 0 and tb * n_syms <= _TARGET_ROWS:
+        if batch % tb == 0 and tb * n_syms <= target:
             best = tb
     return best
+
+
+# Largest n_fft the single-matmul kernel supports: the three Gauss W
+# operands must fit VMEM alongside the row tile (at 1024 they alone are
+# 12 MB). Larger transforms fall back to the XLA FFT composition; an
+# in-kernel four-step factorization is the planned path past this.
+_MAX_N_FFT = 512
 
 
 def supported(shape, cp_len: int, mod: Modulation) -> bool:
     """Whether the fused kernel handles this problem shape.
 
     Requires 3-D (batch, n_syms, sym_len) planar input, an n_fft that
-    fills whole 128-lane registers, and a row count that tiles the
-    sublane dimension.
+    fills whole 128-lane registers and fits the VMEM budget
+    (_MAX_N_FFT), and a row count that tiles the sublane dimension.
     """
     if len(shape) != 3:
         return False
     batch, n_syms, sym_len = shape
     n_fft = sym_len - cp_len
-    if n_fft < 128 or n_fft % 128 != 0:
+    if n_fft < 128 or n_fft % 128 != 0 or n_fft > _MAX_N_FFT:
         return False
     if (batch * n_syms) % 8 != 0:
         return False
@@ -135,9 +144,10 @@ def _make_kernel(
         xr = re_ref[:].reshape(rows, sym_len)[:, cp_len:]
         xi = im_ref[:].reshape(rows, sym_len)[:, cp_len:]
 
-        # DFT on the MXU: Gauss 3-matmul complex product. Precision
-        # defaults to bf16x6 ≈ f32: single-pass bf16 drifts LLRs ~4%
-        # (fails the 0.1 dB BER bound); see kernels/_matmul.py.
+        # DFT on the MXU: Gauss 3-matmul complex product at the mode's
+        # multi-pass bf16 precision (default bf16x3 — BER-identical to
+        # f32; single-pass bf16 drifts LLRs ~4% and fails the 0.1 dB
+        # bound). See kernels/_matmul.py.
         yr, yi = _matmul.complex_dot(xr, xi, w_refs, mode)
 
         # Channel response, broadcast over symbols: (tb,1,N) → (rows,N).
@@ -196,7 +206,7 @@ def demod_chain_pallas(
     batch, n_syms, sym_len = re.shape
     n_fft = sym_len - cp_len
     bps = mod.bits_per_symbol
-    tb = _pick_batch_tile(batch, n_syms)
+    tb = _pick_batch_tile(batch, n_syms, n_fft)
     grid = (batch // tb,)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

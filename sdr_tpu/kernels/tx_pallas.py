@@ -33,20 +33,30 @@ from sdr_tpu.kernels import _matmul
 _TARGET_ROWS = 512
 
 
-def _pick_batch_tile(batch: int, n_syms: int) -> int:
+def _pick_batch_tile(batch: int, n_syms: int, n_fft: int = 256) -> int:
+    target = _TARGET_ROWS if n_fft <= 256 else _TARGET_ROWS // 2
     best = 1
     for tb in range(1, batch + 1):
-        if batch % tb == 0 and tb * n_syms <= _TARGET_ROWS:
+        if batch % tb == 0 and tb * n_syms <= target:
             best = tb
     return best
 
 
+# VMEM bound on the W operands — see demod_pallas._MAX_N_FFT.
+_MAX_N_FFT = 512
+
+
 def supported(shape, mod: Modulation) -> bool:
-    """(batch, n_syms, n_fft) int32 indices; n_fft fills 128 lanes."""
+    """(batch, n_syms, n_fft) int32 indices; n_fft fills 128 lanes and
+    fits the VMEM budget."""
     if len(shape) != 3:
         return False
     batch, n_syms, n_fft = shape
-    return n_fft >= 128 and n_fft % 128 == 0 and (batch * n_syms) % 8 == 0
+    return (
+        128 <= n_fft <= _MAX_N_FFT
+        and n_fft % 128 == 0
+        and (batch * n_syms) % 8 == 0
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -95,7 +105,7 @@ def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int, mod: Modulation)
             bq = _gray_to_binary_vec(gq, m)
             xi = (2 * bq - (L - 1)).astype(jnp.float32) * norm
 
-        # Gauss 3-matmul complex product at bf16x6 (≈ f32) by default;
+        # Gauss 3-matmul complex product (default bf16x3);
         # see kernels/_matmul.py.
         yr, yi = _matmul.complex_dot(xr, xi, w_refs, mode)
 
@@ -125,7 +135,7 @@ def tx_chain_pallas(
     batch, n_syms, n_fft = indices.shape
     if not 0 <= cp_len <= n_fft:
         raise ValueError(f"cp_len {cp_len} out of range for n_fft {n_fft}")
-    tb = _pick_batch_tile(batch, n_syms)
+    tb = _pick_batch_tile(batch, n_syms, n_fft)
     grid = (batch // tb,)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
