@@ -13,8 +13,12 @@ Backends (SDR_TPU_DEMOD_BACKEND / ``backend=``):
 - "pallas": single fused Pallas TPU kernel — DFT-as-matmul on the MXU
             with CP strip, equalization, and LLR fused in VMEM so the
             only HBM traffic is the input read (+ LLR write when not
-            reducing). See sdr_tpu/kernels/demod_pallas.py.
-- "auto":   pallas on TPU when shapes are supported, else jnp.
+            reducing). See sdr_tpu/kernels/demod_pallas.py. Gated to
+            n_fft <= 512 by the VMEM cost of the DFT matrices.
+- "hybrid": XLA FFT for the transform + the fused equalize/LLR Pallas
+            kernel (kernels/llr_pallas.py) — any n_fft % 128 == 0.
+- "auto":   on TPU: pallas when supported, hybrid when only the LLR
+            kernel fits, else jnp.
 
 Inputs are PLANAR (separate re/im float32) because that is the layout
 the TPU runtime transfers and Pallas tiles; complex exists only inside.
@@ -78,14 +82,46 @@ def demod_chain(
     b = backend or _default_backend()
     if b == "auto":
         from sdr_tpu.kernels.demod_pallas import supported as _pl_ok
+        from sdr_tpu.kernels.llr_pallas import supported as _llr_ok
 
-        b = "pallas" if _pl_ok(re.shape, cp_len, mod) else "jnp"
+        if _pl_ok(re.shape, cp_len, mod):
+            b = "pallas"
+        elif (
+            len(re.shape) == 3
+            and _llr_ok((re.shape[0], re.shape[1], re.shape[2] - cp_len), mod)
+        ):
+            b = "hybrid"
+        else:
+            b = "jnp"
     if b == "pallas":
         from sdr_tpu.kernels.demod_pallas import demod_chain_pallas
 
         return demod_chain_pallas(
             re, im, hr, hi, cp_len, mod, noise_var, reduce_sum=reduce_sum
         )
+    if b == "hybrid":
+        return demod_chain_hybrid(
+            re, im, hr, hi, cp_len, mod, noise_var, reduce_sum=reduce_sum
+        )
     if b != "jnp":
         raise ValueError(f"unknown demod backend {b!r}")
     return demod_chain_jnp(re, im, hr, hi, cp_len, mod, noise_var, reduce_sum)
+
+
+def demod_chain_hybrid(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    hr: jnp.ndarray,
+    hi: jnp.ndarray,
+    cp_len: int,
+    mod: Modulation,
+    noise_var: float,
+    reduce_sum: bool = False,
+) -> jnp.ndarray:
+    """XLA FFT + fused Pallas equalize/LLR — the large-n_fft fast path."""
+    from sdr_tpu.kernels.llr_pallas import llr_chain_pallas
+
+    y = ofdm_rx(jax.lax.complex(re, im), cp_len)
+    return llr_chain_pallas(
+        jnp.real(y), jnp.imag(y), hr, hi, mod, noise_var, reduce_sum=reduce_sum
+    )

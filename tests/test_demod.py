@@ -84,3 +84,37 @@ def test_demod_chain_auto_dispatch(rng):
     np.testing.assert_allclose(
         np.asarray(auto), np.asarray(ref), rtol=2e-2, atol=2e-3 * max(scale, 1.0)
     )
+
+
+@pytest.mark.parametrize(
+    "mod,n_fft,cp",
+    [
+        (Modulation.QAM16, 1024, 128),
+        (Modulation.QAM64, 256, 64),
+    ],
+)
+def test_hybrid_matches_jnp(rng, mod, n_fft, cp):
+    """XLA FFT + fused LLR kernel parity (the large-n_fft path)."""
+    from sdr_tpu.ops.demod import demod_chain_hybrid
+
+    batch, n_syms = 2, 8
+    nv = float(ebno_db_to_noise_var(10.0, mod.bits_per_symbol))
+    re, im, hr, hi = _inputs(rng, batch, n_syms, n_fft + cp, n_fft)
+    ref = demod_chain_jnp(re, im, hr, hi, cp, mod, nv)
+    got = demod_chain_hybrid(re, im, hr, hi, cp, mod, nv)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_auto_uses_hybrid_for_large_n(monkeypatch, rng):
+    """auto picks the hybrid path when n_fft exceeds the full-fused gate."""
+    from sdr_tpu.kernels.demod_pallas import supported as full_ok
+    from sdr_tpu.ops.demod import demod_chain
+
+    n_fft, cp = 1024, 128
+    assert not full_ok((2, 8, n_fft + cp), cp, Modulation.QAM16)
+    nv = float(ebno_db_to_noise_var(10.0, 4))
+    re, im, hr, hi = _inputs(rng, 2, 8, n_fft + cp, n_fft)
+    auto = demod_chain(re, im, hr, hi, cp, Modulation.QAM16, nv, backend="auto")
+    ref = demod_chain(re, im, hr, hi, cp, Modulation.QAM16, nv, backend="jnp")
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(ref), rtol=1e-3, atol=1e-3)
