@@ -150,8 +150,16 @@ class LinkConfig:
     n_symbols: int = 16
     # Leading batch of independent links (vmapped / mesh-sharded).
     n_channels: int = 1
+    # Comb-pilot spacing for LS channel estimation (ops.pilots); 0 =
+    # perfect CSI at the receiver (the pure-simulation default).
+    pilot_spacing: int = 0
 
     def __post_init__(self) -> None:
+        if self.pilot_spacing:
+            if self.pilot_spacing < 2 or self.pilot_spacing > self.ofdm.n_fft:
+                raise ValueError(
+                    f"pilot_spacing must be 0 or in [2, n_fft], got {self.pilot_spacing}"
+                )
         if self.channel.model == ChannelModel.MULTIPATH:
             if len(self.channel.pdp) > self.ofdm.cp_len + 1:
                 raise ValueError(
@@ -162,8 +170,17 @@ class LinkConfig:
             raise ValueError("n_symbols and n_channels must be >= 1")
 
     @property
+    def n_data_subcarriers(self) -> int:
+        """Subcarriers carrying payload (n_fft minus the pilot comb)."""
+        n = self.ofdm.n_fft
+        if not self.pilot_spacing:
+            return n
+        n_pilots = (n + self.pilot_spacing - 1) // self.pilot_spacing
+        return n - n_pilots
+
+    @property
     def bits_per_ofdm_symbol(self) -> int:
-        return self.ofdm.n_fft * self.modulation.bits_per_symbol
+        return self.n_data_subcarriers * self.modulation.bits_per_symbol
 
     @property
     def bits_total(self) -> int:

@@ -52,8 +52,17 @@ def generate_bits(cfg: LinkConfig, key: jax.Array) -> jnp.ndarray:
 
 
 def tx_chain(cfg: LinkConfig, bits: jnp.ndarray) -> jnp.ndarray:
-    """Bits (..., n_symbols, bits/sym) → time samples (..., n_symbols, sym_len)."""
-    points = modulate(bits, cfg.modulation)  # (..., n_symbols, n_fft)
+    """Bits (..., n_symbols, bits/sym) → time samples (..., n_symbols, sym_len).
+
+    With ``cfg.pilot_spacing`` set, data points fill the non-pilot
+    subcarriers and the known comb pilot occupies the rest
+    (ops.pilots) — bits/sym shrinks accordingly (cfg.bits_per_ofdm_symbol).
+    """
+    points = modulate(bits, cfg.modulation)  # (..., n_symbols, n_data)
+    if cfg.pilot_spacing:
+        from sdr_tpu.ops.pilots import insert_pilots
+
+        points = insert_pilots(points, cfg.ofdm.n_fft, cfg.pilot_spacing)
     return ofdm_tx(points, cfg.ofdm.cp_len)
 
 
@@ -103,11 +112,27 @@ def rx_chain(
     CP strip + FFT (ofdm.hpp:37-43 semantics) → one-tap equalizer →
     max-log LLR. noise_var is floored so the IDENTITY channel (the
     reference's loopback) yields ±inf-free LLRs with correct signs.
+
+    With ``cfg.pilot_spacing``, the channel is LS-estimated from the
+    comb pilots (ops.pilots.estimate_ls_comb) instead of using the
+    genie ``h_freq``, and only data subcarriers are demapped.
     """
     y = ofdm_rx(rx_samples, cfg.ofdm.cp_len)  # (..., n_symbols, n_fft)
     nv = jnp.maximum(jnp.asarray(noise_var, jnp.float32), 1e-12)
 
-    if h_freq is not None and cfg.equalizer != Equalizer.NONE:
+    if cfg.pilot_spacing:
+        from sdr_tpu.ops.pilots import estimate_ls_comb, extract_data
+
+        h_est = estimate_ls_comb(y, cfg.pilot_spacing)  # (..., 1, n_fft)
+        if cfg.equalizer == Equalizer.ZF:
+            s, eff_var = eq.equalize_zf(y, h_est, nv)
+        else:
+            s, eff_var = eq.equalize_mmse(y, h_est, nv)
+        s = extract_data(s, cfg.pilot_spacing)
+        eff_var = extract_data(
+            jnp.broadcast_to(eff_var, y.shape), cfg.pilot_spacing
+        )
+    elif h_freq is not None and cfg.equalizer != Equalizer.NONE:
         if cfg.equalizer == Equalizer.ZF:
             s, eff_var = eq.equalize_zf(y, h_freq, nv)
         else:

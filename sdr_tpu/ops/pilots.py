@@ -1,0 +1,88 @@
+"""Comb pilots and LS channel estimation.
+
+Neither the reference (pure noiseless loopback, no channel — ofdm.hpp)
+nor perfect-CSI simulation needs this; a deployable receiver does. The
+scheme is the standard OFDM comb: every ``spacing``-th subcarrier
+carries a known pilot point; the receiver least-squares-estimates the
+channel at the pilots (averaging over the frame's symbols — block
+fading) and linearly interpolates across subcarriers.
+
+All index/weight tables are computed at trace time from the static
+(n_fft, spacing), so the estimator is a gather + lerp — fully batched,
+jit/vmap/shard-safe.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+# Unit-power pilot point (45° QPSK corner) — known at both ends.
+PILOT_VALUE = complex(2 ** -0.5, 2 ** -0.5)
+
+
+@functools.lru_cache(maxsize=None)
+def pilot_indices(n_fft: int, spacing: int) -> tuple:
+    """Static comb indices 0, spacing, 2·spacing, ... (< n_fft)."""
+    if spacing < 2:
+        raise ValueError(f"pilot spacing must be >= 2, got {spacing}")
+    return tuple(range(0, n_fft, spacing))
+
+
+@functools.lru_cache(maxsize=None)
+def data_indices(n_fft: int, spacing: int) -> tuple:
+    pil = set(pilot_indices(n_fft, spacing))
+    return tuple(k for k in range(n_fft) if k not in pil)
+
+
+def n_data_subcarriers(n_fft: int, spacing: int) -> int:
+    return len(data_indices(n_fft, spacing))
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_tables(n_fft: int, spacing: int):
+    """(left_idx, right_idx, weight) per subcarrier for pilot lerp."""
+    pil = np.asarray(pilot_indices(n_fft, spacing))
+    k = np.arange(n_fft)
+    left = np.clip((k // spacing), 0, len(pil) - 1)
+    right = np.clip(left + 1, 0, len(pil) - 1)
+    denom = np.maximum(pil[right] - pil[left], 1)
+    w = np.clip((k - pil[left]) / denom, 0.0, 1.0)
+    return left.astype(np.int32), right.astype(np.int32), w.astype(np.float32)
+
+
+def insert_pilots(
+    data_points: jnp.ndarray, n_fft: int, spacing: int
+) -> jnp.ndarray:
+    """Data points (..., n_data) → full grid (..., n_fft) with pilots."""
+    didx = jnp.asarray(data_indices(n_fft, spacing), jnp.int32)
+    pidx = jnp.asarray(pilot_indices(n_fft, spacing), jnp.int32)
+    grid = jnp.zeros(data_points.shape[:-1] + (n_fft,), data_points.dtype)
+    grid = grid.at[..., didx].set(data_points)
+    return grid.at[..., pidx].set(jnp.asarray(PILOT_VALUE, data_points.dtype))
+
+
+def extract_data(grid: jnp.ndarray, spacing: int) -> jnp.ndarray:
+    """Full grid (..., n_fft) → data subcarriers (..., n_data)."""
+    n_fft = grid.shape[-1]
+    return grid[..., jnp.asarray(data_indices(n_fft, spacing), jnp.int32)]
+
+
+def estimate_ls_comb(y: jnp.ndarray, spacing: int) -> jnp.ndarray:
+    """LS channel estimate from comb pilots with linear interpolation.
+
+    y: post-FFT grid (..., n_syms, n_fft). Pilot observations are
+    averaged over the symbol axis (block fading — the channel models in
+    sdr_tpu.ops.channel are constant per frame), divided by the known
+    pilot, then lerped across subcarriers. Returns h (..., 1, n_fft).
+    """
+    n_fft = y.shape[-1]
+    pidx = jnp.asarray(pilot_indices(n_fft, spacing), jnp.int32)
+    y_p = jnp.mean(y[..., pidx], axis=-2, keepdims=True)  # (..., 1, n_pil)
+    h_p = y_p / jnp.asarray(PILOT_VALUE, y.dtype)
+    left, right, w = _interp_tables(n_fft, spacing)
+    wl = jnp.asarray(1.0 - w)
+    wr = jnp.asarray(w)
+    return h_p[..., jnp.asarray(left)] * wl + h_p[..., jnp.asarray(right)] * wr
