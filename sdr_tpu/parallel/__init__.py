@@ -3,3 +3,4 @@ from sdr_tpu.parallel.shard import (  # noqa: F401
     make_sharded_simulate_fn,
     make_sharded_stream_fn,
 )
+from sdr_tpu.parallel.distributed import init_multihost  # noqa: F401

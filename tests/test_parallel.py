@@ -142,3 +142,12 @@ def test_mesh_validation():
     cfg = _awgn_cfg(n_channels=3)
     with pytest.raises(ValueError, match="divisible"):
         make_sharded_simulate_fn(cfg, make_link_mesh(1, 8))
+
+
+def test_init_multihost_single_process_noop():
+    """Single-process call is a safe no-op returning the topology."""
+    from sdr_tpu.parallel import init_multihost
+
+    info = init_multihost()
+    assert info["process_count"] == 1
+    assert info["global_devices"] == 8  # the virtual CPU mesh
