@@ -103,19 +103,26 @@ void sdr_pack_bits(const uint8_t* bits, size_t n_bits, uint8_t* bytes_out) {
 // The reference has no framing at all; real SDR payloads need an FCS.
 // ---------------------------------------------------------------------------
 
-uint32_t sdr_crc32(const uint8_t* data, size_t n) {
-  static uint32_t table[256];
-  static bool init = false;
-  if (!init) {
+namespace {
+struct Crc32Table {
+  uint32_t t[256];
+  Crc32Table() {
     for (uint32_t i = 0; i < 256; ++i) {
       uint32_t c = i;
       for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
-      table[i] = c;
+      t[i] = c;
     }
-    init = true;
   }
+};
+}  // namespace
+
+uint32_t sdr_crc32(const uint8_t* data, size_t n) {
+  // Magic static: thread-safe one-time init (ctypes calls drop the GIL,
+  // so concurrent first calls are possible).
+  static const Crc32Table table;
   uint32_t crc = 0xFFFFFFFFu;
-  for (size_t i = 0; i < n; ++i) crc = table[(crc ^ data[i]) & 0xFFu] ^ (crc >> 8);
+  for (size_t i = 0; i < n; ++i)
+    crc = table.t[(crc ^ data[i]) & 0xFFu] ^ (crc >> 8);
   return crc ^ 0xFFFFFFFFu;
 }
 

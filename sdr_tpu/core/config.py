@@ -160,6 +160,11 @@ class LinkConfig:
                 raise ValueError(
                     f"pilot_spacing must be 0 or in [2, n_fft], got {self.pilot_spacing}"
                 )
+            if self.equalizer == Equalizer.NONE:
+                raise ValueError(
+                    "pilot_spacing requires an equalizer (ZF or MMSE): "
+                    "estimated CSI is only used through equalization"
+                )
         if self.channel.model == ChannelModel.MULTIPATH:
             if len(self.channel.pdp) > self.ofdm.cp_len + 1:
                 raise ValueError(

@@ -39,6 +39,27 @@ import jax
 import jax.numpy as jnp
 
 
+# Target rows (= OFDM symbols) per grid block for the matmul-DFT
+# kernels; halved at n_fft >= 512 to stay inside VMEM with the W tiles.
+TARGET_ROWS = 512
+
+
+def row_target(n_fft: int) -> int:
+    return TARGET_ROWS if n_fft <= 256 else TARGET_ROWS // 2
+
+
+def pick_batch_tile(batch: int, n_syms: int, n_fft: int) -> int:
+    """Largest divisor of ``batch`` with tile·n_syms within the row
+    target. Shared by the TX and demod kernels so their tiling cannot
+    desynchronize."""
+    target = row_target(n_fft)
+    best = 1
+    for tb in range(1, batch + 1):
+        if batch % tb == 0 and tb * n_syms <= target:
+            best = tb
+    return best
+
+
 def mxu_mode() -> str:
     mode = os.environ.get("SDR_TPU_MXU_PRECISION", "bf16x3").lower()
     if mode in ("high", "bf16x3"):

@@ -47,25 +47,11 @@ from sdr_tpu.kernels import _matmul
 from sdr_tpu.ops.llr import _axis_bit_masks
 from sdr_tpu.ops.modulation import _tables
 
-# Target rows (= OFDM symbols) per grid block; batch tile adapts to it.
-_TARGET_ROWS = 512
-
-
-def _pick_batch_tile(batch: int, n_syms: int, n_fft: int = 256) -> int:
-    """Largest divisor of ``batch`` with tile*n_syms within the row
-    target (halved at n_fft=512 to stay inside VMEM with the W tiles)."""
-    target = _TARGET_ROWS if n_fft <= 256 else _TARGET_ROWS // 2
-    best = 1
-    for tb in range(1, batch + 1):
-        if batch % tb == 0 and tb * n_syms <= target:
-            best = tb
-    return best
-
-
 # Largest n_fft the single-matmul kernel supports: the three Gauss W
 # operands must fit VMEM alongside the row tile (at 1024 they alone are
 # 12 MB). Larger transforms fall back to the XLA FFT composition; an
-# in-kernel four-step factorization is the planned path past this.
+# in-kernel four-step factorization is blocked on Mosaic reshape/
+# transpose support (docs/PERF.md).
 _MAX_N_FFT = 512
 
 
@@ -74,7 +60,9 @@ def supported(shape, cp_len: int, mod: Modulation) -> bool:
 
     Requires 3-D (batch, n_syms, sym_len) planar input, an n_fft that
     fills whole 128-lane registers and fits the VMEM budget
-    (_MAX_N_FFT), and a row count that tiles the sublane dimension.
+    (_MAX_N_FFT), a row count that tiles the sublane dimension, and an
+    n_syms small enough that even a batch-tile of 1 keeps the row block
+    inside VMEM (the grid only tiles the batch axis).
     """
     if len(shape) != 3:
         return False
@@ -83,6 +71,8 @@ def supported(shape, cp_len: int, mod: Modulation) -> bool:
     if n_fft < 128 or n_fft % 128 != 0 or n_fft > _MAX_N_FFT:
         return False
     if (batch * n_syms) % 8 != 0:
+        return False
+    if n_syms > _matmul.row_target(n_fft):
         return False
     return True
 
@@ -206,7 +196,7 @@ def demod_chain_pallas(
     batch, n_syms, sym_len = re.shape
     n_fft = sym_len - cp_len
     bps = mod.bits_per_symbol
-    tb = _pick_batch_tile(batch, n_syms, n_fft)
+    tb = _matmul.pick_batch_tile(batch, n_syms, n_fft)
     grid = (batch // tb,)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

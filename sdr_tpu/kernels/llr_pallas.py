@@ -39,11 +39,16 @@ def _pick_tile(batch: int, n_syms: int, n_fft: int, bps: int) -> int:
 
 
 def supported(shape, mod: Modulation) -> bool:
-    """(batch, n_syms, n_fft) planar frequency-domain input."""
+    """(batch, n_syms, n_fft) planar frequency-domain input. The grid
+    only tiles the batch axis, so n_syms alone must fit the VMEM budget
+    (a batch-tile of 1 is the smallest block)."""
     if len(shape) != 3:
         return False
     batch, n_syms, n_fft = shape
-    return n_fft >= 128 and n_fft % 128 == 0 and (batch * n_syms) % 8 == 0
+    if n_fft < 128 or n_fft % 128 != 0 or (batch * n_syms) % 8 != 0:
+        return False
+    bytes_per_row = n_fft * (8 + 4 * mod.bits_per_symbol + 16)
+    return n_syms * bytes_per_row <= _VMEM_BUDGET
 
 
 def llr_chain_pallas(

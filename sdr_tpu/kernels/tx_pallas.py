@@ -30,25 +30,13 @@ from jax.experimental.pallas import tpu as pltpu
 from sdr_tpu.core.config import Modulation
 from sdr_tpu.kernels import _matmul
 
-_TARGET_ROWS = 512
-
-
-def _pick_batch_tile(batch: int, n_syms: int, n_fft: int = 256) -> int:
-    target = _TARGET_ROWS if n_fft <= 256 else _TARGET_ROWS // 2
-    best = 1
-    for tb in range(1, batch + 1):
-        if batch % tb == 0 and tb * n_syms <= target:
-            best = tb
-    return best
-
-
 # VMEM bound on the W operands — see demod_pallas._MAX_N_FFT.
 _MAX_N_FFT = 512
 
 
 def supported(shape, mod: Modulation) -> bool:
     """(batch, n_syms, n_fft) int32 indices; n_fft fills 128 lanes and
-    fits the VMEM budget."""
+    fits the VMEM budget; n_syms must fit a batch-tile-of-1 block."""
     if len(shape) != 3:
         return False
     batch, n_syms, n_fft = shape
@@ -56,6 +44,7 @@ def supported(shape, mod: Modulation) -> bool:
         128 <= n_fft <= _MAX_N_FFT
         and n_fft % 128 == 0
         and (batch * n_syms) % 8 == 0
+        and n_syms <= _matmul.row_target(n_fft)
     )
 
 
@@ -135,7 +124,7 @@ def tx_chain_pallas(
     batch, n_syms, n_fft = indices.shape
     if not 0 <= cp_len <= n_fft:
         raise ValueError(f"cp_len {cp_len} out of range for n_fft {n_fft}")
-    tb = _pick_batch_tile(batch, n_syms, n_fft)
+    tb = _matmul.pick_batch_tile(batch, n_syms, n_fft)
     grid = (batch // tb,)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

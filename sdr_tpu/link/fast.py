@@ -53,6 +53,11 @@ def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto"):
 
     Returns (bit_errors (n_channels,) int32, bits_counted (n_channels,)).
     """
+    if cfg.pilot_spacing:
+        raise NotImplementedError(
+            "fast_simulate is the full-grid throughput path; pilot-based "
+            "estimation lives in link.pipeline.simulate (pilot_spacing=0 here)"
+        )
     B, S, N = cfg.n_channels, cfg.n_symbols, cfg.ofdm.n_fft
     mod = cfg.modulation
     bps = mod.bits_per_symbol

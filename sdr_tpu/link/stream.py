@@ -38,6 +38,11 @@ from sdr_tpu.ops.ofdm import ofdm_rx, ofdm_tx
 
 
 def _check_blocking(cfg: LinkConfig, n_blocks: int) -> int:
+    if cfg.pilot_spacing:
+        raise NotImplementedError(
+            "the blocked-stream path simulates full-grid links; pilot-based "
+            "estimation lives in link.pipeline.simulate (pilot_spacing=0 here)"
+        )
     if cfg.n_symbols % n_blocks != 0:
         raise ValueError(
             f"n_symbols={cfg.n_symbols} not divisible by n_blocks={n_blocks}"

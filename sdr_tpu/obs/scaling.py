@@ -40,8 +40,11 @@ def _rate(cfg: LinkConfig, mesh, iters: int, reps: int) -> float:
     @jax.jit
     def run(key):
         def body(i, acc):
-            errors, _ = fn(jax.random.fold_in(key, i + acc))
-            return acc + jnp.sum(errors) * 0  # chain without bias
+            # The error count feeds the next iteration's key: a REAL
+            # data dependency (a `* 0` chain is algebraically folded and
+            # the whole simulate body gets dead-code-eliminated).
+            errors, _ = fn(jax.random.fold_in(jax.random.fold_in(key, i), acc))
+            return acc + jnp.sum(errors)
         return lax.fori_loop(0, iters, body, jnp.int32(0))
 
     key = jax.random.PRNGKey(0)

@@ -41,6 +41,30 @@ def _default_backend() -> str:
     return os.environ.get("SDR_TPU_DEMOD_BACKEND", "auto")
 
 
+def select_backend(re_shape, hr_shape, cp_len: int, mod, platform: str) -> str:
+    """Auto-dispatch rule (pure; unit-tested against every regime).
+
+    The fused kernels require the canonical per-link channel shape
+    (batch, 1, n_fft); other broadcastable h layouts (per-symbol,
+    rank-1, ...) are only handled by the jnp composition. On CPU the
+    jnp path always wins — interpreted Pallas is orders of magnitude
+    slower.
+    """
+    from sdr_tpu.kernels.demod_pallas import supported as _pl_ok
+    from sdr_tpu.kernels.llr_pallas import supported as _llr_ok
+
+    if platform == "cpu" or len(re_shape) != 3:
+        return "jnp"
+    h_canonical = tuple(hr_shape) == (re_shape[0], 1, re_shape[2] - cp_len)
+    if not h_canonical:
+        return "jnp"
+    if _pl_ok(re_shape, cp_len, mod):
+        return "pallas"
+    if _llr_ok((re_shape[0], re_shape[1], re_shape[2] - cp_len), mod):
+        return "hybrid"
+    return "jnp"
+
+
 def demod_chain_jnp(
     re: jnp.ndarray,
     im: jnp.ndarray,
@@ -81,18 +105,7 @@ def demod_chain(
     """
     b = backend or _default_backend()
     if b == "auto":
-        from sdr_tpu.kernels.demod_pallas import supported as _pl_ok
-        from sdr_tpu.kernels.llr_pallas import supported as _llr_ok
-
-        if _pl_ok(re.shape, cp_len, mod):
-            b = "pallas"
-        elif (
-            len(re.shape) == 3
-            and _llr_ok((re.shape[0], re.shape[1], re.shape[2] - cp_len), mod)
-        ):
-            b = "hybrid"
-        else:
-            b = "jnp"
+        b = select_backend(re.shape, hr.shape, cp_len, mod, jax.default_backend())
     if b == "pallas":
         from sdr_tpu.kernels.demod_pallas import demod_chain_pallas
 

@@ -36,6 +36,13 @@ import jax.numpy as jnp
 Backend = Literal["auto", "xla", "matmul"]
 
 _DEFAULT_BACKEND: Backend = os.environ.get("SDR_TPU_FFT_BACKEND", "auto")  # type: ignore[assignment]
+if _DEFAULT_BACKEND not in ("auto", "xla", "matmul"):
+    # Fail fast: a typo'd env value would otherwise silently behave as
+    # "xla" for every size (the == "matmul" comparison never matches).
+    raise ValueError(
+        f"SDR_TPU_FFT_BACKEND={_DEFAULT_BACKEND!r} invalid; "
+        "expected auto|xla|matmul"
+    )
 
 # Crossover where the matmul-DFT backend starts beating XLA's FFT on
 # TPU (batched transforms, measured on v5e — see docs/PERF.md): XLA

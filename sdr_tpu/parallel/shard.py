@@ -77,10 +77,9 @@ def make_sharded_stream_fn(cfg: LinkConfig, mesh: Mesh):
     """
     tdev = mesh.shape["time"]
     cdev = mesh.shape["channel"]
+    _stream._check_blocking(cfg, tdev)  # divisibility + pilot gate
     if cfg.n_channels % cdev != 0:
         raise ValueError(f"n_channels % channel axis != 0")
-    if cfg.n_symbols % tdev != 0:
-        raise ValueError(f"n_symbols % time axis != 0")
     local_ch = cfg.n_channels // cdev
     spb = cfg.n_symbols // tdev
     L_halo = _stream._halo_len(cfg)

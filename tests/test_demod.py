@@ -70,7 +70,7 @@ def test_supported_gate():
 
 
 def test_demod_chain_auto_dispatch(rng):
-    """ops.demod.demod_chain auto path runs and matches jnp on CPU."""
+    """auto == jnp exactly on CPU (interpreted Pallas is never picked)."""
     from sdr_tpu.ops.demod import demod_chain
 
     mod, n_fft, cp = Modulation.QAM16, 256, 64
@@ -78,12 +78,28 @@ def test_demod_chain_auto_dispatch(rng):
     re, im, hr, hi = _inputs(rng, 2, 8, n_fft + cp, n_fft)
     auto = demod_chain(re, im, hr, hi, cp, mod, nv, backend="auto")
     ref = demod_chain(re, im, hr, hi, cp, mod, nv, backend="jnp")
-    # Default MXU mode is bf16x3 — scale-relative tolerance (see
-    # kernels/_matmul.py; hard decisions are bit-identical on hardware).
-    scale = float(np.abs(np.asarray(ref)).max())
-    np.testing.assert_allclose(
-        np.asarray(auto), np.asarray(ref), rtol=2e-2, atol=2e-3 * max(scale, 1.0)
-    )
+    np.testing.assert_array_equal(np.asarray(auto), np.asarray(ref))
+
+
+def test_select_backend_rules():
+    """The pure dispatch rule across every regime."""
+    from sdr_tpu.ops.demod import select_backend
+
+    mod = Modulation.QAM16
+    full = (512, 64, 320)      # n_fft=256: full-fused territory
+    big = (64, 8, 4608)        # n_fft=4096: hybrid territory
+    h_full = (512, 1, 256)
+    h_big = (64, 1, 4096)
+    assert select_backend(full, h_full, 64, mod, "tpu") == "pallas"
+    assert select_backend(big, h_big, 512, mod, "tpu") == "hybrid"
+    # CPU always composes.
+    assert select_backend(full, h_full, 64, mod, "cpu") == "jnp"
+    # Non-canonical (per-symbol) h falls back rather than crashing.
+    assert select_backend(full, (512, 64, 256), 64, mod, "tpu") == "jnp"
+    # n_syms too large for a batch-tile-of-1 block falls back.
+    assert select_backend((1, 4096, 320), (1, 1, 256), 64, mod, "tpu") == "jnp"
+    # Odd n_fft falls back.
+    assert select_backend((8, 8, 80), (8, 1, 64), 16, mod, "tpu") == "jnp"
 
 
 @pytest.mark.parametrize(
@@ -106,15 +122,9 @@ def test_hybrid_matches_jnp(rng, mod, n_fft, cp):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3)
 
 
-def test_auto_uses_hybrid_for_large_n(monkeypatch, rng):
-    """auto picks the hybrid path when n_fft exceeds the full-fused gate."""
+def test_full_fused_gate_rejects_large_n():
+    """n_fft=1024 exceeds the VMEM gate → the full-fused kernel refuses
+    (the hybrid path owns it; parity covered by test_hybrid_matches_jnp)."""
     from sdr_tpu.kernels.demod_pallas import supported as full_ok
-    from sdr_tpu.ops.demod import demod_chain
 
-    n_fft, cp = 1024, 128
-    assert not full_ok((2, 8, n_fft + cp), cp, Modulation.QAM16)
-    nv = float(ebno_db_to_noise_var(10.0, 4))
-    re, im, hr, hi = _inputs(rng, 2, 8, n_fft + cp, n_fft)
-    auto = demod_chain(re, im, hr, hi, cp, Modulation.QAM16, nv, backend="auto")
-    ref = demod_chain(re, im, hr, hi, cp, Modulation.QAM16, nv, backend="jnp")
-    np.testing.assert_allclose(np.asarray(auto), np.asarray(ref), rtol=1e-3, atol=1e-3)
+    assert not full_ok((2, 8, 1024 + 128), 128, Modulation.QAM16)
