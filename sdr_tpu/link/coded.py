@@ -1,0 +1,79 @@
+"""Coded link: conv-encode → interleave → OFDM link → LLR → Viterbi.
+
+The end-to-end consumer of the soft demapper: information bits are
+convolutionally encoded (ops.fec), bit-interleaved across the frame
+(ops.interleave), carried over the full OFDM link (link.pipeline's TX /
+channel / RX stages), and the deinterleaved LLRs drive the soft-input
+Viterbi decoder. BER is counted on INFORMATION bits.
+
+Frame fit: the coded+tail bit count must fill the frame exactly, so the
+information payload per channel is derived from the config:
+``info_bits_per_channel(cfg)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sdr_tpu.core import prng
+from sdr_tpu.core.config import LinkConfig
+from sdr_tpu.link.pipeline import apply_channel, rx_chain, tx_chain
+from sdr_tpu.ops.fec import DEFAULT_K, DEFAULT_POLYS, conv_encode, viterbi_decode
+from sdr_tpu.ops.interleave import deinterleave, interleave
+
+
+def info_bits_per_channel(
+    cfg: LinkConfig, polys=DEFAULT_POLYS, K: int = DEFAULT_K
+) -> int:
+    """Largest info payload whose terminated codeword fits one frame."""
+    frame_bits = cfg.n_symbols * cfg.bits_per_ofdm_symbol
+    R = len(polys)
+    n_info = frame_bits // R - (K - 1)
+    if n_info < 1:
+        raise ValueError(
+            f"frame of {frame_bits} coded bits cannot fit a terminated "
+            f"rate-1/{R} K={K} codeword"
+        )
+    return n_info
+
+
+def _coded_one(cfg: LinkConfig, key: jax.Array, n_info: int, polys, K):
+    frame_bits = cfg.n_symbols * cfg.bits_per_ofdm_symbol
+    coded = (n_info + K - 1) * len(polys)
+
+    kbits = prng.role_key(key, prng.ROLE_PAYLOAD)
+    info = jax.random.bernoulli(kbits, 0.5, (n_info,)).astype(jnp.int8)
+    cw = conv_encode(info, polys, K)
+    # Pad the frame remainder with zeros (punctured tail of the frame).
+    frame = jnp.zeros((frame_bits,), jnp.int8).at[:coded].set(interleave(cw))
+    tx = tx_chain(cfg, frame.reshape(cfg.n_symbols, cfg.bits_per_ofdm_symbol))
+    rx, h_freq, nv = apply_channel(cfg, key, tx)
+    llrs, _ = rx_chain(cfg, rx, h_freq, nv)
+    llr_cw = deinterleave(llrs.reshape(-1)[:frame_bits])[:coded]
+    decoded = viterbi_decode(llr_cw, n_info, polys, K)
+    errors = jnp.sum((decoded != info).astype(jnp.int32))
+    return errors, jnp.int32(n_info)
+
+
+def simulate_coded(
+    cfg: LinkConfig,
+    key: jax.Array,
+    polys=DEFAULT_POLYS,
+    K: int = DEFAULT_K,
+):
+    """Coded link over cfg.n_channels; returns (errors, counted) per
+    channel, counting INFORMATION bits."""
+    n_info = info_bits_per_channel(cfg, polys, K)
+    ch_keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(
+        jnp.arange(cfg.n_channels)
+    )
+    return jax.vmap(
+        functools.partial(_coded_one, cfg, n_info=n_info, polys=polys, K=K)
+    )(ch_keys)
+
+
+def make_coded_fn(cfg: LinkConfig, polys=DEFAULT_POLYS, K: int = DEFAULT_K):
+    return jax.jit(functools.partial(simulate_coded, cfg, polys=polys, K=K))
