@@ -47,6 +47,24 @@ def _cmd_bench(args) -> int:
 
     case = get_case(args.config)
     key = jax.random.PRNGKey(args.seed)
+    if args.coded:
+        from sdr_tpu.link.coded import make_coded_fn
+
+        errors, counted = make_coded_fn(case.cfg)(key)
+        errors = np.asarray(errors)
+        counted = np.asarray(counted)
+        print(
+            json.dumps(
+                {
+                    "case": case.name + "+fec",
+                    "code": "conv K=7 (171,133) rate 1/2 + interleaver",
+                    "info_bits": int(counted.sum()),
+                    "bit_errors": int(errors.sum()),
+                    "ber": float(errors.sum()) / float(counted.sum()),
+                }
+            )
+        )
+        return 0
     if case.sharded and len(jax.devices()) > 1:
         from sdr_tpu.parallel import make_link_mesh, make_sharded_stream_fn
 
@@ -204,6 +222,10 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--list", action="store_true")
     b.add_argument("--seed", type=int, default=0)
     b.add_argument("--per-channel", action="store_true")
+    b.add_argument(
+        "--coded", action="store_true",
+        help="run the FEC-coded link (conv K=7 + soft Viterbi) over the case",
+    )
     b.set_defaults(fn=_cmd_bench)
 
     s = sub.add_parser("sweep", help="Eb/N0 BER sweep")
