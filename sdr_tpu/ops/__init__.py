@@ -21,3 +21,10 @@ from sdr_tpu.ops.pilots import (  # noqa: F401
     extract_data,
 )
 from sdr_tpu.ops.demod import demod_chain  # noqa: F401
+from sdr_tpu.ops.sync import (  # noqa: F401
+    apply_cfo,
+    correct_cfo,
+    estimate_timing_cfo,
+    schmidl_cox_preamble,
+    timing_metric,
+)
