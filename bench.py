@@ -90,9 +90,9 @@ def _build(batch: int, n_syms: int, iters: int):
 
 
 def main() -> None:
-    batch = int(os.environ.get("SDR_BENCH_BATCH", "512"))
+    batch = int(os.environ.get("SDR_BENCH_BATCH", "4096"))
     n_syms = int(os.environ.get("SDR_BENCH_SYMS", "64"))
-    iters = int(os.environ.get("SDR_BENCH_ITERS", "50"))
+    iters = int(os.environ.get("SDR_BENCH_ITERS", "12"))
     reps = int(os.environ.get("SDR_BENCH_REPS", "3"))
 
     gen, run = _build(batch, n_syms, iters)
