@@ -12,7 +12,7 @@ from sdr_tpu.ops.modulation import (  # noqa: F401
 )
 from sdr_tpu.ops.channel import awgn, rayleigh_flat, multipath_taps, apply_multipath  # noqa: F401
 from sdr_tpu.ops.equalize import equalize_zf, equalize_mmse  # noqa: F401
-from sdr_tpu.ops.llr import llr_maxlog, llr_to_hard_bits  # noqa: F401
+from sdr_tpu.ops.llr import llr_maxlog, llr_exact, llr_to_hard_bits  # noqa: F401
 from sdr_tpu.ops.fec import conv_encode, viterbi_decode, coded_len  # noqa: F401
 from sdr_tpu.ops.interleave import interleave, deinterleave  # noqa: F401
 from sdr_tpu.ops.pilots import (  # noqa: F401

@@ -27,6 +27,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from sdr_tpu.core.config import Modulation
@@ -81,6 +82,42 @@ def llr_maxlog(
     llr_i = _axis_llr(jnp.real(points), mod, nv)  # (..., n_sym, m)
     llr_q = _axis_llr(jnp.imag(points), mod, nv)
     llr = jnp.concatenate([llr_i, llr_q], axis=-1)  # (..., n_sym, bps)
+    return llr.reshape(*points.shape[:-1], points.shape[-1] * mod.bits_per_symbol)
+
+
+def _axis_llr_exact(y: jnp.ndarray, mod: Modulation, noise_var) -> jnp.ndarray:
+    """Exact per-axis LLRs via log-sum-exp over the level sets."""
+    _, pam, norm, _ = _tables(mod)
+    levels = jnp.asarray(pam) * norm
+    nv = jnp.asarray(noise_var, jnp.float32)[..., None]
+    ll = -((y[..., None] - levels) ** 2) / nv  # (..., L) log-likelihoods
+    masks = _axis_bit_masks(mod)
+    neg = jnp.float32(-3.4e38)
+    outs = []
+    for j in range(mod.bits_per_axis):
+        mask = jnp.asarray(masks[j])
+        lse0 = jax.nn.logsumexp(jnp.where(mask, neg, ll), axis=-1)
+        lse1 = jax.nn.logsumexp(jnp.where(mask, ll, neg), axis=-1)
+        outs.append(lse0 - lse1)
+    return jnp.stack(outs, axis=-1)
+
+
+def llr_exact(points: jnp.ndarray, mod: Modulation, noise_var) -> jnp.ndarray:
+    """Exact (true-MAP) LLRs — same signature/ordering as llr_maxlog.
+
+    Log-sum-exp over each bit's level set instead of the max-log min.
+    Costs ~2 transcendentals per level; use when LLR fidelity to the
+    true posterior matters (e.g. feeding an iterative decoder). The
+    max-log version is the hot-path default (and the Pallas kernels'
+    metric); both agree as noise_var → 0 (tested).
+    """
+    nv = jnp.broadcast_to(jnp.asarray(noise_var, jnp.float32), points.shape)
+    if mod is Modulation.BPSK:
+        llr = _axis_llr_exact(jnp.real(points), mod, nv)
+        return llr.reshape(*points.shape[:-1], points.shape[-1])
+    llr_i = _axis_llr_exact(jnp.real(points), mod, nv)
+    llr_q = _axis_llr_exact(jnp.imag(points), mod, nv)
+    llr = jnp.concatenate([llr_i, llr_q], axis=-1)
     return llr.reshape(*points.shape[:-1], points.shape[-1] * mod.bits_per_symbol)
 
 

@@ -80,3 +80,41 @@ def test_per_point_noise_var_broadcast(rng):
     assert llr.shape == (8 * 4,)
     ref0 = np.asarray(llr_maxlog(y[:1], mod, nv[0]))
     np.testing.assert_allclose(np.asarray(llr[:4]), ref0, rtol=1e-5)
+
+
+def test_llr_exact_agrees_with_maxlog_at_low_noise(rng):
+    """As noise_var → 0 the log-sum-exp is dominated by the min term,
+    so exact and max-log LLRs coincide."""
+    import jax.numpy as jnp
+    from sdr_tpu.core.config import Modulation
+    from sdr_tpu.ops.llr import llr_exact, llr_maxlog
+
+    pts = jnp.asarray(
+        (rng.standard_normal(64) + 1j * rng.standard_normal(64)) * 0.4,
+        jnp.complex64,
+    )
+    for mod in (Modulation.QPSK, Modulation.QAM16, Modulation.QAM64):
+        a = np.asarray(llr_exact(pts, mod, 1e-4))
+        b = np.asarray(llr_maxlog(pts, mod, 1e-4))
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2.0)  # |llr|~1e3+
+
+
+def test_llr_exact_shrinks_toward_maxlog_magnitude(rng):
+    """At finite noise the exact LLR magnitude never exceeds max-log's
+    by more than log(L) (the level-set size bound), and hard decisions
+    agree."""
+    import jax.numpy as jnp
+    from sdr_tpu.core.config import Modulation
+    from sdr_tpu.ops.llr import llr_exact, llr_maxlog, llr_to_hard_bits
+
+    mod = Modulation.QAM16
+    pts = jnp.asarray(
+        (rng.standard_normal(256) + 1j * rng.standard_normal(256)) * 0.4,
+        jnp.complex64,
+    )
+    ex = llr_exact(pts, mod, 0.1)
+    ml = llr_maxlog(pts, mod, 0.1)
+    np.testing.assert_array_equal(
+        np.asarray(llr_to_hard_bits(ex)), np.asarray(llr_to_hard_bits(ml))
+    )
+    assert np.all(np.abs(np.asarray(ex)) <= np.abs(np.asarray(ml)) + np.log(4) + 1e-4)
