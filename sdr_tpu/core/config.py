@@ -114,6 +114,7 @@ class ChannelModel(enum.Enum):
     AWGN = "awgn"
     RAYLEIGH_FLAT = "rayleigh_flat"
     MULTIPATH = "multipath"  # tapped-delay-line, frequency selective
+    RAYLEIGH_TIME = "rayleigh_time"  # Jakes Doppler, per-symbol block fading
 
 
 class Equalizer(enum.Enum):
@@ -130,12 +131,20 @@ class ChannelConfig:
     # powers (normalized internally). Length must be <= cp_len + 1 for
     # ISI-free operation — validated against the OFDMConfig in LinkConfig.
     pdp: Tuple[float, ...] = (1.0,)
+    # RAYLEIGH_TIME: Doppler shift normalized to the OFDM symbol rate
+    # (fd * T_symbol); the gain is constant within a symbol and evolves
+    # across symbols per the Jakes model (ops.channel.jakes_gains).
+    doppler_norm: float = 0.01
 
     def __post_init__(self) -> None:
         if len(self.pdp) < 1:
             raise ValueError("pdp needs at least one tap")
         if any(p < 0 for p in self.pdp):
             raise ValueError("pdp powers must be non-negative")
+        if self.model == ChannelModel.RAYLEIGH_TIME and not 0 <= self.doppler_norm < 0.5:
+            raise ValueError(
+                f"doppler_norm must be in [0, 0.5), got {self.doppler_norm}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -90,6 +90,13 @@ def apply_channel(cfg: LinkConfig, key: jax.Array, tx: jnp.ndarray):
         rx = chan.awgn(k_noise, tx * h, tvar)
         return rx, h, nv
 
+    if model == ChannelModel.RAYLEIGH_TIME:
+        # Per-symbol Jakes gains: constant within a symbol (fd·T << 1),
+        # correlated across the frame. h broadcasts (n_symbols, 1).
+        g = chan.jakes_gains(k_fade, cfg.n_symbols, cfg.channel.doppler_norm)
+        rx = chan.awgn(k_noise, tx * g[:, None], tvar)
+        return rx, g[:, None], nv
+
     if model == ChannelModel.MULTIPATH:
         taps = chan.multipath_taps(k_fade, cfg.channel.pdp)
         stream = tx.reshape(-1)  # serialize symbols to a sample stream

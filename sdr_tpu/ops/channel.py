@@ -60,6 +60,35 @@ def rayleigh_flat(key: jax.Array, shape) -> jnp.ndarray:
     return cgauss(key, shape, var=1.0)
 
 
+def jakes_gains(
+    key: jax.Array,
+    n_steps: int,
+    doppler_norm: float,
+    n_paths: int = 16,
+    batch_shape=(),
+) -> jnp.ndarray:
+    """Time-varying Rayleigh gains via the sum-of-sinusoids Jakes model.
+
+    g[t] = (1/√P) Σ_p exp(i(2π·fd·t·cosθ_p + φ_p)) with uniform random
+    arrival angles θ_p and phases φ_p; ``doppler_norm`` = fd·T_step (the
+    Doppler shift normalized to the step rate — use steps = OFDM symbols
+    for block-per-symbol fading). E|g|² = 1; the autocorrelation
+    approaches J₀(2π·fd·Δt) as n_paths grows (tested). Returns
+    batch_shape + (n_steps,) complex64.
+    """
+    k_th, k_ph = jax.random.split(key)
+    shape = tuple(batch_shape) + (n_paths,)
+    theta = jax.random.uniform(k_th, shape, jnp.float32, 0.0, 2.0 * math.pi)
+    phi = jax.random.uniform(k_ph, shape, jnp.float32, 0.0, 2.0 * math.pi)
+    t = jnp.arange(n_steps, dtype=jnp.float32)
+    ang = (
+        2.0 * math.pi * doppler_norm * t[..., :, None] * jnp.cos(theta)[..., None, :]
+        + phi[..., None, :]
+    )  # (..., n_steps, n_paths)
+    g = jnp.sum(jax.lax.complex(jnp.cos(ang), jnp.sin(ang)), axis=-1)
+    return (g / math.sqrt(n_paths)).astype(jnp.complex64)
+
+
 def multipath_taps(key: jax.Array, pdp, batch_shape=()) -> jnp.ndarray:
     """Random Rayleigh taps for a power-delay profile.
 
