@@ -11,12 +11,13 @@ Timing methodology (important on this runtime): the axon TPU tunnel has
 ~1.4 ms fixed dispatch latency per RPC and its ``block_until_ready``
 does not reliably synchronize device execution, so per-dispatch wall
 timing is meaningless. Instead ALL iterations run inside ONE jitted
-``lax.fori_loop`` whose carry feeds each iteration's input (so nothing
-is loop-invariant-hoistable or dead-code-eliminable), and the final
-scalar is fetched to host — the fetch cannot complete until every
-iteration has executed. The carry perturbation fuses into the FFT-input
-materialization pass that exists anyway, so measured traffic equals the
-real chain's traffic.
+``lax.fori_loop`` whose carry feeds each iteration's channel input (so
+nothing is loop-invariant-hoistable or dead-code-eliminable), and the
+final scalar is fetched to host — the fetch cannot complete until every
+iteration has executed. The carry perturbs the small (batch,1,N)
+channel planes, not the big sample planes, so the extra pass is
+negligible while the kernel still re-reads everything from HBM each
+iteration.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "samples/s/chip", "vs_baseline": N}

@@ -11,11 +11,12 @@ metrics — lives in VMEM.
 Design notes (TPU-first, not a translation):
 
 - The DFT is a dense matmul against a precomputed N×N DFT matrix run
-  on the MXU as four real f32 matmuls (complex via planar re/im).
-  The reference's bit-reverse + butterfly recurrence (fft.hpp:35-155)
-  is a scalar-CPU formulation with no TPU analog; at OFDM sizes
-  (64..4096 subcarriers) the O(N²) matmul beats the O(N log N)
-  butterfly because it runs at MXU rates instead of VPU rates.
+  on the MXU via Gauss's 3-multiplication complex product at multi-
+  pass bf16 precision (kernels/_matmul.py). The reference's
+  bit-reverse + butterfly recurrence (fft.hpp:35-155) is a scalar-CPU
+  formulation with no TPU analog; at OFDM sizes the O(N²) matmul
+  beats the O(N log N) butterfly because it runs at MXU rates
+  instead of VPU rates.
 - Rows = OFDM symbols: a (TB·S, sym_len) tile puts the transform on
   the lane axis and the symbol batch on sublanes, so the matmul tiles
   cleanly onto the 128×128 systolic array.
