@@ -63,56 +63,82 @@ def make_sharded_simulate_fn(cfg: LinkConfig, mesh: Mesh):
     return jax.jit(f)
 
 
-def make_sharded_stream_fn(cfg: LinkConfig, mesh: Mesh):
+def make_sharded_stream_fn(
+    cfg: LinkConfig, mesh: Mesh, n_blocks: int | None = None
+):
     """Time-block sequence parallelism (+ channel DP) for the stream link.
 
-    Each device owns one time block (n_symbols / time-axis symbols) of
-    its channel shard. The multipath FIR's block-seam history arrives
-    by ppermute from the left time-neighbor; device 0 receives zeros
-    (ppermute semantics), matching the unsharded stream's cold start.
+    ``n_blocks`` time blocks (default: one per time-axis device) are
+    distributed contiguously: device t owns global blocks
+    [t·bpd, (t+1)·bpd). The multipath FIR's seam history is the only
+    cross-block coupling; because the TX stream of every block is
+    derived purely from its (channel, block) key, each device computes
+    its LAST block's tail locally and ONE rightward ``ppermute``
+    delivers every device-boundary halo — intra-device seams thread
+    sequentially. Device 0 receives zeros (ppermute semantics),
+    matching the unsharded stream's cold start.
 
     Returns (bit_errors, bits_counted) per channel; must equal
-    ``link.stream.stream_simulate(cfg, key, n_blocks=time_axis)``
+    ``link.stream.stream_simulate(cfg, key, n_blocks=n_blocks)``
     bit-exactly (tests/test_parallel.py).
     """
     tdev = mesh.shape["time"]
     cdev = mesh.shape["channel"]
-    _stream._check_blocking(cfg, tdev)  # divisibility + pilot gate
+    if n_blocks is None:
+        n_blocks = tdev
+    if n_blocks % tdev != 0:
+        raise ValueError(f"n_blocks={n_blocks} not divisible by time axis {tdev}")
+    _stream._check_blocking(cfg, n_blocks)  # divisibility + pilot gate
     if cfg.n_channels % cdev != 0:
         raise ValueError(f"n_channels % channel axis != 0")
     local_ch = cfg.n_channels // cdev
-    spb = cfg.n_symbols // tdev
+    bpd = n_blocks // tdev  # blocks per device
+    spb = cfg.n_symbols // n_blocks
     L_halo = _stream._halo_len(cfg)
 
     def local_fn(key):
         t = lax.axis_index("time")
         csh = lax.axis_index("channel")
         ch_ids = csh * local_ch + jnp.arange(local_ch)
-        b = t  # this device's global block index
+        blocks = t * bpd + jnp.arange(bpd)  # this device's global blocks
 
+        # TX all local blocks (independent given their keys).
         bits, streams = jax.vmap(
-            lambda c: _stream._block_tx(cfg, key, c, b, spb)
-        )(ch_ids)
+            lambda c: jax.vmap(
+                lambda b: _stream._block_tx(cfg, key, c, b, spb)
+            )(blocks)
+        )(ch_ids)  # bits: (local_ch, bpd, spb, bits/sym); streams: (local_ch, bpd, n)
 
         if L_halo:
-            tails = streams[:, -L_halo:]
+            tails = streams[:, -1, -L_halo:]  # last local block's tail
             perm = [(i, i + 1) for i in range(tdev - 1)]  # rightward, no wrap
-            halos = lax.ppermute(tails, "time", perm)
+            boundary_halo = lax.ppermute(tails, "time", perm)  # (local_ch, L)
         else:
-            halos = None
+            boundary_halo = None
 
-        def rx_one(c, stream, halo_c):
+        def rx_channel(c, streams_c, halo0_c):
             taps, h_freq = _stream._channel_taps(cfg, key, c)
-            return _stream._block_rx(
-                cfg, key, c, b, stream, taps, h_freq, spb, halo_c
-            )
 
-        if halos is None:
-            hard = jax.vmap(lambda c, s: rx_one(c, s, None))(ch_ids, streams)
+            def rx_block(halo, idx):
+                b, stream = idx
+                hard = _stream._block_rx(
+                    cfg, key, c, b, stream, taps, h_freq, spb,
+                    halo if L_halo else None,
+                )
+                next_halo = stream[-L_halo:] if L_halo else halo
+                return next_halo, hard
+
+            init = halo0_c if L_halo else jnp.zeros((0,), jnp.complex64)
+            _, hard = lax.scan(rx_block, init, (blocks, streams_c))
+            return hard  # (bpd, spb, bits/sym)
+
+        if boundary_halo is None:
+            zero = jnp.zeros((local_ch, 0), jnp.complex64)
+            hard = jax.vmap(rx_channel)(ch_ids, streams, zero)
         else:
-            hard = jax.vmap(rx_one)(ch_ids, streams, halos)
+            hard = jax.vmap(rx_channel)(ch_ids, streams, boundary_halo)
 
-        errors = jnp.sum((hard != bits).astype(jnp.int32), axis=(1, 2))
+        errors = jnp.sum((hard != bits).astype(jnp.int32), axis=(1, 2, 3))
         errors = lax.psum(errors, "time")  # total over all blocks
         counted = jnp.full(
             (local_ch,), cfg.n_symbols * cfg.bits_per_ofdm_symbol, jnp.int32

@@ -151,3 +151,34 @@ def test_init_multihost_single_process_noop():
     info = init_multihost()
     assert info["process_count"] == 1
     assert info["global_devices"] == 8  # the virtual CPU mesh
+
+
+def test_sharded_stream_multiple_blocks_per_device():
+    """n_blocks > time-axis: intra-device seams thread via lax.scan,
+    device boundaries via one ppermute — still bit-exact vs the oracle."""
+    import dataclasses
+    from sdr_tpu.core.config import (
+        ChannelConfig, ChannelModel, Equalizer, LinkConfig, Modulation, OFDMConfig,
+    )
+    from sdr_tpu.link.stream import stream_simulate
+    from sdr_tpu.parallel import make_link_mesh, make_sharded_stream_fn
+
+    cfg = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(
+            model=ChannelModel.MULTIPATH, ebno_db=12.0, pdp=(1.0, 0.5, 0.25)
+        ),
+        equalizer=Equalizer.MMSE,
+        n_symbols=16,
+        n_channels=4,
+    )
+    mesh = make_link_mesh(4, 2)
+    key = jax.random.PRNGKey(5)
+    n_blocks = 8  # 2 blocks per time device
+    errors, counted = make_sharded_stream_fn(cfg, mesh, n_blocks=n_blocks)(key)
+    ref_err, ref_cnt = jax.jit(
+        lambda k: stream_simulate(cfg, k, n_blocks=n_blocks)
+    )(key)
+    np.testing.assert_array_equal(np.asarray(errors), np.asarray(ref_err))
+    np.testing.assert_array_equal(np.asarray(counted), np.asarray(ref_cnt))
