@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 class Modulation(enum.Enum):

@@ -31,7 +31,6 @@ bench.py.
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 import jax

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from sdr_tpu.core import prng
-from sdr_tpu.core.config import ChannelModel, Equalizer, LinkConfig, Modulation
+from sdr_tpu.core.config import ChannelModel, LinkConfig
 from sdr_tpu.ops import channel as chan
 from sdr_tpu.ops.demod import demod_chain
 from sdr_tpu.ops.modulation import _ints_to_bits

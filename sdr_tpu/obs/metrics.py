@@ -9,7 +9,6 @@ and long sweeps so runs leave a machine-readable trail.
 from __future__ import annotations
 
 import json
-import os
 import threading
 import time
 from typing import IO, Optional

@@ -18,7 +18,6 @@ XLA inserts nothing else: TX/RX are embarrassingly parallel per
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ Two TPU-native counterparts live here:
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
