@@ -101,3 +101,19 @@ def apply_cfo(samples: jnp.ndarray, cfo_subcarriers, n_fft: int) -> jnp.ndarray:
 def correct_cfo(samples: jnp.ndarray, cfo_subcarriers, n_fft: int) -> jnp.ndarray:
     """Undo an estimated CFO (inverse rotation)."""
     return apply_cfo(samples, -jnp.asarray(cfo_subcarriers), n_fft)
+
+
+def fine_timing(rx: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
+    """Matched-filter fine timing: argmax |⟨template, rx[d:]⟩|².
+
+    The S&C metric plateaus over the CP (coarse, ±CP ambiguity); the
+    cross-correlation against the KNOWN preamble waveform peaks at the
+    strongest channel tap — run it after coarse sync + CFO correction
+    to pin the frame start exactly. rx: (n,), template: (m,) complex.
+    Returns the int32 offset of the correlation peak.
+    """
+    n = rx.shape[-1]
+    m = template.shape[-1]
+    windows = jnp.arange(n - m + 1)[:, None] + jnp.arange(m)[None, :]
+    score = jnp.abs(rx[windows] @ jnp.conj(template)) ** 2
+    return jnp.argmax(score, axis=-1).astype(jnp.int32)
