@@ -278,6 +278,9 @@ def demod_chain_pallas(
             ),
             out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
             cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
             interpret=interpret,
         )(re, im, hr, hi, *w_ops)
         return jnp.sum(partial[:, 0, 0], dtype=jnp.float32)
@@ -292,6 +295,7 @@ def demod_chain_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((batch * n_syms, n_fft * bps), jnp.float32),
         cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     )(re, im, hr, hi, *w_ops)
     # Kernel emits bit-major lanes [j·N + k]; public order is

@@ -123,6 +123,9 @@ def llr_chain_pallas(
             out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
             cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
             interpret=interpret,
         )(yr, yi, hr, hi)
         return jnp.sum(partial[:, 0, 0], dtype=jnp.float32)
@@ -134,6 +137,7 @@ def llr_chain_pallas(
         out_specs=pl.BlockSpec((rows, n_fft * bps), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch * n_syms, n_fft * bps), jnp.float32),
         cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     )(yr, yi, hr, hi)
     out = out.reshape(batch * n_syms, bps, n_fft).transpose(0, 2, 1)

@@ -155,6 +155,7 @@ def tx_chain_pallas(
             bytes_accessed=(batch * n_syms * (n_fft + 2 * sym_len)) * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     )(indices.astype(jnp.int32), *w_ops)
     return (
