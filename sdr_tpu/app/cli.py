@@ -69,8 +69,16 @@ def _cmd_bench(args) -> int:
         from sdr_tpu.parallel import make_link_mesh, make_sharded_stream_fn
 
         n = len(jax.devices())
-        n_time = 2 if n % 2 == 0 else 1
-        mesh = make_link_mesh(n_time, n // n_time)
+        n_time = 2 if n % 2 == 0 and case.cfg.n_symbols % 2 == 0 else 1
+        # Largest channel axis (within the devices left) that divides
+        # the config's channel count — an awkward device count (e.g. 6
+        # devices, 64 channels) shrinks the mesh instead of erroring.
+        cdev = max(
+            d for d in range(1, n // n_time + 1) if case.cfg.n_channels % d == 0
+        )
+        mesh = make_link_mesh(
+            n_time, cdev, devices=jax.devices()[: n_time * cdev]
+        )
         errors, counted = make_sharded_stream_fn(case.cfg, mesh)(key)
     else:
         from sdr_tpu.link.pipeline import make_simulate_fn

@@ -185,7 +185,8 @@ def _make_kernel(
         # bound). See kernels/_matmul.py.
         yr, yi = _matmul.complex_dot(xr, xi, w_refs, mode)
 
-        # Channel response, broadcast over symbols: (tb,1,N) → (rows,N).
+        # Channel response, broadcast over symbols: (tb,1,N) or the
+        # per-symbol fading plane (tb,S,N) → (rows,N).
         hr = jnp.broadcast_to(hr_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
         hi = jnp.broadcast_to(hi_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
         h2 = hr * hr + hi * hi
@@ -241,6 +242,11 @@ def demod_chain_pallas(
     batch, n_syms, sym_len = re.shape
     n_fft = sym_len - cp_len
     bps = mod.bits_per_symbol
+    # h is per-link (batch, 1, n_fft) or per-symbol (batch, n_syms, n_fft)
+    # — the fading axis broadcast happens inside the kernel either way.
+    h_syms = hr.shape[1]
+    if hr.shape != (batch, h_syms, n_fft) or h_syms not in (1, n_syms):
+        raise ValueError(f"unsupported channel shape {hr.shape}")
     tb = _matmul.pick_batch_tile(batch, n_syms, n_fft)
     grid = (batch // tb,)
     if interpret is None:
@@ -254,8 +260,8 @@ def demod_chain_pallas(
     in_specs = [
         pl.BlockSpec((tb, n_syms, sym_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, n_syms, sym_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tb, 1, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tb, 1, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, h_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, h_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ] + [
         pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM)
         for _ in w_ops
@@ -263,7 +269,7 @@ def demod_chain_pallas(
     rows = tb * n_syms
     cost = pl.CostEstimate(
         flops=6 * rows * n_fft * n_fft * grid[0],
-        bytes_accessed=(2 * batch * n_syms * sym_len + 2 * batch * n_fft) * 4
+        bytes_accessed=(2 * batch * n_syms * sym_len + 2 * batch * h_syms * n_fft) * 4
         + (0 if reduce_sum else batch * n_syms * n_fft * bps * 4),
         transcendentals=0,
     )

@@ -69,6 +69,9 @@ def llr_chain_pallas(
     if not supported(yr.shape, mod):
         raise ValueError(f"unsupported shape {yr.shape} for fused LLR kernel")
     batch, n_syms, n_fft = yr.shape
+    h_syms = hr.shape[1]  # 1 (per-link) or n_syms (per-symbol fading)
+    if hr.shape != (batch, h_syms, n_fft) or h_syms not in (1, n_syms):
+        raise ValueError(f"unsupported channel shape {hr.shape}")
     bps = mod.bits_per_symbol
     m = mod.bits_per_axis
     tb = _pick_tile(batch, n_syms, n_fft, bps)
@@ -105,12 +108,12 @@ def llr_chain_pallas(
     in_specs = [
         pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tb, 1, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tb, 1, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, h_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, h_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
     cost = pl.CostEstimate(
         flops=batch * n_syms * n_fft * (12 + 6 * mod.levels_per_axis),
-        bytes_accessed=(2 * batch * n_syms * n_fft + 2 * batch * n_fft) * 4
+        bytes_accessed=(2 * batch * n_syms * n_fft + 2 * batch * h_syms * n_fft) * 4
         + (0 if reduce_sum else batch * n_syms * n_fft * bps * 4),
         transcendentals=0,
     )

@@ -79,12 +79,21 @@ def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto"):
     elif model == ChannelModel.MULTIPATH:
         taps = chan.multipath_taps(k_fade, cfg.channel.pdp, batch_shape=(B,))
         h = chan.freq_response(taps, N)[:, None, :]  # (B,1,N)
+    elif model == ChannelModel.RAYLEIGH_TIME:
+        # Per-symbol Jakes block fading: one flat gain per OFDM symbol,
+        # correlated across the frame (same model as pipeline.apply_channel).
+        g = chan.jakes_gains(k_fade, S, cfg.channel.doppler_norm, batch_shape=(B,))
+        h = g[:, :, None]  # (B, S, 1)
+    elif model not in (ChannelModel.IDENTITY, ChannelModel.AWGN):
+        raise NotImplementedError(
+            f"fast_simulate has no dispatch for channel model {model}"
+        )
 
     x = jax.lax.complex(re, im)
     if model == ChannelModel.MULTIPATH:
         stream = x.reshape(B, -1)
         x = chan.apply_multipath(stream, taps).reshape(x.shape)
-    elif model == ChannelModel.RAYLEIGH_FLAT:
+    elif model in (ChannelModel.RAYLEIGH_FLAT, ChannelModel.RAYLEIGH_TIME):
         x = x * h
     if model != ChannelModel.IDENTITY:
         x = chan.awgn(k_noise, x, tvar)
@@ -92,7 +101,10 @@ def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto"):
     if h is None:
         hb = jnp.broadcast_to(jnp.complex64(1.0), (B, 1, N))
     else:
-        hb = jnp.broadcast_to(h, (B, 1, N)).astype(jnp.complex64)
+        # Per-symbol fading keeps the symbol axis (B,S,N); static models
+        # broadcast to the canonical per-link (B,1,N) channel plane.
+        h_syms = h.shape[1]
+        hb = jnp.broadcast_to(h, (B, h_syms, N)).astype(jnp.complex64)
 
     llr = demod_chain(
         jnp.real(x), jnp.imag(x),

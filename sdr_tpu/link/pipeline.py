@@ -130,7 +130,10 @@ def rx_chain(
     if cfg.pilot_spacing:
         from sdr_tpu.ops.pilots import estimate_ls_comb, extract_data
 
-        h_est = estimate_ls_comb(y, cfg.pilot_spacing)  # (..., 1, n_fft)
+        # Time-varying fading must be estimated per symbol; frame
+        # averaging is only valid for the frame-static models.
+        per_symbol = cfg.channel.model == ChannelModel.RAYLEIGH_TIME
+        h_est = estimate_ls_comb(y, cfg.pilot_spacing, per_symbol=per_symbol)
         if cfg.equalizer == Equalizer.ZF:
             s, eff_var = eq.equalize_zf(y, h_est, nv)
         else:

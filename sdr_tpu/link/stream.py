@@ -62,16 +62,24 @@ def _block_tx(cfg: LinkConfig, root: jax.Array, c, b, sym_per_block: int):
 
 
 def _channel_taps(cfg: LinkConfig, root: jax.Array, c):
-    """Per-channel fading state: (taps | None, h_freq | None)."""
+    """Per-channel fading state: (taps|None, h_freq|None, jakes|None).
+
+    The third element is the (theta, phi) Jakes path state for
+    RAYLEIGH_TIME — a block evaluates its own symbols' gains from it at
+    ABSOLUTE symbol indices (ops.channel.jakes_eval), which is what
+    keeps time-sharded streams bit-exact vs this oracle.
+    """
     model = cfg.channel.model
     kf = prng.channel_key(root, prng.ROLE_FADING, c)
     if model == ChannelModel.MULTIPATH:
         taps = chan.multipath_taps(kf, cfg.channel.pdp)
-        return taps, chan.freq_response(taps, cfg.ofdm.n_fft)
+        return taps, chan.freq_response(taps, cfg.ofdm.n_fft), None
     if model == ChannelModel.RAYLEIGH_FLAT:
         h = chan.rayleigh_flat(kf, ())
-        return None, h
-    return None, None
+        return None, h, None
+    if model == ChannelModel.RAYLEIGH_TIME:
+        return None, None, chan.jakes_params(kf)
+    return None, None, None
 
 
 def _block_rx(
@@ -82,6 +90,7 @@ def _block_rx(
     stream: jnp.ndarray,
     taps,
     h_freq,
+    jakes,
     sym_per_block: int,
     halo: jnp.ndarray | None,
 ):
@@ -91,7 +100,18 @@ def _block_rx(
     tvar = chan.time_noise_var(nv, cfg.ofdm.n_fft)
     knoise = prng.block_key(root, prng.ROLE_NOISE, c, b)
 
-    if model == ChannelModel.MULTIPATH:
+    if model == ChannelModel.RAYLEIGH_TIME:
+        # Per-symbol block fading at ABSOLUTE symbol indices — a block
+        # at any shard position applies exactly the gains the unsharded
+        # frame does for those symbols (b may be a traced scan index).
+        theta, phi = jakes
+        t_idx = b * sym_per_block + jnp.arange(sym_per_block)
+        g = chan.jakes_eval(theta, phi, t_idx, cfg.channel.doppler_norm)
+        stream = (
+            stream.reshape(sym_per_block, cfg.ofdm.symbol_len) * g[:, None]
+        ).reshape(-1)
+        h_freq = g[:, None]  # (spb, 1): flat per symbol for equalization
+    elif model == ChannelModel.MULTIPATH:
         stream = chan.apply_multipath(stream, taps, history=halo)
     elif model == ChannelModel.RAYLEIGH_FLAT:
         stream = stream * h_freq  # flat gain
@@ -120,13 +140,13 @@ def _halo_len(cfg: LinkConfig) -> int:
 def _one_channel_blocked(cfg: LinkConfig, root: jax.Array, c, n_blocks: int):
     """All blocks of one channel, sequential halo threading (oracle)."""
     spb = cfg.n_symbols // n_blocks
-    taps, h_freq = _channel_taps(cfg, root, c)
+    taps, h_freq, jakes = _channel_taps(cfg, root, c)
     L_halo = _halo_len(cfg)
     errors = jnp.int32(0)
     halo = jnp.zeros((L_halo,), jnp.complex64) if L_halo else None
     for b in range(n_blocks):
         bits, stream = _block_tx(cfg, root, c, b, spb)
-        hard = _block_rx(cfg, root, c, b, stream, taps, h_freq, spb, halo)
+        hard = _block_rx(cfg, root, c, b, stream, taps, h_freq, jakes, spb, halo)
         errors = errors + jnp.sum((hard != bits).astype(jnp.int32))
         if L_halo:
             halo = stream[-L_halo:]

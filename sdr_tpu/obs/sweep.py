@@ -37,6 +37,9 @@ class SweepPoint:
     ebno_db: float
     bit_errors: int
     bits_counted: int
+    # Number of simulate invocations consumed (keys fold_in(point_key,
+    # 0..batches)); persisted so a resumed top-up never replays a key.
+    batches: int = 0
 
     @property
     def ber(self) -> float:
@@ -110,23 +113,31 @@ def ebno_sweep(
     points: list[SweepPoint] = []
     for i, ebno in enumerate(ebno_grid_db):
         ebno = float(ebno)
-        if ebno in done:
-            points.append(done[ebno])
+        prev = done.get(ebno)
+        if prev is not None and (
+            prev.bit_errors >= target_errors or prev.bits_counted >= max_bits
+        ):
+            # Complete under the CURRENT targets; a rerun with larger
+            # target_errors/max_bits tops the point up instead of
+            # silently reusing a less-converged result.
+            points.append(prev)
             continue
         pt_cfg = dataclasses.replace(
             cfg, channel=dataclasses.replace(cfg.channel, ebno_db=ebno)
         )
         fn = make_simulate_fn(pt_cfg)
-        errors = 0
-        bits = 0
-        batch = 0
+        errors = prev.bit_errors if prev else 0
+        bits = prev.bits_counted if prev else 0
+        batch = prev.batches if prev else 0
         pt_key = jax.random.fold_in(key, i)
         while errors < target_errors and bits < max_bits:
             res = fn(jax.random.fold_in(pt_key, batch))
             errors += int(np.asarray(res.bit_errors).sum())
             bits += int(np.asarray(res.bits_counted).sum())
             batch += 1
-        pt = SweepPoint(ebno_db=ebno, bit_errors=errors, bits_counted=bits)
+        pt = SweepPoint(
+            ebno_db=ebno, bit_errors=errors, bits_counted=bits, batches=batch
+        )
         points.append(pt)
         done[ebno] = pt
         if progress is not None:

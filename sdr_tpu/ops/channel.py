@@ -60,6 +60,42 @@ def rayleigh_flat(key: jax.Array, shape) -> jnp.ndarray:
     return cgauss(key, shape, var=1.0)
 
 
+def jakes_params(
+    key: jax.Array, n_paths: int = 16, batch_shape=()
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Draw the Jakes sum-of-sinusoids state: (theta, phi) path arrays.
+
+    The state is the full fading realization: gains at ANY time index
+    follow deterministically via ``jakes_eval``, which is what makes
+    time-sharded streams bit-exact — a device that owns symbols
+    [t0, t1) evaluates the same sinusoid sum the unsharded run does at
+    those absolute indices (no sequential recursion to replay).
+    """
+    k_th, k_ph = jax.random.split(key)
+    shape = tuple(batch_shape) + (n_paths,)
+    theta = jax.random.uniform(k_th, shape, jnp.float32, 0.0, 2.0 * math.pi)
+    phi = jax.random.uniform(k_ph, shape, jnp.float32, 0.0, 2.0 * math.pi)
+    return theta, phi
+
+
+def jakes_eval(
+    theta: jnp.ndarray, phi: jnp.ndarray, t: jnp.ndarray, doppler_norm: float
+) -> jnp.ndarray:
+    """Evaluate Jakes gains at (possibly offset) time indices ``t``.
+
+    g[t] = (1/√P) Σ_p exp(i(2π·fd·t·cosθ_p + φ_p)). Returns
+    broadcast(batch, t)-shaped complex64 with E|g|² = 1.
+    """
+    t = jnp.asarray(t, jnp.float32)
+    n_paths = theta.shape[-1]
+    ang = (
+        2.0 * math.pi * doppler_norm * t[..., :, None] * jnp.cos(theta)[..., None, :]
+        + phi[..., None, :]
+    )  # (..., n_steps, n_paths)
+    g = jnp.sum(jax.lax.complex(jnp.cos(ang), jnp.sin(ang)), axis=-1)
+    return (g / math.sqrt(n_paths)).astype(jnp.complex64)
+
+
 def jakes_gains(
     key: jax.Array,
     n_steps: int,
@@ -75,18 +111,12 @@ def jakes_gains(
     for block-per-symbol fading). E|g|² = 1; the autocorrelation
     approaches J₀(2π·fd·Δt) as n_paths grows (tested). Returns
     batch_shape + (n_steps,) complex64.
+
+    Equal to ``jakes_eval(*jakes_params(key, ...), arange(n_steps), fd)``
+    — the split form the blocked/sharded stream paths use.
     """
-    k_th, k_ph = jax.random.split(key)
-    shape = tuple(batch_shape) + (n_paths,)
-    theta = jax.random.uniform(k_th, shape, jnp.float32, 0.0, 2.0 * math.pi)
-    phi = jax.random.uniform(k_ph, shape, jnp.float32, 0.0, 2.0 * math.pi)
-    t = jnp.arange(n_steps, dtype=jnp.float32)
-    ang = (
-        2.0 * math.pi * doppler_norm * t[..., :, None] * jnp.cos(theta)[..., None, :]
-        + phi[..., None, :]
-    )  # (..., n_steps, n_paths)
-    g = jnp.sum(jax.lax.complex(jnp.cos(ang), jnp.sin(ang)), axis=-1)
-    return (g / math.sqrt(n_paths)).astype(jnp.complex64)
+    theta, phi = jakes_params(key, n_paths, batch_shape)
+    return jakes_eval(theta, phi, jnp.arange(n_steps), doppler_norm)
 
 
 def multipath_taps(key: jax.Array, pdp, batch_shape=()) -> jnp.ndarray:

@@ -15,10 +15,14 @@ Backends (SDR_TPU_DEMOD_BACKEND / ``backend=``):
             only HBM traffic is the input read (+ LLR write when not
             reducing). See sdr_tpu/kernels/demod_pallas.py. Gated to
             n_fft <= 512 by the VMEM cost of the DFT matrices.
+- "fourstep": single fused Pallas kernel for LARGE n_fft (>= 1024) —
+            the transform factored as N1·N2 with an N2×N2 MXU matmul
+            and a chunk-axis VPU FFT (kernels/fourstep_pallas.py), so
+            the wideband numerology keeps the single-HBM-read property.
 - "hybrid": XLA FFT for the transform + the fused equalize/LLR Pallas
             kernel (kernels/llr_pallas.py) — any n_fft % 128 == 0.
-- "auto":   on TPU: pallas when supported, hybrid when only the LLR
-            kernel fits, else jnp.
+- "auto":   on TPU: pallas when supported, else fourstep, else hybrid,
+            else jnp.
 
 Inputs are PLANAR (separate re/im float32) because that is the layout
 the TPU runtime transfers and Pallas tiles; complex exists only inside.
@@ -44,22 +48,29 @@ def _default_backend() -> str:
 def select_backend(re_shape, hr_shape, cp_len: int, mod, platform: str) -> str:
     """Auto-dispatch rule (pure; unit-tested against every regime).
 
-    The fused kernels require the canonical per-link channel shape
-    (batch, 1, n_fft); other broadcastable h layouts (per-symbol,
-    rank-1, ...) are only handled by the jnp composition. On CPU the
-    jnp path always wins — interpreted Pallas is orders of magnitude
-    slower.
+    The fused kernels require a per-link (batch, 1, n_fft) or
+    per-symbol (batch, n_syms, n_fft) channel plane; other
+    broadcastable h layouts (rank-1, scalar, ...) are only handled by
+    the jnp composition. On CPU the jnp path always wins — interpreted
+    Pallas is orders of magnitude slower.
     """
     from sdr_tpu.kernels.demod_pallas import supported as _pl_ok
+    from sdr_tpu.kernels.fourstep_pallas import supported as _fs_ok
     from sdr_tpu.kernels.llr_pallas import supported as _llr_ok
 
     if platform == "cpu" or len(re_shape) != 3:
         return "jnp"
-    h_canonical = tuple(hr_shape) == (re_shape[0], 1, re_shape[2] - cp_len)
+    n_fft = re_shape[2] - cp_len
+    h_canonical = tuple(hr_shape) in (
+        (re_shape[0], 1, n_fft),
+        (re_shape[0], re_shape[1], n_fft),
+    )
     if not h_canonical:
         return "jnp"
     if _pl_ok(re_shape, cp_len, mod):
         return "pallas"
+    if _fs_ok(re_shape, cp_len, mod):
+        return "fourstep"
     if _llr_ok((re_shape[0], re_shape[1], re_shape[2] - cp_len), mod):
         return "hybrid"
     return "jnp"
@@ -110,6 +121,12 @@ def demod_chain(
         from sdr_tpu.kernels.demod_pallas import demod_chain_pallas
 
         return demod_chain_pallas(
+            re, im, hr, hi, cp_len, mod, noise_var, reduce_sum=reduce_sum
+        )
+    if b == "fourstep":
+        from sdr_tpu.kernels.fourstep_pallas import demod_chain_fourstep
+
+        return demod_chain_fourstep(
             re, im, hr, hi, cp_len, mod, noise_var, reduce_sum=reduce_sum
         )
     if b == "hybrid":

@@ -70,17 +70,26 @@ def extract_data(grid: jnp.ndarray, spacing: int) -> jnp.ndarray:
     return grid[..., jnp.asarray(data_indices(n_fft, spacing), jnp.int32)]
 
 
-def estimate_ls_comb(y: jnp.ndarray, spacing: int) -> jnp.ndarray:
+def estimate_ls_comb(
+    y: jnp.ndarray, spacing: int, per_symbol: bool = False
+) -> jnp.ndarray:
     """LS channel estimate from comb pilots with linear interpolation.
 
     y: post-FFT grid (..., n_syms, n_fft). Pilot observations are
-    averaged over the symbol axis (block fading — the channel models in
-    sdr_tpu.ops.channel are constant per frame), divided by the known
-    pilot, then lerped across subcarriers. Returns h (..., 1, n_fft).
+    averaged over the symbol axis (block fading — the frame-static
+    channel models) unless ``per_symbol``, in which case each OFDM
+    symbol keeps its own estimate (required for time-varying fading:
+    averaging a Doppler channel over the frame decorrelates the
+    estimate — link.pipeline passes per_symbol for RAYLEIGH_TIME).
+    Estimates are divided by the known pilot, then lerped across
+    subcarriers. Returns h (..., 1, n_fft) or (..., n_syms, n_fft).
     """
     n_fft = y.shape[-1]
     pidx = jnp.asarray(pilot_indices(n_fft, spacing), jnp.int32)
-    y_p = jnp.mean(y[..., pidx], axis=-2, keepdims=True)  # (..., 1, n_pil)
+    if per_symbol:
+        y_p = y[..., pidx]  # (..., n_syms, n_pil)
+    else:
+        y_p = jnp.mean(y[..., pidx], axis=-2, keepdims=True)  # (..., 1, n_pil)
     h_p = y_p / jnp.asarray(PILOT_VALUE, y.dtype)
     left, right, w = _interp_tables(n_fft, spacing)
     wl = jnp.asarray(1.0 - w)

@@ -116,12 +116,12 @@ def make_sharded_stream_fn(
             boundary_halo = None
 
         def rx_channel(c, streams_c, halo0_c):
-            taps, h_freq = _stream._channel_taps(cfg, key, c)
+            taps, h_freq, jakes = _stream._channel_taps(cfg, key, c)
 
             def rx_block(halo, idx):
                 b, stream = idx
                 hard = _stream._block_rx(
-                    cfg, key, c, b, stream, taps, h_freq, spb,
+                    cfg, key, c, b, stream, taps, h_freq, jakes, spb,
                     halo if L_halo else None,
                 )
                 next_halo = stream[-L_halo:] if L_halo else halo

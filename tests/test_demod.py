@@ -49,6 +49,40 @@ def test_pallas_matches_jnp(rng, mod, n_fft, cp):
     )
 
 
+def test_pallas_per_symbol_h_matches_jnp(rng):
+    """Per-symbol (time-varying) channel plane through the fused kernel."""
+    mod, n_fft, cp = Modulation.QAM16, 256, 64
+    batch, n_syms = 4, 8
+    nv = float(ebno_db_to_noise_var(10.0, mod.bits_per_symbol))
+    re, im, _, _ = _inputs(rng, batch, n_syms, n_fft + cp, n_fft)
+    hr = jnp.asarray(rng.standard_normal((batch, n_syms, n_fft)).astype(np.float32))
+    hi = jnp.asarray(rng.standard_normal((batch, n_syms, n_fft)).astype(np.float32))
+    ref = demod_chain_jnp(re, im, hr, hi, cp, mod, nv)
+    got = demod_chain_pallas(re, im, hr, hi, cp, mod, nv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_llr_pallas_per_symbol_h_matches_jnp(rng):
+    """Per-symbol h through the standalone equalize+LLR kernel."""
+    from sdr_tpu.kernels.llr_pallas import llr_chain_pallas
+    from sdr_tpu.ops.equalize import equalize_mmse
+    from sdr_tpu.ops.llr import llr_maxlog
+
+    mod, n_fft = Modulation.QAM64, 256
+    batch, n_syms = 2, 8
+    nv = float(ebno_db_to_noise_var(10.0, mod.bits_per_symbol))
+    yr = jnp.asarray(rng.standard_normal((batch, n_syms, n_fft)).astype(np.float32))
+    yi = jnp.asarray(rng.standard_normal((batch, n_syms, n_fft)).astype(np.float32))
+    hr = jnp.asarray(rng.standard_normal((batch, n_syms, n_fft)).astype(np.float32))
+    hi = jnp.asarray(rng.standard_normal((batch, n_syms, n_fft)).astype(np.float32))
+    s, eff = equalize_mmse(
+        jax.lax.complex(yr, yi), jax.lax.complex(hr, hi), nv
+    )
+    ref = llr_maxlog(s, mod, eff)
+    got = llr_chain_pallas(yr, yi, hr, hi, mod, nv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
 def test_pallas_reduce_sum_matches_full(rng):
     mod, n_fft, cp = Modulation.QAM16, 256, 64
     nv = float(ebno_db_to_noise_var(12.0, mod.bits_per_symbol))
@@ -94,8 +128,12 @@ def test_select_backend_rules():
     assert select_backend(big, h_big, 512, mod, "tpu") == "hybrid"
     # CPU always composes.
     assert select_backend(full, h_full, 64, mod, "cpu") == "jnp"
-    # Non-canonical (per-symbol) h falls back rather than crashing.
-    assert select_backend(full, (512, 64, 256), 64, mod, "tpu") == "jnp"
+    # Per-symbol h (time-varying fading) stays on the fused kernels.
+    assert select_backend(full, (512, 64, 256), 64, mod, "tpu") == "pallas"
+    assert select_backend(big, (64, 8, 4096), 512, mod, "tpu") == "hybrid"
+    # Other broadcastable h layouts fall back rather than crashing.
+    assert select_backend(full, (512, 2, 256), 64, mod, "tpu") == "jnp"
+    assert select_backend(full, (1, 1, 256), 64, mod, "tpu") == "jnp"
     # n_syms too large for a batch-tile-of-1 block falls back.
     assert select_backend((1, 4096, 320), (1, 1, 256), 64, mod, "tpu") == "jnp"
     # Odd n_fft falls back.

@@ -80,3 +80,48 @@ def test_fast_pallas_backend_matches_jnp_small(rng):
     e_p, c_p = fast_simulate(cfg, jax.random.PRNGKey(3), backend="pallas")
     np.testing.assert_array_equal(np.asarray(c_j), np.asarray(c_p))
     np.testing.assert_array_equal(np.asarray(e_j), np.asarray(e_p))
+
+
+def test_fast_rayleigh_time_is_fading_not_awgn():
+    """Regression: a Doppler config on the fast path used to fall
+    through to AWGN silently. The fast path must now produce Rayleigh
+    fading BER — statistically equal to pipeline.simulate's (same
+    model, independent PRNG streams) and far above the AWGN theory
+    level at the same Eb/N0."""
+    from sdr_tpu.link.pipeline import simulate
+
+    cfg = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(n_fft=64, cp_len=16),
+        channel=ChannelConfig(
+            model=ChannelModel.RAYLEIGH_TIME, ebno_db=10.0, doppler_norm=0.05
+        ),
+        equalizer=Equalizer.MMSE,
+        n_symbols=32,
+        n_channels=64,
+    )
+    e_f, c_f = fast_simulate(cfg, jax.random.PRNGKey(5), backend="jnp")
+    ber_fast = _ber(e_f, c_f)
+    res = simulate(cfg, jax.random.PRNGKey(7))
+    ber_pipe = _ber(res.bit_errors, res.bits_counted)
+    assert 0.7 * ber_pipe < ber_fast < 1.3 * ber_pipe
+    # Rayleigh @ 10 dB QPSK is ~2e-2; AWGN theory is ~4e-6.
+    assert ber_fast > 100 * ber_awgn_exact(Modulation.QPSK, 10.0)
+
+
+def test_fast_rayleigh_time_pallas_matches_jnp():
+    """Per-symbol h flows through the fused kernels bit-compatibly."""
+    cfg = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(n_fft=128, cp_len=32),
+        channel=ChannelConfig(
+            model=ChannelModel.RAYLEIGH_TIME, ebno_db=12.0, doppler_norm=0.02
+        ),
+        equalizer=Equalizer.MMSE,
+        n_symbols=8,
+        n_channels=2,
+    )
+    e_j, c_j = fast_simulate(cfg, jax.random.PRNGKey(6), backend="jnp")
+    e_p, c_p = fast_simulate(cfg, jax.random.PRNGKey(6), backend="pallas")
+    np.testing.assert_array_equal(np.asarray(c_j), np.asarray(c_p))
+    np.testing.assert_array_equal(np.asarray(e_j), np.asarray(e_p))

@@ -1,0 +1,102 @@
+"""Fused four-step wideband demod kernel vs the jnp op composition.
+
+Parity contract: kernels/fourstep_pallas.py must reproduce
+ofdm_rx → equalize_mmse → llr_maxlog (the reference semantics chain,
+ofdm.hpp:37-54 + soft demap) at n_fft >= 1024, including the internal
+digit-permutation round trip. Runs in Pallas interpret mode on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdr_tpu.core.config import Modulation
+from sdr_tpu.ops.channel import ebno_db_to_noise_var
+from sdr_tpu.ops.demod import demod_chain_jnp
+from sdr_tpu.kernels.fourstep_pallas import (
+    _pick_n2,
+    demod_chain_fourstep,
+    permute_h,
+    supported,
+)
+
+
+def _inputs(rng, batch, n_syms, sym_len, n_fft, h_syms=1):
+    re = rng.standard_normal((batch, n_syms, sym_len)).astype(np.float32) * 0.1
+    im = rng.standard_normal((batch, n_syms, sym_len)).astype(np.float32) * 0.1
+    hr = rng.standard_normal((batch, h_syms, n_fft)).astype(np.float32)
+    hi = rng.standard_normal((batch, h_syms, n_fft)).astype(np.float32)
+    return map(jnp.asarray, (re, im, hr, hi))
+
+
+def test_permute_h_round_trip():
+    n_fft, n2 = 1024, 256
+    h = jnp.arange(n_fft, dtype=jnp.float32)[None, None, :]
+    p = permute_h(h, n_fft, n2)
+    n1 = n_fft // n2
+    # κ = k1·N2 + k2 must carry natural subcarrier k1 + N1·k2.
+    for kappa in (0, 1, 255, 256, 700, 1023):
+        k1, k2 = kappa // n2, kappa % n2
+        assert int(p[0, 0, kappa]) == k1 + n1 * k2
+
+
+@pytest.mark.parametrize(
+    "mod,n_fft,cp",
+    [
+        (Modulation.QAM16, 1024, 256),
+        (Modulation.QPSK, 2048, 256),
+        (Modulation.QAM64, 1024, 512),
+    ],
+)
+def test_fourstep_matches_jnp(rng, mod, n_fft, cp):
+    batch, n_syms = 2, 4
+    nv = float(ebno_db_to_noise_var(10.0, mod.bits_per_symbol))
+    re, im, hr, hi = _inputs(rng, batch, n_syms, n_fft + cp, n_fft)
+    assert supported(re.shape, cp, mod)
+    ref = demod_chain_jnp(re, im, hr, hi, cp, mod, nv)
+    got = demod_chain_fourstep(re, im, hr, hi, cp, mod, nv, interpret=True)
+    assert got.shape == ref.shape == (batch, n_syms, n_fft * mod.bits_per_symbol)
+    # atol covers f32 accumulation across the two-stage transform on
+    # LLRs spanning ~1e3 (relative ~1e-5; hardware bf16x3 allows 0.135).
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-3, atol=5e-2
+    )
+
+
+def test_fourstep_per_symbol_h(rng):
+    mod, n_fft, cp = Modulation.QAM16, 1024, 256
+    batch, n_syms = 2, 4
+    nv = float(ebno_db_to_noise_var(12.0, mod.bits_per_symbol))
+    re, im, hr, hi = _inputs(rng, batch, n_syms, n_fft + cp, n_fft, h_syms=n_syms)
+    ref = demod_chain_jnp(re, im, hr, hi, cp, mod, nv)
+    got = demod_chain_fourstep(re, im, hr, hi, cp, mod, nv, interpret=True)
+    # atol covers f32 accumulation across the two-stage transform on
+    # LLRs spanning ~1e3 (relative ~1e-5; hardware bf16x3 allows 0.135).
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-3, atol=5e-2
+    )
+
+
+def test_fourstep_reduce_sum_matches_full(rng):
+    mod, n_fft, cp = Modulation.QAM16, 1024, 256
+    nv = float(ebno_db_to_noise_var(12.0, mod.bits_per_symbol))
+    re, im, hr, hi = _inputs(rng, 2, 4, n_fft + cp, n_fft)
+    full = demod_chain_fourstep(re, im, hr, hi, cp, mod, nv, interpret=True)
+    red = demod_chain_fourstep(
+        re, im, hr, hi, cp, mod, nv, reduce_sum=True, interpret=True
+    )
+    np.testing.assert_allclose(
+        float(red), float(jnp.sum(full, dtype=jnp.float32)), rtol=1e-4
+    )
+
+
+def test_supported_gate():
+    mod = Modulation.QAM16
+    assert supported((2, 4, 4608), 512, mod)        # 4096sc/CP512
+    assert not supported((2, 4, 1024 + 100), 100, mod)  # cp % N2 != 0
+    assert not supported((2, 4, 512 + 128), 128, mod)   # small N → full-fused
+    assert not supported((3, 3, 4608), 512, mod)        # rows % 8 != 0
+    assert _pick_n2(4096, 512) == 256
+    assert _pick_n2(1024, 512) == 256  # N1 = 4
+    assert _pick_n2(4096, 128) == 128  # cp forces narrower lanes

@@ -61,6 +61,36 @@ def test_sweep_accumulates_until_target(tmp_path):
     assert 0.5 * th < pt.ber < 2.0 * th
 
 
+def test_sweep_checkpoint_tops_up_on_larger_target(tmp_path):
+    """Rerunning with a larger target_errors must accumulate more bits
+    onto the checkpointed point, not silently reuse the old one."""
+    cfg = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=4.0),
+        n_symbols=8,
+        n_channels=4,
+    )
+    ck = str(tmp_path / "sweep.json")
+    r1 = ebno_sweep(
+        cfg, [4.0], jax.random.PRNGKey(0), target_errors=20, max_bits=10**6,
+        checkpoint_path=ck,
+    )
+    r2 = ebno_sweep(
+        cfg, [4.0], jax.random.PRNGKey(0), target_errors=200, max_bits=10**6,
+        checkpoint_path=ck,
+    )
+    assert r2.points[0].bit_errors >= 200
+    assert r2.points[0].bits_counted > r1.points[0].bits_counted
+    assert r2.points[0].batches > r1.points[0].batches
+    # Same targets again → point is complete, untouched.
+    r3 = ebno_sweep(
+        cfg, [4.0], jax.random.PRNGKey(0), target_errors=200, max_bits=10**6,
+        checkpoint_path=ck,
+    )
+    assert r3.points[0] == r2.points[0]
+
+
 def test_weak_scaling_runs_on_virtual_mesh():
     """Weak scaling over the 8-device CPU mesh: functional smoke +
     monotone channel growth (efficiency numbers are meaningless on a

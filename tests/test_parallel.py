@@ -182,3 +182,33 @@ def test_sharded_stream_multiple_blocks_per_device():
     )(key)
     np.testing.assert_array_equal(np.asarray(errors), np.asarray(ref_err))
     np.testing.assert_array_equal(np.asarray(counted), np.asarray(ref_cnt))
+
+
+def _rayleigh_time_cfg(n_channels=8, n_symbols=16):
+    return LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(
+            model=ChannelModel.RAYLEIGH_TIME, ebno_db=12.0, doppler_norm=0.03
+        ),
+        equalizer=Equalizer.MMSE,
+        n_symbols=n_symbols,
+        n_channels=n_channels,
+    )
+
+
+@pytest.mark.parametrize("tshape", [(4, 2), (2, 4), (8, 1)])
+def test_sharded_stream_rayleigh_time_bit_exact(tshape):
+    """Time-varying fading under time sharding: each block evaluates the
+    Jakes state at ABSOLUTE symbol indices, so the sharded stream must
+    equal the unsharded oracle bit-exactly (regression for the silent
+    AWGN fall-through in the stream path)."""
+    nt, nc = tshape
+    mesh = make_link_mesh(nt, nc, devices=jax.devices()[: nt * nc])
+    cfg = _rayleigh_time_cfg()
+    key = jax.random.PRNGKey(11)
+    n_blocks = 2 * nt  # exercise intra-device seams too
+    e_sh, c_sh = make_sharded_stream_fn(cfg, mesh, n_blocks=n_blocks)(key)
+    e_ref, c_ref = stream_simulate(cfg, key, n_blocks=n_blocks)
+    np.testing.assert_array_equal(np.asarray(e_sh), np.asarray(e_ref))
+    np.testing.assert_array_equal(np.asarray(c_sh), np.asarray(c_ref))

@@ -128,3 +128,41 @@ def test_pilot_link_near_perfect_csi_at_moderate_snr():
 def test_pilot_spacing_validation():
     with pytest.raises(ValueError, match="pilot_spacing"):
         _ = LinkConfig(pilot_spacing=1)
+
+
+def test_per_symbol_ls_tracks_time_varying_channel():
+    """pilot_spacing + RAYLEIGH_TIME: the per-symbol LS estimate must
+    hold estimated-CSI BER close to genie-CSI BER at a Doppler where
+    frame averaging would decorrelate completely (regression for the
+    silent block-fading assumption)."""
+    import dataclasses
+
+    from sdr_tpu.core.config import ChannelConfig, ChannelModel, Equalizer
+    from sdr_tpu.link.pipeline import simulate
+
+    est_cfg = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(n_fft=64, cp_len=16),
+        channel=ChannelConfig(
+            model=ChannelModel.RAYLEIGH_TIME, ebno_db=14.0, doppler_norm=0.05
+        ),
+        equalizer=Equalizer.MMSE,
+        pilot_spacing=4,
+        n_symbols=32,
+        n_channels=64,
+    )
+    genie_cfg = dataclasses.replace(est_cfg, pilot_spacing=0)
+    key = jax.random.PRNGKey(21)
+    r_est = simulate(est_cfg, key)
+    r_gen = simulate(genie_cfg, key)
+    ber_est = float(np.asarray(r_est.bit_errors).sum()) / float(
+        np.asarray(r_est.bits_counted).sum()
+    )
+    ber_gen = float(np.asarray(r_gen.bit_errors).sum()) / float(
+        np.asarray(r_gen.bits_counted).sum()
+    )
+    # Estimated CSI costs SNR (noisy pilots, interpolation) but must
+    # stay the same order as genie CSI; a frame-averaged estimate at
+    # fd*T=0.05 over 32 symbols decodes near-randomly (BER ~ 0.2+).
+    assert ber_est < 3.0 * ber_gen + 1e-3
+    assert ber_est < 0.05
