@@ -48,41 +48,47 @@ def _tx(cfg: LinkConfig, idx: jnp.ndarray, backend: str):
     return jnp.real(x), jnp.imag(x)
 
 
-def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto"):
-    """Full link over (n_channels, n_symbols) as one batched program.
+def fast_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray, backend: str):
+    """The batched link over explicit GLOBAL channel ids.
 
-    Returns (bit_errors (n_channels,) int32, bits_counted (n_channels,)).
+    Every random draw is keyed by fold_in(key, channel_id) — the same
+    discipline as link.pipeline — so the result for a channel does not
+    depend on which device (or batch slice) computes it. That is what
+    makes the sharded fast path (parallel.shard.make_sharded_fast_fn)
+    bit-exact vs the unsharded one. Returns per-channel
+    (bit_errors, bits_counted), both (len(ch_ids),) int32.
     """
-    if cfg.pilot_spacing:
-        raise NotImplementedError(
-            "fast_simulate is the full-grid throughput path; pilot-based "
-            "estimation lives in link.pipeline.simulate (pilot_spacing=0 here)"
-        )
-    B, S, N = cfg.n_channels, cfg.n_symbols, cfg.ofdm.n_fft
+    B = ch_ids.shape[0]
+    S, N = cfg.n_symbols, cfg.ofdm.n_fft
     mod = cfg.modulation
     bps = mod.bits_per_symbol
     # Host floats (cfg is static) so they stay trace-time constants.
     nv = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps)
     tvar = nv / N
 
-    k_idx = prng.role_key(key, prng.ROLE_PAYLOAD)
-    k_noise = prng.role_key(key, prng.ROLE_NOISE)
-    k_fade = prng.role_key(key, prng.ROLE_FADING)
+    ch_keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(ch_ids)
+    k_idx = jax.vmap(lambda k: prng.role_key(k, prng.ROLE_PAYLOAD))(ch_keys)
+    k_noise = jax.vmap(lambda k: prng.role_key(k, prng.ROLE_NOISE))(ch_keys)
+    k_fade = jax.vmap(lambda k: prng.role_key(k, prng.ROLE_FADING))(ch_keys)
 
-    idx = jax.random.randint(k_idx, (B, S, N), 0, 1 << bps, jnp.int32)
+    idx = jax.vmap(
+        lambda k: jax.random.randint(k, (S, N), 0, 1 << bps, jnp.int32)
+    )(k_idx)
     re, im = _tx(cfg, idx, backend)
 
     model = cfg.channel.model
     h = None
     if model == ChannelModel.RAYLEIGH_FLAT:
-        h = chan.rayleigh_flat(k_fade, (B, 1, 1))
+        h = jax.vmap(lambda k: chan.rayleigh_flat(k, (1, 1)))(k_fade)  # (B,1,1)
     elif model == ChannelModel.MULTIPATH:
-        taps = chan.multipath_taps(k_fade, cfg.channel.pdp, batch_shape=(B,))
+        taps = jax.vmap(lambda k: chan.multipath_taps(k, cfg.channel.pdp))(k_fade)
         h = chan.freq_response(taps, N)[:, None, :]  # (B,1,N)
     elif model == ChannelModel.RAYLEIGH_TIME:
         # Per-symbol Jakes block fading: one flat gain per OFDM symbol,
         # correlated across the frame (same model as pipeline.apply_channel).
-        g = chan.jakes_gains(k_fade, S, cfg.channel.doppler_norm, batch_shape=(B,))
+        g = jax.vmap(
+            lambda k: chan.jakes_gains(k, S, cfg.channel.doppler_norm)
+        )(k_fade)  # (B, S)
         h = g[:, :, None]  # (B, S, 1)
     elif model not in (ChannelModel.IDENTITY, ChannelModel.AWGN):
         raise NotImplementedError(
@@ -96,7 +102,7 @@ def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto"):
     elif model in (ChannelModel.RAYLEIGH_FLAT, ChannelModel.RAYLEIGH_TIME):
         x = x * h
     if model != ChannelModel.IDENTITY:
-        x = chan.awgn(k_noise, x, tvar)
+        x = jax.vmap(lambda k, xc: chan.awgn(k, xc, tvar))(k_noise, x)
 
     if h is None:
         hb = jnp.broadcast_to(jnp.complex64(1.0), (B, 1, N))
@@ -117,6 +123,19 @@ def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto"):
     errors = jnp.sum((hard != tx_bits).astype(jnp.int32), axis=(1, 2))
     counted = jnp.full((B,), S * N * bps, jnp.int32)
     return errors, counted
+
+
+def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto"):
+    """Full link over (n_channels, n_symbols) as one batched program.
+
+    Returns (bit_errors (n_channels,) int32, bits_counted (n_channels,)).
+    """
+    if cfg.pilot_spacing:
+        raise NotImplementedError(
+            "fast_simulate is the full-grid throughput path; pilot-based "
+            "estimation lives in link.pipeline.simulate (pilot_spacing=0 here)"
+        )
+    return fast_core(cfg, key, jnp.arange(cfg.n_channels), backend)
 
 
 def make_fast_fn(cfg: LinkConfig, backend: str = "auto"):

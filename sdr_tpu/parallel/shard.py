@@ -62,6 +62,49 @@ def make_sharded_simulate_fn(cfg: LinkConfig, mesh: Mesh):
     return jax.jit(f)
 
 
+def make_sharded_fast_fn(cfg: LinkConfig, mesh: Mesh, backend: str = "auto"):
+    """Channel-batch data parallelism for the FUSED-KERNEL fast link.
+
+    Each device runs link.fast.fast_core — the throughput path whose
+    hot loops are the Pallas TX and demod kernels — on its channel
+    shard. Because fast_core keys every draw by global channel id, the
+    result equals the unsharded ``fast_simulate`` bit-exactly for any
+    channel-axis layout (tests/test_parallel.py). This is the
+    composition BASELINE configs 4/5 describe: fused kernels inside
+    the mesh program, not just the jnp oracle.
+    """
+    if cfg.pilot_spacing:
+        raise NotImplementedError(
+            "the fast path simulates full-grid links (see link.fast)"
+        )
+    n_shards = mesh.shape["channel"]
+    if cfg.n_channels % n_shards != 0:
+        raise ValueError(
+            f"n_channels={cfg.n_channels} not divisible by "
+            f"channel-axis size {n_shards}"
+        )
+    local = cfg.n_channels // n_shards
+
+    def local_fn(key):
+        me = lax.axis_index("channel")
+        ch_ids = me * local + jnp.arange(local)
+        from sdr_tpu.link.fast import fast_core
+
+        return fast_core(cfg, key, ch_ids, backend)
+
+    f = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=(P("channel"), P("channel")),
+        # pallas_call emits ShapeDtypeStructs without varying-mesh-axis
+        # annotations; disable the vma check rather than threading mesh
+        # names into the (mesh-agnostic) kernels.
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
 def make_sharded_stream_fn(
     cfg: LinkConfig, mesh: Mesh, n_blocks: int | None = None
 ):

@@ -212,3 +212,54 @@ def test_sharded_stream_rayleigh_time_bit_exact(tshape):
     e_ref, c_ref = stream_simulate(cfg, key, n_blocks=n_blocks)
     np.testing.assert_array_equal(np.asarray(e_sh), np.asarray(e_ref))
     np.testing.assert_array_equal(np.asarray(c_sh), np.asarray(c_ref))
+
+
+@pytest.mark.parametrize("tshape", [(1, 8), (2, 2)])
+def test_sharded_fast_fused_kernels_bit_exact(tshape):
+    """The fused Pallas TX+demod kernels under shard_map (interpret
+    mode on CPU) must match unsharded fast_simulate bit-exactly —
+    the throughput path composed with the mesh program."""
+    from sdr_tpu.link.fast import fast_simulate
+    from sdr_tpu.parallel import make_sharded_fast_fn
+
+    nt, nc = tshape
+    mesh = make_link_mesh(nt, nc, devices=jax.devices()[: nt * nc])
+    cfg = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(128, 32),
+        channel=ChannelConfig(
+            model=ChannelModel.MULTIPATH, ebno_db=12.0, pdp=(1.0, 0.5, 0.25)
+        ),
+        equalizer=Equalizer.MMSE,
+        n_symbols=4,
+        n_channels=2 * nc,
+    )
+    key = jax.random.PRNGKey(17)
+    e_sh, c_sh = make_sharded_fast_fn(cfg, mesh, backend="pallas")(key)
+    e_ref, c_ref = jax.jit(
+        lambda k: fast_simulate(cfg, k, backend="pallas")
+    )(key)
+    np.testing.assert_array_equal(np.asarray(e_sh), np.asarray(e_ref))
+    np.testing.assert_array_equal(np.asarray(c_sh), np.asarray(c_ref))
+
+
+def test_sharded_fast_jnp_backend_bit_exact():
+    """Same invariant through the jnp composition backend."""
+    from sdr_tpu.link.fast import fast_simulate
+    from sdr_tpu.parallel import make_sharded_fast_fn
+
+    mesh = make_link_mesh(1, 4, devices=jax.devices()[:4])
+    cfg = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(
+            model=ChannelModel.RAYLEIGH_TIME, ebno_db=10.0, doppler_norm=0.02
+        ),
+        equalizer=Equalizer.MMSE,
+        n_symbols=8,
+        n_channels=8,
+    )
+    key = jax.random.PRNGKey(19)
+    e_sh, _ = make_sharded_fast_fn(cfg, mesh, backend="jnp")(key)
+    e_ref, _ = jax.jit(lambda k: fast_simulate(cfg, k, backend="jnp"))(key)
+    np.testing.assert_array_equal(np.asarray(e_sh), np.asarray(e_ref))
