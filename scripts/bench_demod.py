@@ -1,0 +1,111 @@
+"""Generic chained demod benchmark (any n_fft/cp/backend).
+
+The tuning companion of the repo-root bench.py (which is pinned to the
+headline 16QAM/256sc config): same chained-fori_loop methodology (all
+iterations inside ONE jitted loop, carry folded into the channel input,
+final host fetch — docs/PERF.md "Timing methodology"), but every knob
+is an env var so kernel variants can be A/B'd on hardware:
+
+  SDR_BENCH_NFFT=4096 SDR_BENCH_CP=512 SDR_BENCH_BATCH=64 \
+  SDR_BENCH_SYMS=8 SDR_TPU_DEMOD_BACKEND=fourstep \
+  python scripts/bench_demod.py
+
+Prints one JSON line with GS/s for the selected configuration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def main() -> None:
+    n_fft = int(os.environ.get("SDR_BENCH_NFFT", "4096"))
+    cp = int(os.environ.get("SDR_BENCH_CP", "512"))
+    batch = int(os.environ.get("SDR_BENCH_BATCH", "64"))
+    n_syms = int(os.environ.get("SDR_BENCH_SYMS", "8"))
+    iters = int(os.environ.get("SDR_BENCH_ITERS", "12"))
+    reps = int(os.environ.get("SDR_BENCH_REPS", "3"))
+    ebno_db = float(os.environ.get("SDR_BENCH_EBNO", "12.0"))
+    mod_name = os.environ.get("SDR_BENCH_MOD", "16qam")
+    backend = os.environ.get("SDR_TPU_DEMOD_BACKEND", "auto")
+    sym_len = n_fft + cp
+
+    from sdr_tpu.core.config import Modulation
+    from sdr_tpu.ops.channel import ebno_db_to_noise_var
+    from sdr_tpu.ops.demod import demod_chain, select_backend
+
+    mod = Modulation(mod_name)
+    nv = float(ebno_db_to_noise_var(ebno_db, mod.bits_per_symbol))
+
+    @jax.jit
+    def gen(key):
+        kr, ki, kh = jax.random.split(key, 3)
+        shape = (batch, n_syms, sym_len)
+        scale = np.float32(1.0 / np.sqrt(2 * n_fft))
+        re = jax.random.normal(kr, shape, jnp.float32) * scale
+        im = jax.random.normal(ki, shape, jnp.float32) * scale
+        hr = jax.random.normal(kh, (batch, 1, n_fft), jnp.float32) * np.float32(
+            np.sqrt(0.5)
+        )
+        hi = jax.random.normal(
+            jax.random.fold_in(kh, 1), (batch, 1, n_fft), jnp.float32
+        ) * np.float32(np.sqrt(0.5))
+        return re, im, hr, hi
+
+    @jax.jit
+    def run(re, im, hr, hi):
+        def body(_, acc):
+            llr_sum = demod_chain(
+                re, im, hr + acc * jnp.float32(1e-30), hi, cp, mod, nv,
+                reduce_sum=True, backend=None if backend == "auto" else backend,
+            )
+            return acc + llr_sum * jnp.float32(1e-12)
+
+        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    resolved = (
+        backend
+        if backend != "auto"
+        else select_backend(
+            (batch, n_syms, sym_len), (batch, 1, n_fft), cp, mod,
+            jax.default_backend(),
+        )
+    )
+    args = gen(jax.random.PRNGKey(0))
+    _ = float(run(*args))  # compile + one synced execution
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(run(*args))
+        best = min(best, time.perf_counter() - t0)
+
+    samples = batch * n_syms * sym_len * iters
+    print(
+        json.dumps(
+            {
+                "config": f"{mod.value}/{n_fft}sc/cp{cp}",
+                "backend": resolved,
+                "batch": batch,
+                "n_syms": n_syms,
+                "gs_per_s": samples / best / 1e9,
+                "ms_per_iter": best / iters * 1e3,
+            }
+        )
+    )
+    print(
+        f"# platform={jax.default_backend()} iters={iters} best={best*1e3:.2f}ms",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,7 @@ def _cmd_bench(args) -> int:
 
     from sdr_tpu.app.baseline_configs import baseline_cases, get_case
     from sdr_tpu.link.ber import ber_awgn_exact
-    from sdr_tpu.core.config import ChannelModel
+    from sdr_tpu.core.config import ChannelModel, Equalizer
 
     if args.list:
         for i, c in enumerate(baseline_cases()):
@@ -46,18 +46,42 @@ def _cmd_bench(args) -> int:
         return 0
 
     case = get_case(args.config)
+    if getattr(args, "cfo", 0.0) or getattr(args, "timing_offset", 0):
+        import dataclasses
+
+        # Acquisition mode: impairments force the blind S&C receiver
+        # (link.pipeline._simulate_one_acquired) and pilot estimation.
+        case = dataclasses.replace(
+            case,
+            name=case.name + "+acquire",
+            cfg=dataclasses.replace(
+                case.cfg,
+                channel=dataclasses.replace(
+                    case.cfg.channel,
+                    cfo_subcarriers=args.cfo,
+                    timing_offset=args.timing_offset,
+                ),
+                pilot_spacing=case.cfg.pilot_spacing or 8,
+                equalizer=(
+                    case.cfg.equalizer
+                    if case.cfg.equalizer != Equalizer.NONE
+                    else Equalizer.MMSE
+                ),
+            ),
+        )
     key = jax.random.PRNGKey(args.seed)
     if args.coded:
         from sdr_tpu.link.coded import make_coded_fn
 
-        errors, counted = make_coded_fn(case.cfg)(key)
+        rate = getattr(args, "rate", "1/2")
+        errors, counted = make_coded_fn(case.cfg, rate=rate)(key)
         errors = np.asarray(errors)
         counted = np.asarray(counted)
         print(
             json.dumps(
                 {
                     "case": case.name + "+fec",
-                    "code": "conv K=7 (171,133) rate 1/2 + interleaver",
+                    "code": f"conv K=7 (171,133) rate {rate} + interleaver",
                     "info_bits": int(counted.sum()),
                     "bit_errors": int(errors.sum()),
                     "ber": float(errors.sum()) / float(counted.sum()),
@@ -131,6 +155,11 @@ def _cmd_sweep(args) -> int:
         ),
     )
     theory = res.theory(case.cfg.modulation)
+    if getattr(args, "plot", None):
+        from sdr_tpu.obs.plot import plot_sweep
+
+        plot_sweep(res, case.cfg.modulation, args.plot)
+        print(f"# BER curve written to {args.plot}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -231,8 +260,21 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--seed", type=int, default=0)
     b.add_argument("--per-channel", action="store_true")
     b.add_argument(
+        "--cfo", type=float, default=0.0,
+        help="carrier frequency offset in subcarrier spacings (enables "
+        "blind acquisition: S&C preamble + CFO recovery + fine timing)",
+    )
+    b.add_argument(
+        "--timing-offset", type=int, default=0,
+        help="unknown frame delay in samples (enables blind acquisition)",
+    )
+    b.add_argument(
         "--coded", action="store_true",
         help="run the FEC-coded link (conv K=7 + soft Viterbi) over the case",
+    )
+    b.add_argument(
+        "--rate", default="1/2", choices=["1/2", "2/3", "3/4"],
+        help="FEC code rate via 802.11a puncturing (with --coded)",
     )
     b.set_defaults(fn=_cmd_bench)
 
@@ -242,6 +284,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--target-errors", type=int, default=500)
     s.add_argument("--max-bits", type=int, default=20_000_000)
     s.add_argument("--checkpoint", default=None, help="JSON checkpoint path (resume)")
+    s.add_argument("--plot", default=None, help="write a BER-curve figure (PNG/SVG path)")
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=_cmd_sweep)
 

@@ -135,6 +135,15 @@ class ChannelConfig:
     # (fd * T_symbol); the gain is constant within a symbol and evolves
     # across symbols per the Jakes model (ops.channel.jakes_gains).
     doppler_norm: float = 0.01
+    # Receiver impairments (front-end, not propagation): a carrier
+    # frequency offset in subcarrier spacings and an unknown frame
+    # delay in samples. Nonzero values switch link.pipeline into
+    # ACQUISITION mode: the TX prepends the two-symbol S&C preamble and
+    # the RX blindly recovers timing and CFO (ops.sync.acquire) — the
+    # receiver the reference never needed (its demo feeds TX straight
+    # into RX, QFDemoWindow.cpp:213-218).
+    cfo_subcarriers: float = 0.0
+    timing_offset: int = 0
 
     def __post_init__(self) -> None:
         if len(self.pdp) < 1:
@@ -145,6 +154,20 @@ class ChannelConfig:
             raise ValueError(
                 f"doppler_norm must be in [0, 0.5), got {self.doppler_norm}"
             )
+        if self.timing_offset < 0:
+            raise ValueError(
+                f"timing_offset must be >= 0, got {self.timing_offset}"
+            )
+        if abs(self.cfo_subcarriers) > 4.99:
+            # Fractional estimator covers +-1; the even-integer search
+            # covers +-4 with the default window (ops.sync.acquire).
+            raise ValueError(
+                f"|cfo_subcarriers| must be < 5, got {self.cfo_subcarriers}"
+            )
+
+    @property
+    def impaired(self) -> bool:
+        return bool(self.cfo_subcarriers) or bool(self.timing_offset)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -182,6 +205,18 @@ class LinkConfig:
                 )
         if self.n_symbols < 1 or self.n_channels < 1:
             raise ValueError("n_symbols and n_channels must be >= 1")
+        if self.channel.impaired:
+            if not self.pilot_spacing:
+                raise ValueError(
+                    "timing/CFO impairments need pilot_spacing > 0: after "
+                    "blind acquisition the channel estimate must absorb the "
+                    "residual timing phase — genie CSI has no access to it"
+                )
+            if self.channel.model == ChannelModel.RAYLEIGH_TIME:
+                raise NotImplementedError(
+                    "acquisition mode + RAYLEIGH_TIME is not supported "
+                    "(per-symbol gains are defined on the aligned frame)"
+                )
 
     @property
     def n_data_subcarriers(self) -> int:

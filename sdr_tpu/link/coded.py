@@ -21,38 +21,57 @@ import jax.numpy as jnp
 from sdr_tpu.core import prng
 from sdr_tpu.core.config import LinkConfig
 from sdr_tpu.link.pipeline import apply_channel, rx_chain, tx_chain
-from sdr_tpu.ops.fec import DEFAULT_K, DEFAULT_POLYS, conv_encode, viterbi_decode
+from sdr_tpu.ops.fec import (
+    DEFAULT_K,
+    DEFAULT_POLYS,
+    conv_encode,
+    depuncture,
+    puncture,
+    punctured_len,
+    viterbi_decode,
+)
 from sdr_tpu.ops.interleave import deinterleave, interleave
 
 
 def info_bits_per_channel(
-    cfg: LinkConfig, polys=DEFAULT_POLYS, K: int = DEFAULT_K
+    cfg: LinkConfig, polys=DEFAULT_POLYS, K: int = DEFAULT_K,
+    rate: str = "1/2",
 ) -> int:
-    """Largest info payload whose terminated codeword fits one frame."""
+    """Largest info payload whose terminated, punctured codeword fits
+    one frame (``rate``: "1/2", "2/3" or "3/4" — the 802.11a family)."""
     frame_bits = cfg.n_symbols * cfg.bits_per_ofdm_symbol
     R = len(polys)
-    n_info = frame_bits // R - (K - 1)
+    # Upper bound from the average punctured rate, then trim exactly.
+    n_info = (frame_bits * int(rate[0])) // int(rate[2]) - (K - 1)
+    while n_info > 0 and punctured_len(n_info, rate, polys, K) > frame_bits:
+        n_info -= 1
     if n_info < 1:
         raise ValueError(
             f"frame of {frame_bits} coded bits cannot fit a terminated "
-            f"rate-1/{R} K={K} codeword"
+            f"rate-{rate} K={K} codeword"
         )
     return n_info
 
 
-def _coded_one(cfg: LinkConfig, key: jax.Array, n_info: int, polys, K):
+def _coded_one(cfg: LinkConfig, key: jax.Array, n_info: int, polys, K, rate):
     frame_bits = cfg.n_symbols * cfg.bits_per_ofdm_symbol
-    coded = (n_info + K - 1) * len(polys)
+    n_steps = n_info + K - 1
+    sent = punctured_len(n_info, rate, polys, K)
 
     kbits = prng.role_key(key, prng.ROLE_PAYLOAD)
     info = jax.random.bernoulli(kbits, 0.5, (n_info,)).astype(jnp.int8)
-    cw = conv_encode(info, polys, K)
-    # Pad the frame remainder with zeros (punctured tail of the frame).
-    frame = jnp.zeros((frame_bits,), jnp.int8).at[:coded].set(interleave(cw))
+    cw = puncture(conv_encode(info, polys, K), rate)
+    # Pad to the frame, then interleave the WHOLE frame — the RX
+    # deinterleaves the whole frame too, so the permutation lengths
+    # always match (a punctured codeword rarely fills the frame
+    # exactly; interleaving only the codeword would desynchronize).
+    frame = interleave(jnp.zeros((frame_bits,), jnp.int8).at[:sent].set(cw))
     tx = tx_chain(cfg, frame.reshape(cfg.n_symbols, cfg.bits_per_ofdm_symbol))
     rx, h_freq, nv = apply_channel(cfg, key, tx)
     llrs, _ = rx_chain(cfg, rx, h_freq, nv)
-    llr_cw = deinterleave(llrs.reshape(-1)[:frame_bits])[:coded]
+    llr_sent = deinterleave(llrs.reshape(-1)[:frame_bits])[:sent]
+    # Punctured positions re-enter the trellis as zero LLRs.
+    llr_cw = depuncture(llr_sent, rate, n_steps)
     decoded = viterbi_decode(llr_cw, n_info, polys, K)
     errors = jnp.sum((decoded != info).astype(jnp.int32))
     return errors, jnp.int32(n_info)
@@ -63,17 +82,24 @@ def simulate_coded(
     key: jax.Array,
     polys=DEFAULT_POLYS,
     K: int = DEFAULT_K,
+    rate: str = "1/2",
 ):
     """Coded link over cfg.n_channels; returns (errors, counted) per
     channel, counting INFORMATION bits."""
-    n_info = info_bits_per_channel(cfg, polys, K)
+    n_info = info_bits_per_channel(cfg, polys, K, rate)
     ch_keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(
         jnp.arange(cfg.n_channels)
     )
     return jax.vmap(
-        functools.partial(_coded_one, cfg, n_info=n_info, polys=polys, K=K)
+        functools.partial(
+            _coded_one, cfg, n_info=n_info, polys=polys, K=K, rate=rate
+        )
     )(ch_keys)
 
 
-def make_coded_fn(cfg: LinkConfig, polys=DEFAULT_POLYS, K: int = DEFAULT_K):
-    return jax.jit(functools.partial(simulate_coded, cfg, polys=polys, K=K))
+def make_coded_fn(
+    cfg: LinkConfig, polys=DEFAULT_POLYS, K: int = DEFAULT_K, rate: str = "1/2"
+):
+    return jax.jit(
+        functools.partial(simulate_coded, cfg, polys=polys, K=K, rate=rate)
+    )

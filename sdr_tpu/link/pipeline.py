@@ -128,12 +128,24 @@ def rx_chain(
     nv = jnp.maximum(jnp.asarray(noise_var, jnp.float32), 1e-12)
 
     if cfg.pilot_spacing:
-        from sdr_tpu.ops.pilots import estimate_ls_comb, extract_data
+        from sdr_tpu.ops.pilots import (
+            estimate_ls_comb,
+            estimate_ls_comb_tracked,
+            extract_data,
+        )
 
-        # Time-varying fading must be estimated per symbol; frame
-        # averaging is only valid for the frame-static models.
-        per_symbol = cfg.channel.model == ChannelModel.RAYLEIGH_TIME
-        h_est = estimate_ls_comb(y, cfg.pilot_spacing, per_symbol=per_symbol)
+        if cfg.channel.impaired:
+            # Blind acquisition leaves a residual CFO (1e-2-scale
+            # subcarriers) that rotates the constellation a little more
+            # each symbol. The tracked estimator follows that common
+            # phase per symbol while keeping the frame's full noise
+            # averaging on the channel shape.
+            h_est = estimate_ls_comb_tracked(y, cfg.pilot_spacing)
+        else:
+            # Time-varying fading must be estimated per symbol; frame
+            # averaging is only valid for the frame-static models.
+            per_symbol = cfg.channel.model == ChannelModel.RAYLEIGH_TIME
+            h_est = estimate_ls_comb(y, cfg.pilot_spacing, per_symbol=per_symbol)
         if cfg.equalizer == Equalizer.ZF:
             s, eff_var = eq.equalize_zf(y, h_est, nv)
         else:
@@ -154,8 +166,63 @@ def rx_chain(
     return llrs, llr_to_hard_bits(llrs)
 
 
+def _simulate_one_acquired(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
+    """One channel's link under front-end impairments (blind RX).
+
+    TX prepends the two-symbol S&C preamble and serializes; the air
+    applies the unknown delay, fading, the carrier frequency offset,
+    and noise over the WHOLE stream (preamble included — the
+    synchronizer sees the same SNR as the payload); the RX runs
+    ops.sync.acquire (coarse+fractional+integer CFO+fine timing),
+    slices the payload at the recovered start, and proceeds through
+    the pilot-estimating rx_chain — the LS estimate absorbs whatever
+    residual timing phase acquisition leaves. Supersedes the
+    reference's perfectly-aligned loopback (ofdm.hpp:37-54).
+    """
+    from sdr_tpu.ops.sync import acquire, acquisition_preamble, apply_cfo
+
+    n_fft, cp = cfg.ofdm.n_fft, cfg.ofdm.cp_len
+    sym_len = cfg.ofdm.symbol_len
+    bits = generate_bits(cfg, prng.role_key(key, prng.ROLE_PAYLOAD))
+    body = tx_chain(cfg, bits).reshape(-1)
+    stream = jnp.concatenate(
+        [
+            jnp.zeros((cfg.channel.timing_offset,), jnp.complex64),
+            acquisition_preamble(n_fft, cp),
+            body,
+            # Tail margin keeps the payload slice in range for any
+            # fine-timing outcome within the preamble span.
+            jnp.zeros((sym_len,), jnp.complex64),
+        ]
+    )
+
+    model = cfg.channel.model
+    nv = chan.ebno_db_to_noise_var(cfg.channel.ebno_db, cfg.modulation.bits_per_symbol)
+    k_noise = prng.role_key(key, prng.ROLE_NOISE)
+    k_fade = prng.role_key(key, prng.ROLE_FADING)
+    if model == ChannelModel.MULTIPATH:
+        taps = chan.multipath_taps(k_fade, cfg.channel.pdp)
+        stream = chan.apply_multipath(stream, taps)
+    elif model == ChannelModel.RAYLEIGH_FLAT:
+        stream = stream * chan.rayleigh_flat(k_fade, ())
+    stream = apply_cfo(stream, cfg.channel.cfo_subcarriers, n_fft)
+    if model != ChannelModel.IDENTITY:
+        stream = chan.awgn(k_noise, stream, chan.time_noise_var(nv, n_fft))
+
+    start, _cfo_hat, rx_c = acquire(stream, n_fft, cp)
+    payload = jax.lax.dynamic_slice_in_dim(
+        rx_c, start, cfg.n_symbols * sym_len
+    ).reshape(cfg.n_symbols, sym_len)
+    llrs, hard = rx_chain(cfg, payload, None, nv)
+    errors = jnp.sum((hard != bits).astype(jnp.int32))
+    counted = jnp.int32(bits.size)
+    return errors, counted, (llrs if want_llrs else None)
+
+
 def _simulate_one(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
     """One channel's link, keyed; returns (errors, counted, llrs|None)."""
+    if cfg.channel.impaired:
+        return _simulate_one_acquired(cfg, key, want_llrs)
     bits = generate_bits(cfg, prng.role_key(key, prng.ROLE_PAYLOAD))
     tx = tx_chain(cfg, bits)
     rx, h_freq, nv = apply_channel(cfg, key, tx)

@@ -81,9 +81,21 @@ def demod_roofline(
     bytes_per_sample = b / sym
 
     # DFT as complex matmul: 8·N² real FLOPs per symbol (the fused MXU
-    # path); XLA's FFT is ~5·N·log2(N) but runs on scalar/vector units.
+    # path); at n_fft >= 1024 the fused path is the FOUR-STEP kernel
+    # (kernels/fourstep_pallas.py): an N2-wide matmul stage (8·N·N2)
+    # plus a VPU radix-2 stage over the N1 chunks (~5·N·log2(N1)).
+    # XLA's FFT is ~5·N·log2(N) but runs on scalar/vector units.
     if fused:
-        f = 8.0 * n_fft * n_fft
+        n2 = None
+        if n_fft >= 1024:
+            from sdr_tpu.kernels.fourstep_pallas import _pick_n2
+
+            n2 = _pick_n2(n_fft, cp_len)
+        if n2 is not None:
+            n1 = n_fft // n2
+            f = 8.0 * n_fft * n2 + 5.0 * n_fft * max(n1.bit_length() - 1, 1)
+        else:
+            f = 8.0 * n_fft * n_fft
     else:
         f = 5.0 * n_fft * (n_fft.bit_length() - 1)
     # equalize + LLR: ~O(levels) elementwise per subcarrier; minor.

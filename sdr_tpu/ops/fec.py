@@ -31,10 +31,59 @@ from jax import lax
 DEFAULT_POLYS = (0o171, 0o133)
 DEFAULT_K = 7
 
+# 802.11a puncturing patterns (the rate family the reference's own
+# numerology comment names, ofdm.hpp:2-3): per encoder step, which of
+# the (A, B) = (171, 133) outputs survive, cycling over the period.
+PUNCTURE_PATTERNS = {
+    "1/2": ((1, 1),),
+    "2/3": ((1, 1), (1, 0)),
+    "3/4": ((1, 1), (1, 0), (0, 1)),
+}
+
 
 def coded_len(n_info: int, polys=DEFAULT_POLYS, K: int = DEFAULT_K) -> int:
     """Coded bits for n_info information bits with zero-tail termination."""
     return (n_info + K - 1) * len(polys)
+
+
+@functools.lru_cache(maxsize=None)
+def _puncture_indices(n_steps: int, rate: str, R: int = 2):
+    """Static kept-bit indices into the (n_steps·R,) coded stream."""
+    pattern = PUNCTURE_PATTERNS[rate]
+    mask = np.array(
+        [pattern[t % len(pattern)][j] for t in range(n_steps) for j in range(R)],
+        bool,
+    )
+    return np.where(mask)[0].astype(np.int32)
+
+
+def punctured_len(
+    n_info: int, rate: str, polys=DEFAULT_POLYS, K: int = DEFAULT_K
+) -> int:
+    """Transmitted bits after puncturing a terminated codeword."""
+    steps = n_info + K - 1
+    return len(_puncture_indices(steps, rate, len(polys)))
+
+
+def puncture(coded: jnp.ndarray, rate: str, R: int = 2) -> jnp.ndarray:
+    """Drop the pattern's zero positions: (..., T·R) → (..., kept).
+
+    A static gather — the indices are trace-time constants.
+    """
+    idx = _puncture_indices(coded.shape[-1] // R, rate, R)
+    return coded[..., jnp.asarray(idx)]
+
+
+def depuncture(llrs: jnp.ndarray, rate: str, n_steps: int, R: int = 2) -> jnp.ndarray:
+    """Re-expand received LLRs to the full (..., n_steps·R) lattice.
+
+    Punctured positions get LLR 0 — "no information", the correct
+    neutral metric for max-log Viterbi (the branch metric contribution
+    of an unobserved coded bit is identically zero).
+    """
+    idx = jnp.asarray(_puncture_indices(n_steps, rate, R))
+    full = jnp.zeros(llrs.shape[:-1] + (n_steps * R,), llrs.dtype)
+    return full.at[..., idx].set(llrs)
 
 
 @functools.lru_cache(maxsize=None)

@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # Unit-power pilot point (45° QPSK corner) — known at both ends.
@@ -68,6 +69,38 @@ def extract_data(grid: jnp.ndarray, spacing: int) -> jnp.ndarray:
     """Full grid (..., n_fft) → data subcarriers (..., n_data)."""
     n_fft = grid.shape[-1]
     return grid[..., jnp.asarray(data_indices(n_fft, spacing), jnp.int32)]
+
+
+def estimate_ls_comb_tracked(y: jnp.ndarray, spacing: int) -> jnp.ndarray:
+    """Frame-averaged LS estimate + per-symbol common-phase tracking.
+
+    The receiver for residual carrier offset: after blind acquisition a
+    leftover CFO of ~1e-2 subcarriers rotates every subcarrier by the
+    same phase, a little more each symbol. Estimating per symbol
+    (``per_symbol=True``) tracks it but forfeits the frame's noise
+    averaging; this estimator keeps both:
+
+    1. differential phase between consecutive symbols' pilot vectors
+       Δφ_s = angle(Σ_p y_{s+1}[p]·conj(y_s[p])) — the channel cancels
+       in the product, so no estimate is needed yet;
+    2. cumulative phase track φ_s = Σ_{u<s} Δφ_u; derotate the grid;
+    3. frame-averaged LS on the derotated grid (full noise averaging);
+    4. re-apply e^{iφ_s} → per-symbol h (..., n_syms, n_fft).
+
+    Assumes the channel is static over the frame up to the common
+    rotation (frame-static models + front-end CFO); use
+    ``per_symbol=True`` for genuinely time-varying fading.
+    """
+    pidx = jnp.asarray(pilot_indices(y.shape[-1], spacing), jnp.int32)
+    yp = y[..., pidx]  # (..., n_syms, n_pilots)
+    d = jnp.sum(yp[..., 1:, :] * jnp.conj(yp[..., :-1, :]), axis=-1)
+    dphi = jnp.angle(d)  # (..., n_syms-1)
+    phi = jnp.concatenate(
+        [jnp.zeros_like(dphi[..., :1]), jnp.cumsum(dphi, axis=-1)], axis=-1
+    )  # (..., n_syms)
+    rot = jnp.exp(jax.lax.complex(jnp.zeros_like(phi), -phi))[..., None]
+    h_avg = estimate_ls_comb(y * rot, spacing)  # (..., 1, n_fft)
+    return h_avg * jnp.conj(rot)
 
 
 def estimate_ls_comb(

@@ -30,6 +30,26 @@ from sdr_tpu.ops.fft import ifft
 from sdr_tpu.ops.ofdm import cp_insert
 
 
+def _pn_qpsk(rng, n: int) -> np.ndarray:
+    quad = rng.integers(0, 4, n)
+    return np.exp(1j * (np.pi / 4 + np.pi / 2 * quad))
+
+
+def _preamble_grids(n_fft: int, seed: int):
+    """Frequency grids of the two S&C preamble symbols.
+
+    Symbol 1: PN-QPSK·√2 on EVEN subcarriers only (two identical time
+    halves — the plateau/frac-CFO symbol). Symbol 2: independent
+    PN-QPSK on ALL subcarriers (breaks the half symmetry so the plateau
+    stays on symbol 1; its even bins differentially encode v[k] =
+    X2[2k]/X1[2k], the integer-CFO key)."""
+    rng = np.random.default_rng(seed)
+    g1 = np.zeros(n_fft, np.complex64)
+    g1[0::2] = (_pn_qpsk(rng, n_fft // 2) * np.sqrt(2.0)).astype(np.complex64)
+    g2 = _pn_qpsk(rng, n_fft).astype(np.complex64)
+    return g1, g2
+
+
 def schmidl_cox_preamble(n_fft: int, cp_len: int, seed: int = 0x5C) -> jnp.ndarray:
     """CP-prefixed preamble symbol with two identical time halves.
 
@@ -37,13 +57,26 @@ def schmidl_cox_preamble(n_fft: int, cp_len: int, seed: int = 0x5C) -> jnp.ndarr
     sqrt(2) (unit average power over the full grid); odd subcarriers
     are zero. Returns (n_fft + cp_len,) complex64.
     """
-    rng = np.random.default_rng(seed)
-    quad = rng.integers(0, 4, n_fft // 2)
-    pn = np.exp(1j * (np.pi / 4 + np.pi / 2 * quad)) * np.sqrt(2.0)
-    grid = np.zeros(n_fft, np.complex64)
-    grid[0::2] = pn.astype(np.complex64)
-    time = ifft(jnp.asarray(grid))
+    g1, _ = _preamble_grids(n_fft, seed)
+    time = ifft(jnp.asarray(g1))
     return cp_insert(time, cp_len)
+
+
+def acquisition_preamble(n_fft: int, cp_len: int, seed: int = 0x5C) -> jnp.ndarray:
+    """Two-symbol S&C preamble (2·(n_fft+cp_len) samples).
+
+    Symbol 1 gives coarse timing + fractional CFO (±1 subcarrier);
+    symbol 2's differential even-bin PN disambiguates the residual
+    EVEN integer offset (estimate_integer_cfo) — together any CFO in
+    ±(2·max_shift+1) subcarriers is acquirable.
+    """
+    g1, g2 = _preamble_grids(n_fft, seed)
+    return jnp.concatenate(
+        [
+            cp_insert(ifft(jnp.asarray(g1)), cp_len),
+            cp_insert(ifft(jnp.asarray(g2)), cp_len),
+        ]
+    )
 
 
 def timing_metric(rx: jnp.ndarray, n_fft: int):
@@ -67,11 +100,17 @@ def timing_metric(rx: jnp.ndarray, n_fft: int):
 
     P = slide(a, L)[..., : rx.shape[-1] - n_fft]
     R = slide(e, L)[..., : rx.shape[-1] - n_fft]
-    # Floor the energy term against its own max: in silent stretches
-    # both P and R tend to 0 and the raw ratio is noise-dominated 0/0,
-    # spiking M far from any preamble.
-    r_floor = 0.05 * jnp.max(R, axis=-1, keepdims=True)
-    M = jnp.abs(P) ** 2 / jnp.maximum(R, r_floor) ** 2
+    # Silent stretches (leading delay, trailing pad) drive P and R
+    # both to noise level, where the raw ratio is a 0/0 whose lucky
+    # draws can spike above the true plateau (observed: M = 1.66 on a
+    # window of trailing noise). The preamble symbol carries FULL
+    # signal energy, so any window with under 25% of the stream's peak
+    # half-symbol energy cannot contain it — zero its metric outright.
+    # The threshold is relative, so flat fading scales out of it.
+    r_floor = 0.25 * jnp.max(R, axis=-1, keepdims=True)
+    M = jnp.where(
+        R >= r_floor, jnp.abs(P) ** 2 / jnp.maximum(R, r_floor) ** 2, 0.0
+    )
     return P, R, M
 
 
@@ -104,16 +143,100 @@ def correct_cfo(samples: jnp.ndarray, cfo_subcarriers, n_fft: int) -> jnp.ndarra
 
 
 def fine_timing(rx: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
-    """Matched-filter fine timing: argmax |⟨template, rx[d:]⟩|².
+    """Matched-filter fine timing: argmax_d |Σ_m conj(t[m])·rx[d+m]|².
 
     The S&C metric plateaus over the CP (coarse, ±CP ambiguity); the
     cross-correlation against the KNOWN preamble waveform peaks at the
     strongest channel tap — run it after coarse sync + CFO correction
-    to pin the frame start exactly. rx: (n,), template: (m,) complex.
-    Returns the int32 offset of the correlation peak.
+    to pin the frame start exactly. rx: (..., n), template: (m,)
+    complex. Returns the int32 offset(s) of the correlation peak.
+
+    Computed as an FFT cross-correlation — O(n log n) time and O(n)
+    memory (an explicit (n−m+1, m) window matrix would be O(n·m),
+    unusable on long streams): zero-pad both to the next power of two
+    ≥ n+m so the circular correlation is linear over the valid range.
     """
     n = rx.shape[-1]
     m = template.shape[-1]
-    windows = jnp.arange(n - m + 1)[:, None] + jnp.arange(m)[None, :]
-    score = jnp.abs(rx[windows] @ jnp.conj(template)) ** 2
+    L = 1 << (n + m - 1).bit_length()
+    from sdr_tpu.ops.fft import fft as _fft
+
+    rf = _fft(jnp.pad(rx.astype(jnp.complex64), [(0, 0)] * (rx.ndim - 1) + [(0, L - n)]))
+    tf = _fft(jnp.pad(template.astype(jnp.complex64), (0, L - m)))
+    corr = ifft(rf * jnp.conj(tf))  # corr[d] = Σ_m rx[d+m]·conj(t[m])
+    score = jnp.abs(corr[..., : n - m + 1]) ** 2
     return jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+
+def estimate_integer_cfo(
+    y1: jnp.ndarray,
+    y2: jnp.ndarray,
+    n_fft: int,
+    max_shift: int = 2,
+    seed: int = 0x5C,
+) -> jnp.ndarray:
+    """Even integer CFO from the two preamble symbols' FFT grids.
+
+    After fractional correction the residual offset is an EVEN number
+    of subcarriers (the half-symbol phase wraps with period 2Δf).
+    S&C's differential metric over candidate shifts g:
+
+        B(g) = |Σ_{k even} Y2[k+2g] · conj(Y1[k+2g]) · conj(v[k])|²
+
+    with v[k] = X2[k]/X1[k] on even bins. The Y2·conj(Y1) product
+    cancels the unknown channel phase AND any residual timing phase
+    slope (same k in both factors), leaving |H|²·v alignment — so the
+    metric works from COARSE timing, before fine sync. Returns the
+    estimated offset in subcarriers (int32, even, in ±2·max_shift).
+    """
+    g1, g2 = _preamble_grids(n_fft, seed)
+    even = np.arange(0, n_fft, 2)
+    v = (g2[even] / g1[even]).astype(np.complex64)
+    vj = jnp.asarray(v)
+    diff = y2 * jnp.conj(y1)  # (..., n_fft)
+    scores = []
+    for g in range(-max_shift, max_shift + 1):
+        shifted = jnp.roll(diff, -2 * g, axis=-1)
+        scores.append(
+            jnp.abs(jnp.sum(shifted[..., even] * jnp.conj(vj), axis=-1)) ** 2
+        )
+    idx = jnp.argmax(jnp.stack(scores, axis=-1), axis=-1)
+    return (2 * (idx - max_shift)).astype(jnp.int32)
+
+
+def acquire(
+    rx: jnp.ndarray,
+    n_fft: int,
+    cp_len: int,
+    max_int_shift: int = 2,
+    seed: int = 0x5C,
+):
+    """Full blind acquisition against the two-symbol preamble.
+
+    Stages (each jit-safe, no data-dependent control flow):
+    1. S&C plateau → coarse timing d, fractional CFO (±1 subcarrier);
+    2. fractional correction; FFT both preamble symbols AT COARSE
+       timing (the integer metric tolerates the ±CP ambiguity);
+    3. differential integer-CFO estimate (even shifts, ±2·max_int_shift);
+    4. full CFO correction; FFT matched-filter fine timing.
+
+    rx: (n,) complex stream containing ``acquisition_preamble`` +
+    payload. Returns (payload_start, total_cfo_subcarriers,
+    corrected_stream): payload_start indexes the first sample AFTER
+    the two preamble symbols in ``corrected_stream``.
+
+    Supersedes the reference's perfect-alignment RX (ofdm.hpp:37-54):
+    the reference demo never faces a delay or oscillator offset.
+    """
+    from sdr_tpu.ops.fft import fft as _fft
+
+    sym_len = n_fft + cp_len
+    d, frac = estimate_timing_cfo(rx, n_fft)
+    rx_f = correct_cfo(rx, frac, n_fft)
+    w1 = jax.lax.dynamic_slice_in_dim(rx_f, d, n_fft)
+    w2 = jax.lax.dynamic_slice_in_dim(rx_f, d + sym_len, n_fft)
+    mu = estimate_integer_cfo(_fft(w1), _fft(w2), n_fft, max_int_shift, seed)
+    total = frac + mu.astype(jnp.float32)
+    rx_c = correct_cfo(rx, total, n_fft)
+    d_fine = fine_timing(rx_c, schmidl_cox_preamble(n_fft, cp_len, seed))
+    return d_fine + 2 * sym_len, total, rx_c

@@ -121,16 +121,18 @@ def test_select_backend_rules():
 
     mod = Modulation.QAM16
     full = (512, 64, 320)      # n_fft=256: full-fused territory
-    big = (64, 8, 4608)        # n_fft=4096: hybrid territory
+    big = (64, 8, 4608)        # n_fft=4096 / CP512: four-step territory
+    oddcp = (64, 8, 4196)      # n_fft=4096 / CP100: N2 ∤ cp → hybrid
     h_full = (512, 1, 256)
     h_big = (64, 1, 4096)
     assert select_backend(full, h_full, 64, mod, "tpu") == "pallas"
-    assert select_backend(big, h_big, 512, mod, "tpu") == "hybrid"
+    assert select_backend(big, h_big, 512, mod, "tpu") == "fourstep"
+    assert select_backend(oddcp, h_big, 100, mod, "tpu") == "hybrid"
     # CPU always composes.
     assert select_backend(full, h_full, 64, mod, "cpu") == "jnp"
     # Per-symbol h (time-varying fading) stays on the fused kernels.
     assert select_backend(full, (512, 64, 256), 64, mod, "tpu") == "pallas"
-    assert select_backend(big, (64, 8, 4096), 512, mod, "tpu") == "hybrid"
+    assert select_backend(big, (64, 8, 4096), 512, mod, "tpu") == "fourstep"
     # Other broadcastable h layouts fall back rather than crashing.
     assert select_backend(full, (512, 2, 256), 64, mod, "tpu") == "jnp"
     assert select_backend(full, (1, 1, 256), 64, mod, "tpu") == "jnp"

@@ -135,3 +135,24 @@ def test_probe_device_healthy_on_cpu():
 
     rep = probe_device(timeout_s=60.0)
     assert rep.healthy and rep.backend == "cpu" and rep.latency_s is not None
+
+
+def test_ber_plot_artifact(tmp_path):
+    """The sweep → plot path produces a real image file."""
+    from sdr_tpu.obs.plot import plot_sweep
+    from sdr_tpu.obs.sweep import SweepPoint, SweepResult
+
+    res = SweepResult(
+        points=[
+            SweepPoint(0.0, 5000, 100000),
+            SweepPoint(4.0, 600, 100000),
+            SweepPoint(8.0, 20, 500000),
+            SweepPoint(12.0, 0, 500000),  # zero-BER point must not crash log axis
+        ],
+        config_summary="qpsk/64sc/cp16/awgn/eq=none",
+    )
+    out = str(tmp_path / "ber.png")
+    assert plot_sweep(res, Modulation.QPSK, out) == out
+    import os as _os
+
+    assert _os.path.getsize(out) > 5000  # a real PNG, not an empty stub

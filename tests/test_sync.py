@@ -1,6 +1,7 @@
 """Schmidl & Cox synchronization: timing, CFO, end-to-end recovery."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ from sdr_tpu.ops.sync import (
     apply_cfo,
     correct_cfo,
     estimate_timing_cfo,
+    fine_timing,
     schmidl_cox_preamble,
 )
 
@@ -76,3 +78,154 @@ def test_end_to_end_sync_recovers_payload(rng):
     hard = demodulate_hard(y, Modulation.QPSK)
     assert delay - 1 <= start <= delay + CP + 1
     np.testing.assert_array_equal(np.asarray(hard), np.asarray(bits))
+
+
+def test_fine_timing_fft_matches_naive(rng):
+    """The FFT cross-correlation must equal the O(n·m) window matmul."""
+    n_fft, cp = 64, 16
+    t = schmidl_cox_preamble(n_fft, cp)
+    noise = (rng.standard_normal(400) + 1j * rng.standard_normal(400)) * 0.05
+    rx = jnp.asarray(noise.astype(np.complex64))
+    rx = rx.at[211 : 211 + len(t)].add(t)
+    m, n = len(t), len(rx)
+    win = np.arange(n - m + 1)[:, None] + np.arange(m)[None, :]
+    naive = np.abs(np.asarray(rx)[win] @ np.conj(np.asarray(t))) ** 2
+    assert int(fine_timing(rx, t)) == int(naive.argmax()) == 211
+
+
+@pytest.mark.parametrize("cfo", [-3.7, -2.0, 0.4, 2.85, 4.0])
+def test_acquire_recovers_large_cfo(rng, cfo):
+    """Integer+fractional CFO far beyond the ±1 fractional range."""
+    from sdr_tpu.ops.sync import acquire, acquisition_preamble
+    from sdr_tpu.ops import channel as chan
+
+    n_fft, cp = 64, 16
+    sym_len = n_fft + cp
+    pre = acquisition_preamble(n_fft, cp)
+    body = jnp.asarray(
+        ((rng.standard_normal(8 * sym_len) + 1j * rng.standard_normal(8 * sym_len))
+         / np.sqrt(2 * n_fft)).astype(np.complex64)
+    )
+    delay = 29
+    stream = jnp.concatenate(
+        [jnp.zeros(delay, jnp.complex64), pre, body, jnp.zeros(60, jnp.complex64)]
+    )
+    taps = chan.multipath_taps(jax.random.PRNGKey(3), (1.0, 0.4))
+    stream = chan.apply_multipath(stream, taps)
+    stream = apply_cfo(stream, cfo, n_fft)
+    stream = chan.awgn(jax.random.PRNGKey(4), stream, 1e-3)
+    start, total, _ = jax.jit(lambda s: acquire(s, n_fft, cp))(stream)
+    assert abs(float(total) - cfo) < 0.05
+    assert abs(int(start) - (delay + 2 * sym_len)) <= 1
+
+
+def test_acquired_link_within_half_db_of_aligned():
+    """LinkConfig impairments → blind acquisition end to end on AWGN:
+    BER must beat the genie-aligned pilot link handicapped by 0.5 dB
+    (the VERDICT acceptance criterion). AWGN isolates the acquisition
+    cost itself — no per-channel fades to confound the dB bookkeeping."""
+    from sdr_tpu.core.config import (
+        ChannelConfig,
+        ChannelModel,
+        Equalizer,
+        LinkConfig,
+        Modulation,
+        OFDMConfig,
+    )
+    from sdr_tpu.link.pipeline import simulate
+
+    base = dict(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(n_fft=64, cp_len=16),
+        equalizer=Equalizer.MMSE,
+        pilot_spacing=4,
+        n_symbols=32,
+        n_channels=64,
+    )
+    impaired = LinkConfig(
+        channel=ChannelConfig(
+            model=ChannelModel.AWGN,
+            ebno_db=6.0,
+            cfo_subcarriers=2.3,
+            timing_offset=37,
+        ),
+        **base,
+    )
+    aligned_half_db = LinkConfig(
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=5.5),
+        **base,
+    )
+    key = jax.random.PRNGKey(33)
+    ber_imp = _total_ber(simulate(impaired, key))
+    ber_ref = _total_ber(simulate(aligned_half_db, key))
+    assert ber_imp < 1.1 * ber_ref
+
+
+def test_acquired_link_multipath_sane():
+    """Blind acquisition through frequency-selective fading: overall
+    BER within 2x of the aligned link at the same Eb/N0 (deeply faded
+    channels — ~-9 dB flat fades exist in this draw — are allowed to
+    lose sync; that is physics, not a receiver bug)."""
+    from sdr_tpu.core.config import (
+        ChannelConfig,
+        ChannelModel,
+        Equalizer,
+        LinkConfig,
+        Modulation,
+        OFDMConfig,
+    )
+    from sdr_tpu.link.pipeline import simulate
+
+    base = dict(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(n_fft=64, cp_len=16),
+        equalizer=Equalizer.MMSE,
+        pilot_spacing=4,
+        n_symbols=32,
+        n_channels=64,
+    )
+    impaired = LinkConfig(
+        channel=ChannelConfig(
+            model=ChannelModel.MULTIPATH,
+            ebno_db=8.0,
+            pdp=(1.0, 0.3, 0.1),
+            cfo_subcarriers=2.3,
+            timing_offset=37,
+        ),
+        **base,
+    )
+    aligned = LinkConfig(
+        channel=ChannelConfig(
+            model=ChannelModel.MULTIPATH, ebno_db=8.0, pdp=(1.0, 0.3, 0.1)
+        ),
+        **base,
+    )
+    key = jax.random.PRNGKey(33)
+    assert _total_ber(simulate(impaired, key)) < 2.0 * _total_ber(
+        simulate(aligned, key)
+    )
+
+
+def _total_ber(res):
+    return float(np.asarray(res.bit_errors).sum()) / float(
+        np.asarray(res.bits_counted).sum()
+    )
+
+
+def test_impairment_validation():
+    from sdr_tpu.core.config import (
+        ChannelConfig,
+        ChannelModel,
+        LinkConfig,
+        OFDMConfig,
+    )
+
+    with pytest.raises(ValueError):  # impairments need pilots
+        LinkConfig(
+            ofdm=OFDMConfig(64, 16),
+            channel=ChannelConfig(model=ChannelModel.AWGN, timing_offset=10),
+        )
+    with pytest.raises(ValueError):  # CFO beyond the acquisition range
+        ChannelConfig(cfo_subcarriers=5.5)
+    with pytest.raises(ValueError):  # negative delay
+        ChannelConfig(timing_offset=-1)
