@@ -41,7 +41,9 @@ import jax.numpy as jnp
 
 # Target rows (= OFDM symbols) per grid block for the matmul-DFT
 # kernels; halved at n_fft >= 512 to stay inside VMEM with the W tiles.
-TARGET_ROWS = 512
+# Env-overridable for on-hardware tuning (fewer, larger grid blocks
+# amortize per-block ramp; bounded by VMEM).
+TARGET_ROWS = int(os.environ.get("SDR_TPU_TARGET_ROWS", "512"))
 
 
 def row_target(n_fft: int) -> int:

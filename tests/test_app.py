@@ -109,3 +109,59 @@ def test_cli_sweep_with_checkpoint_resume(tmp_path, capsys):
     assert second["ber"] == first["ber"]
     # Theory overlay is monotone decreasing and bracketed by sim.
     assert first["ber_theory_awgn"][0] > first["ber_theory_awgn"][1]
+
+
+def test_cli_bench_acquisition_mode(capsys, monkeypatch):
+    """bench --cfo/--timing-offset switches the case into blind
+    acquisition and still decodes."""
+    import sdr_tpu.app.baseline_configs as bc
+    import dataclasses
+
+    orig = bc.baseline_cases
+
+    def small():
+        cases = orig()
+        c0 = cases[0]
+        cases[0] = dataclasses.replace(
+            c0, cfg=dataclasses.replace(c0.cfg, n_channels=4, n_symbols=16)
+        )
+        return cases
+
+    monkeypatch.setattr(bc, "baseline_cases", small)
+    assert main(["bench", "--config", "0", "--cfo", "1.7",
+                 "--timing-offset", "23"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["case"].endswith("+acquire")
+    # 10 dB QPSK with pilots after blind sync: still low-BER.
+    assert out["ber"] < 2e-2
+
+
+def test_cli_coded_rate(capsys, monkeypatch):
+    import sdr_tpu.app.baseline_configs as bc
+    import dataclasses
+
+    orig = bc.baseline_cases
+
+    def small():
+        cases = orig()
+        c0 = cases[0]
+        cases[0] = dataclasses.replace(
+            c0, cfg=dataclasses.replace(c0.cfg, n_channels=2, n_symbols=16)
+        )
+        return cases
+
+    monkeypatch.setattr(bc, "baseline_cases", small)
+    assert main(["bench", "--config", "0", "--coded", "--rate", "3/4"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert "3/4" in out["code"]
+    assert out["ber"] < 1e-2  # 10 dB QPSK rate-3/4: clean
+
+
+def test_cli_sweep_plot(tmp_path, capsys):
+    png = str(tmp_path / "curve.png")
+    assert main([
+        "sweep", "--config", "1", "--ebno-grid", "4",
+        "--target-errors", "20", "--max-bits", "100000", "--plot", png,
+    ]) == 0
+    capsys.readouterr()
+    assert os.path.getsize(png) > 5000

@@ -156,3 +156,33 @@ def test_ber_plot_artifact(tmp_path):
     import os as _os
 
     assert _os.path.getsize(out) > 5000  # a real PNG, not an empty stub
+
+
+def test_profiler_trace_captures_real_artifacts(tmp_path):
+    """obs.trace must leave an actual Perfetto/XProf trace on disk, not
+    just run the context manager."""
+    import glob
+    import jax.numpy as jnp
+    import jax as _jax
+
+    from sdr_tpu.obs.profile import trace
+    from sdr_tpu.link.pipeline import make_simulate_fn
+
+    cfg = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=8.0),
+        n_symbols=4,
+        n_channels=2,
+    )
+    fn = make_simulate_fn(cfg)
+    fn(_jax.random.PRNGKey(0))  # compile outside the trace
+    d = str(tmp_path / "trace")
+    with trace(d, annotate="link-step"):
+        r = fn(_jax.random.PRNGKey(1))
+        _jax.block_until_ready(r.bit_errors)
+    files = glob.glob(d + "/**/*.trace.json.gz", recursive=True) + glob.glob(
+        d + "/**/*.xplane.pb", recursive=True
+    )
+    assert files, f"no trace artifacts under {d}"
+    assert sum(__import__('os').path.getsize(f) for f in files) > 1000
