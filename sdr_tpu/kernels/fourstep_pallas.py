@@ -161,14 +161,16 @@ def _bit_reverse(p: int) -> list[int]:
     return [int(format(i, f"0{bits}b")[::-1], 2) for i in range(p)]
 
 
-def _fft_chunks(xs: list):
-    """Radix-2 DIT FFT across a Python list of (re, im) planar pairs.
+def _fft_chunks(xs: list, inverse: bool = False):
+    """Radix-2 DIT (I)FFT across a Python list of (re, im) planar pairs.
 
     The list axis is the transform axis: every butterfly is a pair of
     elementwise ops on (rows, N2) tiles, fully unrolled at trace time
     (N1 <= 32 → at most 80 butterflies). Twiddles are host floats;
-    multiplies by ±1/±i reduce to adds/swaps.
+    multiplies by ±1/±i reduce to adds/swaps. ``inverse`` flips the
+    twiddle sign (no 1/P scaling — callers fold it elsewhere).
     """
+    sign = 1.0 if inverse else -1.0
     p = len(xs)
     a = [xs[i] for i in _bit_reverse(p)]
     m = 1
@@ -177,14 +179,14 @@ def _fft_chunks(xs: list):
         nxt = list(a)
         for start in range(0, p, step):
             for j in range(m):
-                ang = -2.0 * math.pi * j / step
+                ang = sign * 2.0 * math.pi * j / step
                 wr, wi = math.cos(ang), math.sin(ang)
                 er, ei = a[start + j]
                 br, bi = a[start + j + m]
                 if j == 0:  # w = 1
                     tr, ti = br, bi
-                elif 4 * j == step:  # w = -i
-                    tr, ti = bi, -br
+                elif 4 * j == step:  # w = ∓i
+                    tr, ti = (-bi, br) if inverse else (bi, -br)
                 else:
                     wr32, wi32 = jnp.float32(wr), jnp.float32(wi)
                     tr = br * wr32 - bi * wi32

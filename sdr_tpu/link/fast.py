@@ -32,15 +32,21 @@ from sdr_tpu.ops.ofdm import ofdm_tx
 
 def _tx(cfg: LinkConfig, idx: jnp.ndarray, backend: str):
     """(B,S,N) indices → planar (re, im) (B,S,sym_len)."""
+    from sdr_tpu.kernels.fourstep_tx_pallas import (
+        supported as tx4_ok,
+        tx_chain_fourstep,
+    )
     from sdr_tpu.kernels.tx_pallas import supported as tx_ok, tx_chain_pallas
 
-    use_pallas = backend == "pallas" or (
-        backend == "auto"
-        and jax.default_backend() != "cpu"
-        and tx_ok(idx.shape, cfg.modulation)
+    small_ok = tx_ok(idx.shape, cfg.modulation)
+    wide_ok = tx4_ok(idx.shape, cfg.ofdm.cp_len, cfg.modulation)
+    want = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() != "cpu"
     )
-    if use_pallas:
+    if want and small_ok:
         return tx_chain_pallas(idx, cfg.ofdm.cp_len, cfg.modulation)
+    if want and wide_ok:
+        return tx_chain_fourstep(idx, cfg.ofdm.cp_len, cfg.modulation)
     bits = _ints_to_bits(idx, cfg.modulation.bits_per_symbol)
     from sdr_tpu.ops.modulation import modulate
 

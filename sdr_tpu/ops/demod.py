@@ -119,10 +119,17 @@ def demod_chain(
         b = select_backend(re.shape, hr.shape, cp_len, mod, jax.default_backend())
     if b == "pallas":
         from sdr_tpu.kernels.demod_pallas import demod_chain_pallas
+        from sdr_tpu.kernels.demod_pallas import supported as _pl_ok
+        from sdr_tpu.kernels.fourstep_pallas import supported as _fs_ok
 
-        return demod_chain_pallas(
-            re, im, hr, hi, cp_len, mod, noise_var, reduce_sum=reduce_sum
-        )
+        # "pallas" selects the fused-kernel FAMILY: the single-matmul
+        # kernel where it fits, the four-step kernel at wideband sizes.
+        if not _pl_ok(re.shape, cp_len, mod) and _fs_ok(re.shape, cp_len, mod):
+            b = "fourstep"
+        else:
+            return demod_chain_pallas(
+                re, im, hr, hi, cp_len, mod, noise_var, reduce_sum=reduce_sum
+            )
     if b == "fourstep":
         from sdr_tpu.kernels.fourstep_pallas import demod_chain_fourstep
 

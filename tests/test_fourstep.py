@@ -100,3 +100,58 @@ def test_supported_gate():
     assert _pick_n2(4096, 512) == 256
     assert _pick_n2(1024, 512) == 256  # N1 = 4
     assert _pick_n2(4096, 128) == 128  # cp forces narrower lanes
+
+
+def test_fourstep_tx_matches_jnp(rng):
+    """Four-step TX kernel vs modulate + ofdm_tx (reference chain
+    semantics at n_fft >= 1024, incl. the exact CP layout)."""
+    from sdr_tpu.kernels.fourstep_tx_pallas import supported as tx4_ok, tx_chain_fourstep
+    from sdr_tpu.ops.modulation import _ints_to_bits, modulate
+    from sdr_tpu.ops.ofdm import ofdm_tx
+
+    for mod, n_fft, cp in [
+        (Modulation.QAM16, 1024, 256),
+        (Modulation.QAM64, 2048, 512),
+        (Modulation.BPSK, 1024, 512),
+    ]:
+        bps = mod.bits_per_symbol
+        idx = jnp.asarray(
+            rng.integers(0, 1 << bps, (2, 4, n_fft)), jnp.int32
+        )
+        assert tx4_ok(idx.shape, cp, mod)
+        re, im = tx_chain_fourstep(idx, cp, mod, interpret=True)
+        ref = ofdm_tx(modulate(_ints_to_bits(idx, bps), mod), cp)
+        assert re.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(re), np.real(np.asarray(ref)), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(im), np.imag(np.asarray(ref)), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_fast_wideband_pallas_matches_jnp():
+    """Full fast link at config-5 numerology through both fused
+    four-step kernels (TX + demod), vs the jnp composition."""
+    import jax as _jax
+
+    from sdr_tpu.core.config import (
+        ChannelConfig,
+        ChannelModel,
+        Equalizer,
+        LinkConfig,
+        OFDMConfig,
+    )
+    from sdr_tpu.link.fast import fast_simulate
+
+    cfg = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(n_fft=1024, cp_len=256),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=10.0),
+        n_symbols=4,
+        n_channels=2,
+    )
+    e_j, c_j = fast_simulate(cfg, _jax.random.PRNGKey(9), backend="jnp")
+    e_p, c_p = fast_simulate(cfg, _jax.random.PRNGKey(9), backend="pallas")
+    np.testing.assert_array_equal(np.asarray(c_j), np.asarray(c_p))
+    np.testing.assert_array_equal(np.asarray(e_j), np.asarray(e_p))
