@@ -59,10 +59,11 @@ from sdr_tpu.kernels.demod_pallas import _llr_axis
 # stage-1 VPU butterfly count (N1 = N/N2); override to re-tune.
 _DEFAULT_N2 = 256
 _MAX_N1 = 32
-# VMEM budget for one grid block's resident set (input, stage arrays,
-# W operands, LLR out). ~16 MB/core total; leave room for double
-# buffering of the streamed input.
-_VMEM_BUDGET = 10 << 20
+# Estimated-bytes budget per grid block. Mosaic's real scoped-VMEM use
+# runs ~2.5x this estimate (double-buffered inputs + stack temps;
+# measured: est 7.4M -> 17.8M actual at the old 10M budget), so the
+# estimate must stay well under the 16M hardware limit. Env-tunable.
+_VMEM_BUDGET = int(os.environ.get("SDR_TPU_FOURSTEP_VMEM", str(4 << 20)))
 
 
 def _pick_n2(n_fft: int, cp_len: int) -> int | None:
