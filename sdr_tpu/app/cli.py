@@ -46,7 +46,15 @@ def _cmd_bench(args) -> int:
         return 0
 
     case = get_case(args.config)
-    if getattr(args, "cfo", 0.0) or getattr(args, "timing_offset", 0):
+    impaired = bool(getattr(args, "cfo", 0.0) or getattr(args, "timing_offset", 0))
+    if impaired and args.coded:
+        print(
+            "error: --coded cannot be combined with --cfo/--timing-offset "
+            "(the coded link has no acquisition front-end yet)",
+            file=sys.stderr,
+        )
+        return 2
+    if impaired:
         import dataclasses
 
         # Acquisition mode: impairments force the blind S&C receiver
@@ -89,7 +97,9 @@ def _cmd_bench(args) -> int:
             )
         )
         return 0
-    if case.sharded and len(jax.devices()) > 1:
+    if case.sharded and len(jax.devices()) > 1 and not impaired:
+        # Acquisition mode lives in the per-channel pipeline; impaired
+        # runs take the unsharded path below.
         from sdr_tpu.parallel import make_link_mesh, make_sharded_stream_fn
 
         n = len(jax.devices())
@@ -155,11 +165,6 @@ def _cmd_sweep(args) -> int:
         ),
     )
     theory = res.theory(case.cfg.modulation)
-    if getattr(args, "plot", None):
-        from sdr_tpu.obs.plot import plot_sweep
-
-        plot_sweep(res, case.cfg.modulation, args.plot)
-        print(f"# BER curve written to {args.plot}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -171,6 +176,13 @@ def _cmd_sweep(args) -> int:
             }
         )
     )
+    if getattr(args, "plot", None):
+        # After the results JSON — a plotting failure must never cost
+        # the sweep's computed data.
+        from sdr_tpu.obs.plot import plot_sweep
+
+        plot_sweep(res, case.cfg.modulation, args.plot)
+        print(f"# BER curve written to {args.plot}", file=sys.stderr)
     return 0
 
 
@@ -231,11 +243,23 @@ def _cmd_info(args) -> int:
     from sdr_tpu.ops.fft import get_default_backend
 
     info = {
-        "version": "0.1",
+        "version": "0.2",
         "jax_backend": jax.default_backend(),
         "devices": [str(d) for d in jax.devices()],
         "fft_backend": get_default_backend(),
         "modulations": [m.value for m in Modulation],
+        "demod_backends": ["jnp", "pallas (n_fft<=512)",
+                           "fourstep (n_fft>=1024)", "hybrid"],
+        "channels": ["identity", "awgn", "rayleigh_flat", "multipath",
+                     "rayleigh_time (Jakes)"],
+        "receiver": ["ZF/MMSE equalizers", "max-log LLR",
+                     "comb pilots (LS / per-symbol / phase-tracked)",
+                     "blind acquisition (S&C + integer CFO + fine timing)"],
+        "fec": ["conv K=7 (171,133)", "rates 1/2, 2/3, 3/4 (802.11a "
+                "puncturing)", "soft Viterbi", "block interleaver"],
+        "parallelism": ["channel DP", "time-block SP (ppermute halos)",
+                        "fused kernels under shard_map",
+                        "multi-process jax.distributed"],
     }
     print(json.dumps(info, indent=2))
     return 0

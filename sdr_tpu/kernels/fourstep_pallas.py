@@ -82,30 +82,37 @@ def _pick_n2(n_fft: int, cp_len: int) -> int | None:
 
 
 def _block_bytes(tb: int, n_syms: int, cps: int, n1: int, n2: int, bps: int,
-                 reduce_sum: bool) -> int:
+                 reduce_sum: bool, h_syms: int = 1) -> int:
     rows = tb * n_syms
     inp = tb * n_syms * cps * n2 * 4 * 2
+    h_inp = tb * h_syms * n1 * n2 * 4 * 2
     stages = 4 * n1 * rows * n2 * 4          # live stage-1/2 planes (re+im, ~2 gens)
     w_ops = 6 * n2 * n2 * 2 + n1 * n2 * 8
     out = 0 if reduce_sum else n1 * rows * n2 * bps * 4
-    return inp + stages + w_ops + out
+    return inp + h_inp + stages + w_ops + out
 
 
 def _pick_tile(batch: int, n_syms: int, cps: int, n1: int, n2: int, bps: int,
-               reduce_sum: bool) -> int:
+               reduce_sum: bool, h_syms: int = 1) -> int:
     best = 0
     for tb in range(1, batch + 1):
         if batch % tb:
             continue
-        if _block_bytes(tb, n_syms, cps, n1, n2, bps, reduce_sum) <= _VMEM_BUDGET:
+        if (
+            _block_bytes(tb, n_syms, cps, n1, n2, bps, reduce_sum, h_syms)
+            <= _VMEM_BUDGET
+        ):
             best = tb
     return best
 
 
-def supported(shape, cp_len: int, mod: Modulation) -> bool:
+def supported(shape, cp_len: int, mod: Modulation, h_syms: int = 1) -> bool:
     """Gate: 3-D planar input, n_fft >= 1024 with a valid N1·N2 split
     (N2 must divide both n_fft and cp_len so chunks align), and a
-    batch tile that fits VMEM."""
+    batch tile that fits VMEM. The tile check uses the WORST case
+    (non-reduce LLR output block + the caller's h_syms channel plane)
+    so a shape this gate admits works in every mode — auto-dispatch
+    must never claim a shape the kernel then rejects."""
     if len(shape) != 3:
         return False
     batch, n_syms, sym_len = shape
@@ -120,7 +127,10 @@ def supported(shape, cp_len: int, mod: Modulation) -> bool:
     cps = sym_len // n2
     n1 = n_fft // n2
     return (
-        _pick_tile(batch, n_syms, cps, n1, n2, mod.bits_per_symbol, True) > 0
+        _pick_tile(
+            batch, n_syms, cps, n1, n2, mod.bits_per_symbol, False, h_syms
+        )
+        > 0
     )
 
 
@@ -306,7 +316,7 @@ def demod_chain_fourstep(
     h_syms = hr.shape[1]
     if hr.shape != (batch, h_syms, n_fft) or h_syms not in (1, n_syms):
         raise ValueError(f"unsupported channel shape {hr.shape}")
-    tb = _pick_tile(batch, n_syms, cps, n1, n2, bps, reduce_sum)
+    tb = _pick_tile(batch, n_syms, cps, n1, n2, bps, reduce_sum, h_syms)
     if tb == 0:
         raise ValueError(f"no VMEM-feasible batch tile for {re.shape}")
     grid = (batch // tb,)

@@ -25,7 +25,6 @@ cp/N2 time chunks written first (ofdm.hpp:21 layout exactly).
 from __future__ import annotations
 
 import functools
-import os
 
 import numpy as np
 import jax
@@ -35,14 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sdr_tpu.core.config import Modulation
 from sdr_tpu.kernels import _matmul
-from sdr_tpu.kernels.fourstep_pallas import _fft_chunks, _pick_n2
+from sdr_tpu.kernels.fourstep_pallas import _VMEM_BUDGET, _fft_chunks, _pick_n2
 from sdr_tpu.kernels.tx_pallas import _gray_to_binary_vec
-
-# Estimated-bytes budget per grid block. Mosaic's real scoped-VMEM use
-# runs ~2.5x this estimate (double-buffered inputs + stack temps;
-# measured: est 7.4M -> 17.8M actual), so the estimate budget must stay
-# well under the 16M hardware limit. Env-tunable for re-fitting.
-_VMEM_BUDGET = int(os.environ.get("SDR_TPU_FOURSTEP_VMEM", str(4 << 20)))
 
 
 def _block_bytes(tb: int, n_syms: int, cps: int, n1: int, n2: int) -> int:

@@ -40,7 +40,13 @@ def plot_ber_curves(
     """
     if len(curves) > len(_SERIES):
         raise ValueError(f"at most {len(_SERIES)} curves per figure")
-    import matplotlib
+    try:
+        import matplotlib
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "plot output needs matplotlib (pip install 'sdr-tpu[plot]' "
+            "or matplotlib); the sweep data itself is unaffected"
+        ) from e
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt

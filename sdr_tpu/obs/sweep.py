@@ -108,7 +108,15 @@ def ebno_sweep(
             ck = json.load(f)
         if ck.get("config_summary") == summary:
             for p in ck.get("points", []):
-                done[float(p["ebno_db"])] = SweepPoint(**p)
+                # Pre-'batches' checkpoints cannot be topped up safely
+                # (the consumed key count is unknown — resuming from
+                # batch 0 would replay the same draws and double-count
+                # them); keep such points only if already complete.
+                legacy = "batches" not in p
+                pt = SweepPoint(**p)
+                if legacy and pt.bit_errors < target_errors and pt.bits_counted < max_bits:
+                    continue  # recompute from scratch
+                done[float(pt.ebno_db)] = pt
 
     points: list[SweepPoint] = []
     for i, ebno in enumerate(ebno_grid_db):

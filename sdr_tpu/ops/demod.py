@@ -69,7 +69,7 @@ def select_backend(re_shape, hr_shape, cp_len: int, mod, platform: str) -> str:
         return "jnp"
     if _pl_ok(re_shape, cp_len, mod):
         return "pallas"
-    if _fs_ok(re_shape, cp_len, mod):
+    if _fs_ok(re_shape, cp_len, mod, h_syms=hr_shape[1]):
         return "fourstep"
     if _llr_ok((re_shape[0], re_shape[1], re_shape[2] - cp_len), mod):
         return "hybrid"
@@ -124,7 +124,9 @@ def demod_chain(
 
         # "pallas" selects the fused-kernel FAMILY: the single-matmul
         # kernel where it fits, the four-step kernel at wideband sizes.
-        if not _pl_ok(re.shape, cp_len, mod) and _fs_ok(re.shape, cp_len, mod):
+        if not _pl_ok(re.shape, cp_len, mod) and _fs_ok(
+            re.shape, cp_len, mod, h_syms=hr.shape[1]
+        ):
             b = "fourstep"
         else:
             return demod_chain_pallas(

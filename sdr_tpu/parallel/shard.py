@@ -77,16 +77,20 @@ def make_sharded_fast_fn(cfg: LinkConfig, mesh: Mesh, backend: str = "auto"):
         raise NotImplementedError(
             "the fast path simulates full-grid links (see link.fast)"
         )
-    n_shards = mesh.shape["channel"]
+    # The fast link has no time-axis structure, so EVERY device is a
+    # DP worker: channels shard over the flattened ("time", "channel")
+    # axes rather than replicating the chain across "time" rows.
+    n_shards = mesh.shape["time"] * mesh.shape["channel"]
     if cfg.n_channels % n_shards != 0:
         raise ValueError(
             f"n_channels={cfg.n_channels} not divisible by "
-            f"channel-axis size {n_shards}"
+            f"device count {n_shards}"
         )
     local = cfg.n_channels // n_shards
+    cdev = mesh.shape["channel"]
 
     def local_fn(key):
-        me = lax.axis_index("channel")
+        me = lax.axis_index("time") * cdev + lax.axis_index("channel")
         ch_ids = me * local + jnp.arange(local)
         from sdr_tpu.link.fast import fast_core
 
@@ -96,7 +100,7 @@ def make_sharded_fast_fn(cfg: LinkConfig, mesh: Mesh, backend: str = "auto"):
         local_fn,
         mesh=mesh,
         in_specs=P(),
-        out_specs=(P("channel"), P("channel")),
+        out_specs=(P(("time", "channel")), P(("time", "channel"))),
         # pallas_call emits ShapeDtypeStructs without varying-mesh-axis
         # annotations; disable the vma check rather than threading mesh
         # names into the (mesh-agnostic) kernels.

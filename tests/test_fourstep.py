@@ -155,3 +155,23 @@ def test_fast_wideband_pallas_matches_jnp():
     e_p, c_p = fast_simulate(cfg, _jax.random.PRNGKey(9), backend="pallas")
     np.testing.assert_array_equal(np.asarray(c_j), np.asarray(c_p))
     np.testing.assert_array_equal(np.asarray(e_j), np.asarray(e_p))
+
+
+def test_auto_dispatch_never_claims_infeasible_shapes():
+    """Regression: supported() used to check the reduce-mode VMEM tile
+    only, so auto-dispatch could claim a shape whose non-reduce call
+    then raised. The gate now uses the worst case: this shape (QAM64,
+    n_fft=1024, cp=256, 80 symbols/row-block) fits reduced but not with
+    the LLR output block — it must route to hybrid, not crash."""
+    from sdr_tpu.ops.demod import select_backend
+
+    shape, h, cp = (1, 80, 1280), (1, 1, 1024), 256
+    b = select_backend(shape, h, cp, Modulation.QAM64, "tpu")
+    assert b in ("hybrid", "jnp")
+    if supported(shape, cp, Modulation.QAM64):
+        # If the gate ever admits it again, the non-reduce path must work.
+        rng = np.random.default_rng(0)
+        re, im, hr, hi = _inputs(rng, 1, 80, 1280, 1024)
+        demod_chain_fourstep(
+            re, im, hr, hi, cp, Modulation.QAM64, 0.1, interpret=True
+        )

@@ -232,7 +232,7 @@ def test_sharded_fast_fused_kernels_bit_exact(tshape):
         ),
         equalizer=Equalizer.MMSE,
         n_symbols=4,
-        n_channels=2 * nc,
+        n_channels=2 * nt * nc,  # every device is a DP worker
     )
     key = jax.random.PRNGKey(17)
     e_sh, c_sh = make_sharded_fast_fn(cfg, mesh, backend="pallas")(key)
