@@ -29,7 +29,12 @@ def _cmd_demo(args) -> int:
         modulation=Modulation(args.mod),
         ebno_db=args.ebno,
     )
-    run_demo(cfg, frames=args.frames, interval_ms=args.interval)
+    run_demo(
+        cfg,
+        frames=args.frames,
+        interval_ms=args.interval,
+        snapshot=getattr(args, "snapshot", None),
+    )
     return 0
 
 
@@ -276,6 +281,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--cp", type=int, default=8)
     d.add_argument("--mod", default="16qam")
     d.add_argument("--ebno", type=float, default=None, help="AWGN Eb/N0 dB (default: identity loopback)")
+    d.add_argument("--snapshot", default=None,
+                   help="write the final time/constellation views to a figure (PNG/SVG)")
     d.set_defaults(fn=_cmd_demo)
 
     b = sub.add_parser("bench", help="run a BASELINE config")

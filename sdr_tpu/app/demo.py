@@ -125,8 +125,15 @@ def run_demo(
     interval_ms: float = 50.0,   # the reference's default timer (QFDemoWindow.cpp:152)
     render: bool = True,
     out=sys.stdout,
+    snapshot: str | None = None,
 ) -> str:
-    """Run the loopback frame loop; returns the final decoded text ring."""
+    """Run the loopback frame loop; returns the final decoded text ring.
+
+    ``snapshot``: optional path — after the last frame, render the two
+    graphical views the reference's Qt window shows (time-domain Re/Im
+    of the sliding plot history, RX constellation scatter) into one
+    figure, with the decoded text as the caption.
+    """
     cfg = cfg or DemoConfig()
     frame, bpf = make_frame_fn(cfg)
     plot_ring = SlidingBuffer(cfg.history)
@@ -135,6 +142,8 @@ def run_demo(
     key = jax.random.PRNGKey(0)
 
     pos = 0
+    im_ring = SlidingBuffer(cfg.history)
+    pts = np.zeros(0, np.complex64)
     for fi in range(frames):
         chunk = bytes(
             PAYLOAD[(pos + i) % len(PAYLOAD)] for i in range(bpf)
@@ -144,9 +153,10 @@ def run_demo(
             jnp.asarray(np.frombuffer(chunk, np.uint8)), jax.random.fold_in(key, fi)
         )
         plot_ring.push_back([float(v) for v in np.asarray(tx_re)])
+        im_ring.push_back([float(v) for v in np.asarray(tx_im)])
         text_ring.push_back(list(bytes(np.asarray(decoded))))
+        pts = np.asarray(rx_re) + 1j * np.asarray(rx_im)
         if render:
-            pts = np.asarray(rx_re) + 1j * np.asarray(rx_im)
             txt = bytes(b & 0x7F for b in text_ring.tolist()).decode("ascii", "replace")
             out.write("\x1b[2J\x1b[H" if out.isatty() else "")
             out.write(render_frame_panel(plot_ring, pts, txt) + "\n")
@@ -154,4 +164,59 @@ def run_demo(
         if interval_ms and render:
             time.sleep(interval_ms / 1000.0)
 
-    return bytes(b & 0x7F for b in text_ring.tolist()).decode("ascii", "replace")
+    text = bytes(b & 0x7F for b in text_ring.tolist()).decode("ascii", "replace")
+    if snapshot:
+        snapshot_views(
+            np.asarray(plot_ring.tolist(), np.float32),
+            np.asarray(im_ring.tolist(), np.float32),
+            pts,
+            text,
+            snapshot,
+            cfg.modulation,
+        )
+    return text
+
+
+def snapshot_views(
+    re_hist: np.ndarray,
+    im_hist: np.ndarray,
+    const_pts: np.ndarray,
+    decoded_text: str,
+    path: str,
+    mod: Modulation,
+) -> str:
+    """Figure twin of the reference's three Qt views (QFDemoWindow.cpp:
+    29-163): sliding time plot (Re/Im), RX constellation scatter, and
+    the decoded text as the caption."""
+    try:
+        import matplotlib
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("demo --snapshot needs matplotlib") from e
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (ax_t, ax_c) = plt.subplots(
+        1, 2, figsize=(10, 4), dpi=140, width_ratios=[2, 1]
+    )
+    n = len(re_hist)
+    ax_t.plot(np.arange(n), re_hist, lw=1.4, color="#2a78d6", label="Re")
+    ax_t.plot(np.arange(n), im_hist, lw=1.4, color="#eb6834", label="Im")
+    ax_t.set_title("TX time signal (sliding history)", fontsize=10, loc="left")
+    ax_t.legend(frameon=False, fontsize=8)
+    ax_c.scatter(
+        np.real(const_pts), np.imag(const_pts), s=14, color="#2a78d6",
+        alpha=0.8, edgecolors="none",
+    )
+    ax_c.set_title(f"RX constellation ({mod.value})", fontsize=10, loc="left")
+    ax_c.set_aspect("equal")
+    for ax in (ax_t, ax_c):
+        ax.grid(True, color="#e5e4dd", lw=0.6)
+        for sp in ("top", "right"):
+            ax.spines[sp].set_visible(False)
+        ax.tick_params(colors="#6b6a63", labelsize=8)
+    fig.suptitle(f"decoded: “{decoded_text.strip()}”", fontsize=9, y=0.02,
+                 va="bottom", color="#1a1a19")
+    fig.tight_layout(rect=(0, 0.06, 1, 1))
+    fig.savefig(path, facecolor="white")
+    plt.close(fig)
+    return path

@@ -165,3 +165,15 @@ def test_cli_sweep_plot(tmp_path, capsys):
     ]) == 0
     capsys.readouterr()
     assert os.path.getsize(png) > 5000
+
+
+def test_demo_snapshot_figure(tmp_path):
+    """demo --snapshot renders the reference GUI's views to a figure."""
+    from sdr_tpu.app.demo import DemoConfig, run_demo
+
+    png = str(tmp_path / "snap.png")
+    run_demo(
+        DemoConfig(ebno_db=14.0), frames=5, interval_ms=0, render=False,
+        snapshot=png,
+    )
+    assert os.path.getsize(png) > 10000
