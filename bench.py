@@ -107,6 +107,30 @@ def main() -> None:
         _ = float(run(*args))  # host fetch forces completion of all iters
         best = min(best, time.perf_counter() - t0)
 
+    # Device-health context (stderr only): sustained HBM bandwidth via
+    # the same chained methodology. The axon tunnel has degraded windows
+    # (~3x slow vs the healthy 423-429 GB/s) — this labels the run so a
+    # low headline number can be attributed to the window, not the code.
+    try:
+        nprobe = 32 * 1024 * 1024
+
+        @jax.jit
+        def _hbm(x):
+            def body(_, acc):
+                y = x + acc * jnp.float32(1e-30)
+                return acc + jnp.sum(y[::65536], dtype=jnp.float32) * jnp.float32(1e-12)
+
+            return lax.fori_loop(0, 12, body, jnp.float32(0.0))
+
+        xp = jax.random.normal(jax.random.PRNGKey(1), (nprobe,), jnp.float32)
+        _ = float(_hbm(xp))
+        t0 = time.perf_counter()
+        _ = float(_hbm(xp))
+        bw = 12 * 2 * nprobe * 4 / (time.perf_counter() - t0) / 1e9
+        print(f"# hbm_probe={bw:.0f} GB/s (healthy 423-429)", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - probe is advisory
+        print(f"# hbm_probe failed: {e}", file=sys.stderr)
+
     samples = batch * n_syms * SYM_LEN * iters
     rate = samples / best
     print(
