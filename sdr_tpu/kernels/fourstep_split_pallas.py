@@ -1,0 +1,257 @@
+"""Two-phase four-step wideband demodulator (HBM-staged variant).
+
+The single-kernel four-step (kernels/fourstep_pallas.py) keeps every
+chunk of the transform live in VMEM at once, which caps its row tile
+at ~32 rows — and 32-row matmuls fill a quarter of the MXU's sublanes.
+Measured on hardware, that granularity (N1 small matmuls + ~80 VPU
+butterflies per block) leaves it slower than the XLA-FFT hybrid.
+
+This variant trades one HBM round trip of the intermediate for
+full-size tiles, the same trade XLA's own FFT makes internally —
+except both phases here stay fused with their neighbors:
+
+- Phase A (VPU): CP strip → stage-1 chunk FFT → twiddle, written to
+  HBM in digit-major layout (N1, B, S, N2). Row tiles are small but
+  the phase is pure elementwise — no MXU to under-fill.
+- Phase B (MXU): per (k1, batch-tile) block: ONE (rows, N2)·(N2, N2)
+  Gauss matmul with rows up to 512 — the exact shape of the proven
+  256sc kernel — followed by fused equalize + max-log LLR.
+
+HBM per input sample: 8 B (input) + 2·(N/sym_len)·8 B (intermediate
+write+read) ≈ 22 B → memory speed-of-light ≈ 19 GS/s at the measured
+healthy bandwidth, vs the compute-bound ~2 GS/s the small-tile
+single-kernel variant achieves. Same numerics contract as
+fourstep_pallas (tests/test_fourstep.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+import numpy as np
+
+from sdr_tpu.core.config import Modulation
+from sdr_tpu.kernels import _matmul
+from sdr_tpu.kernels.demod_pallas import _llr_axis
+from sdr_tpu.kernels.fourstep_pallas import (
+    _fft_chunks,
+    _pick_n2,
+    _stage2_mats,
+    _twiddles,
+    permute_h,
+)
+
+def _pick_tile_a(batch: int, n_syms: int, n_fft: int, n2: int) -> int:
+    """Phase-A batch tile: the live chunk set is rows·N·16 B; keep the
+    ESTIMATE within ~2 MB (Mosaic uses ~2.5x the estimate)."""
+    best = 0
+    for tb in range(1, batch + 1):
+        if batch % tb == 0 and tb * n_syms * n_fft * 16 <= (2 << 20):
+            best = tb
+    return best
+
+
+def _pick_tile_b(batch: int, n_syms: int, n2: int, bps: int) -> int:
+    """Phase-B batch tile: target up to 512 rows (the 256sc kernel's
+    proven MXU shape), bounded by a ~4 MB estimate."""
+    best = 0
+    for tb in range(1, batch + 1):
+        if batch % tb:
+            continue
+        rows = tb * n_syms
+        if rows <= 512 and rows * n2 * (8 + 4 * bps + 16) <= (4 << 20):
+            best = tb
+    return best
+
+
+def supported(shape, cp_len: int, mod: Modulation, h_syms: int = 1) -> bool:
+    """Same numerology gate as the single-kernel four-step, plus
+    feasible tiles for both phases."""
+    if len(shape) != 3:
+        return False
+    batch, n_syms, sym_len = shape
+    if (batch * n_syms) % 8 != 0:
+        return False
+    n_fft = sym_len - cp_len
+    if n_fft < 1024 or n_fft & (n_fft - 1):
+        return False
+    n2 = _pick_n2(n_fft, cp_len)
+    if n2 is None:
+        return False
+    return (
+        _pick_tile_a(batch, n_syms, n_fft, n2) > 0
+        and _pick_tile_b(batch, n_syms, n2, mod.bits_per_symbol) > 0
+    )
+
+
+def _stage1_call(re4, im4, n1, n2, cps, cp_chunks, tb, interpret):
+    batch, n_syms = re4.shape[0], re4.shape[1]
+    rows = tb * n_syms
+    twr, twi = _twiddles(n1, n2)
+
+    def kernel(re_ref, im_ref, twr_ref, twi_ref, tr_ref, ti_ref):
+        x4r = re_ref[:]
+        x4i = im_ref[:]
+        chunks = [
+            (
+                x4r[:, :, cp_chunks + c, :].reshape(rows, n2),
+                x4i[:, :, cp_chunks + c, :].reshape(rows, n2),
+            )
+            for c in range(n1)
+        ]
+        g = _fft_chunks(chunks)
+        for k1 in range(n1):
+            gr, gi = g[k1]
+            wr = twr_ref[k1 : k1 + 1, :]
+            wi = twi_ref[k1 : k1 + 1, :]
+            tr_ref[k1] = (gr * wr - gi * wi).reshape(tb, n_syms, n2)
+            ti_ref[k1] = (gr * wi + gi * wr).reshape(tb, n_syms, n2)
+
+    out_spec = pl.BlockSpec(
+        (n1, tb, n_syms, n2), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, n_syms, cps, n2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n_syms, cps, n2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n1, batch, n_syms, n2), jnp.float32),
+            jax.ShapeDtypeStruct((n1, batch, n_syms, n2), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(re4, im4, jnp.asarray(twr), jnp.asarray(twi))
+
+
+def demod_chain_fourstep2(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    hr: jnp.ndarray,
+    hi: jnp.ndarray,
+    cp_len: int,
+    mod: Modulation,
+    noise_var: float,
+    reduce_sum: bool = False,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Two-phase four-step demod; same contract as demod_chain_fourstep."""
+    if not supported(re.shape, cp_len, mod):
+        raise ValueError(f"unsupported shape {re.shape} for split four-step")
+    batch, n_syms, sym_len = re.shape
+    n_fft = sym_len - cp_len
+    bps = mod.bits_per_symbol
+    m = mod.bits_per_axis
+    n2 = _pick_n2(n_fft, cp_len)
+    n1 = n_fft // n2
+    cps = sym_len // n2
+    cp_chunks = cp_len // n2
+    h_syms = hr.shape[1]
+    if hr.shape != (batch, h_syms, n_fft) or h_syms not in (1, n_syms):
+        raise ValueError(f"unsupported channel shape {hr.shape}")
+    tba = _pick_tile_a(batch, n_syms, n_fft, n2)
+    tbb = _pick_tile_b(batch, n_syms, n2, bps)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    re4 = re.reshape(batch, n_syms, cps, n2)
+    im4 = im.reshape(batch, n_syms, cps, n2)
+    hr4 = permute_h(hr, n_fft, n2).reshape(batch, h_syms, n1, n2)
+    hi4 = permute_h(hi, n_fft, n2).reshape(batch, h_syms, n1, n2)
+
+    tr, ti = _stage1_call(re4, im4, n1, n2, cps, cp_chunks, tba, interpret)
+
+    rows = tbb * n_syms
+    inv_nv = np.float32(1.0 / max(float(noise_var), 1e-12))
+    mode = _matmul.mxu_mode()
+    n_w = _matmul.n_w_operands(mode)
+    w_ops = _matmul.prepare_w(*_stage2_mats(n2), mode)
+
+    def kernel_b(tr_ref, ti_ref, hr_ref, hi_ref, *rest):
+        w_refs = rest[:n_w]
+        out_ref = rest[n_w]
+        xr = tr_ref[0].reshape(rows, n2)
+        xi = ti_ref[0].reshape(rows, n2)
+        yr, yi = _matmul.complex_dot(xr, xi, w_refs, mode)
+        hrb = jnp.broadcast_to(hr_ref[:, :, 0, :], (tbb, n_syms, n2)).reshape(
+            rows, n2
+        )
+        hib = jnp.broadcast_to(hi_ref[:, :, 0, :], (tbb, n_syms, n2)).reshape(
+            rows, n2
+        )
+        h2 = hrb * hrb + hib * hib
+        inv_h2 = jnp.float32(1.0) / jnp.maximum(h2, jnp.float32(1e-12))
+        sr = (hrb * yr + hib * yi) * inv_h2
+        si = (hrb * yi - hib * yr) * inv_h2
+        inv_eff = h2 * inv_nv
+        if mod is Modulation.BPSK:
+            llr_bits = _llr_axis(sr, inv_eff, mod)
+        else:
+            llr_bits = _llr_axis(sr, inv_eff, mod) + _llr_axis(si, inv_eff, mod)
+        if reduce_sum:
+            total = jnp.float32(0.0)
+            for b_llr in llr_bits:
+                total = total + jnp.sum(b_llr, dtype=jnp.float32)
+            out_ref[0, 0] = jnp.broadcast_to(total, (8, 128))
+        else:
+            out_ref[0] = jnp.concatenate(llr_bits, axis=-1)
+
+    in_specs = [
+        pl.BlockSpec((1, tbb, n_syms, n2), lambda k, j: (k, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tbb, n_syms, n2), lambda k, j: (k, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tbb, h_syms, 1, n2), lambda k, j: (j, 0, k, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tbb, h_syms, 1, n2), lambda k, j: (j, 0, k, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((n2, n2), lambda k, j: (0, 0), memory_space=pltpu.VMEM)
+        for _ in w_ops
+    ]
+    grid = (n1, batch // tbb)
+    params = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"))
+
+    if reduce_sum:
+        partial = pl.pallas_call(
+            kernel_b,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, 8, 128), lambda k, j: (k, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (n1, batch // tbb, 8, 128), jnp.float32
+            ),
+            compiler_params=params,
+            interpret=interpret,
+        )(tr, ti, hr4, hi4, *w_ops)
+        return jnp.sum(partial[:, :, 0, 0], dtype=jnp.float32)
+
+    out = pl.pallas_call(
+        kernel_b,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, rows, n2 * bps), lambda k, j: (k, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n1, batch * n_syms, n2 * bps), jnp.float32
+        ),
+        compiler_params=params,
+        interpret=interpret,
+    )(tr, ti, hr4, hi4, *w_ops)
+    out = out.reshape(n1, batch, n_syms, bps, n2)
+    out = out.transpose(1, 2, 4, 0, 3)  # (B, S, N2, N1, bps) — see fourstep
+    return out.reshape(batch, n_syms, n_fft * bps)

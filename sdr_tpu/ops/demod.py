@@ -138,6 +138,12 @@ def demod_chain(
         return demod_chain_fourstep(
             re, im, hr, hi, cp_len, mod, noise_var, reduce_sum=reduce_sum
         )
+    if b == "fourstep2":
+        from sdr_tpu.kernels.fourstep_split_pallas import demod_chain_fourstep2
+
+        return demod_chain_fourstep2(
+            re, im, hr, hi, cp_len, mod, noise_var, reduce_sum=reduce_sum
+        )
     if b == "hybrid":
         return demod_chain_hybrid(
             re, im, hr, hi, cp_len, mod, noise_var, reduce_sum=reduce_sum

@@ -175,3 +175,26 @@ def test_auto_dispatch_never_claims_infeasible_shapes():
         demod_chain_fourstep(
             re, im, hr, hi, cp, Modulation.QAM64, 0.1, interpret=True
         )
+
+
+@pytest.mark.parametrize("h_syms_is_S", [False, True])
+def test_fourstep_split_matches_jnp(rng, h_syms_is_S):
+    """Two-phase four-step (HBM-staged) parity vs jnp, both h layouts."""
+    from sdr_tpu.kernels.fourstep_split_pallas import demod_chain_fourstep2
+
+    mod, n_fft, cp = Modulation.QAM16, 1024, 256
+    batch, n_syms = 2, 4
+    nv = float(ebno_db_to_noise_var(10.0, mod.bits_per_symbol))
+    hs = n_syms if h_syms_is_S else 1
+    re, im, hr, hi = _inputs(rng, batch, n_syms, n_fft + cp, n_fft, h_syms=hs)
+    ref = demod_chain_jnp(re, im, hr, hi, cp, mod, nv)
+    got = demod_chain_fourstep2(re, im, hr, hi, cp, mod, nv, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-3, atol=5e-2
+    )
+    red = demod_chain_fourstep2(
+        re, im, hr, hi, cp, mod, nv, reduce_sum=True, interpret=True
+    )
+    np.testing.assert_allclose(
+        float(red), float(jnp.sum(ref, dtype=jnp.float32)), rtol=1e-4
+    )
