@@ -168,3 +168,16 @@ def test_full_fused_gate_rejects_large_n():
     from sdr_tpu.kernels.demod_pallas import supported as full_ok
 
     assert not full_ok((2, 8, 1024 + 128), 128, Modulation.QAM16)
+
+
+def test_mxu_mode_bf16x2(rng, monkeypatch):
+    """bf16x2 (6-pass) stays within LLR tolerance of the f32 path in
+    interpret mode (interpret computes f32 regardless; this validates
+    the plumbing — the precision itself is gated on hardware BER)."""
+    monkeypatch.setenv("SDR_TPU_MXU_PRECISION", "bf16x2")
+    mod, n_fft, cp = Modulation.QAM16, 256, 64
+    nv = float(ebno_db_to_noise_var(10.0, mod.bits_per_symbol))
+    re, im, hr, hi = _inputs(rng, 4, 8, n_fft + cp, n_fft)
+    ref = demod_chain_jnp(re, im, hr, hi, cp, mod, nv)
+    got = demod_chain_pallas(re, im, hr, hi, cp, mod, nv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
