@@ -171,13 +171,18 @@ def test_full_fused_gate_rejects_large_n():
 
 
 def test_mxu_mode_bf16x2(rng, monkeypatch):
-    """bf16x2 (6-pass) stays within LLR tolerance of the f32 path in
-    interpret mode (interpret computes f32 regardless; this validates
-    the plumbing — the precision itself is gated on hardware BER)."""
+    """bf16x2 (6-pass): x is truncated to bf16, so the transform carries
+    ~0.4% relative error (vs bf16x3's ~1e-5). This validates the
+    plumbing and bounds the drift; whether the BER curve survives is a
+    HARDWARE gate (like bf16x3's bit-identical-error-count check)."""
     monkeypatch.setenv("SDR_TPU_MXU_PRECISION", "bf16x2")
     mod, n_fft, cp = Modulation.QAM16, 256, 64
     nv = float(ebno_db_to_noise_var(10.0, mod.bits_per_symbol))
     re, im, hr, hi = _inputs(rng, 4, 8, n_fft + cp, n_fft)
-    ref = demod_chain_jnp(re, im, hr, hi, cp, mod, nv)
-    got = demod_chain_pallas(re, im, hr, hi, cp, mod, nv, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+    ref = np.asarray(demod_chain_jnp(re, im, hr, hi, cp, mod, nv))
+    got = np.asarray(
+        demod_chain_pallas(re, im, hr, hi, cp, mod, nv, interpret=True)
+    )
+    scale = np.abs(ref).max()
+    rel = np.abs(got - ref).max() / scale
+    assert rel < 2e-2, f"bf16x2 drift {rel:.3f} of full scale"
