@@ -83,6 +83,34 @@ def _cmd_bench(args) -> int:
             ),
         )
     key = jax.random.PRNGKey(args.seed)
+    if getattr(args, "fast", False):
+        if impaired or case.cfg.pilot_spacing:
+            print("error: --fast is the full-grid throughput path "
+                  "(no pilots/acquisition)", file=sys.stderr)
+            return 2
+        if len(jax.devices()) > 1 and case.cfg.n_channels % len(jax.devices()) == 0:
+            from sdr_tpu.parallel import make_link_mesh, make_sharded_fast_fn
+
+            mesh = make_link_mesh(1, len(jax.devices()))
+            errors, counted = make_sharded_fast_fn(case.cfg, mesh)(key)
+        else:
+            from sdr_tpu.link.fast import make_fast_fn
+
+            errors, counted = make_fast_fn(case.cfg)(key)
+        errors = np.asarray(errors)
+        counted = np.asarray(counted)
+        print(
+            json.dumps(
+                {
+                    "case": case.name + "+fast",
+                    "path": "fused-kernel fast link",
+                    "bits": int(counted.sum()),
+                    "bit_errors": int(errors.sum()),
+                    "ber": float(errors.sum()) / float(counted.sum()),
+                }
+            )
+        )
+        return 0
     if args.coded:
         from sdr_tpu.link.coded import make_coded_fn
 
@@ -306,6 +334,11 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument(
         "--rate", default="1/2", choices=["1/2", "2/3", "3/4"],
         help="FEC code rate via 802.11a puncturing (with --coded)",
+    )
+    b.add_argument(
+        "--fast", action="store_true",
+        help="run the fused-kernel throughput path (link.fast; sharded "
+        "over all devices when the channel count divides)",
     )
     b.set_defaults(fn=_cmd_bench)
 

@@ -177,3 +177,24 @@ def test_demo_snapshot_figure(tmp_path):
         snapshot=png,
     )
     assert os.path.getsize(png) > 10000
+
+
+def test_cli_bench_fast_path(capsys, monkeypatch):
+    import sdr_tpu.app.baseline_configs as bc
+    import dataclasses
+
+    orig = bc.baseline_cases
+
+    def small():
+        cases = orig()
+        c0 = cases[0]
+        cases[0] = dataclasses.replace(
+            c0, cfg=dataclasses.replace(c0.cfg, n_channels=8, n_symbols=8)
+        )
+        return cases
+
+    monkeypatch.setattr(bc, "baseline_cases", small)
+    assert main(["bench", "--config", "0", "--fast"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["case"].endswith("+fast")
+    assert out["ber"] < 1e-2
