@@ -222,6 +222,22 @@ def _cmd_sweep(args) -> int:
 def _cmd_autotune(args) -> int:
     from sdr_tpu.obs.autotune import recommend_crossover, tune_fft
 
+    if getattr(args, "demod", False):
+        import dataclasses as _dc
+
+        from sdr_tpu.obs.autotune import tune_demod
+
+        pts = tune_demod(
+            n_fft=args.demod_nfft, cp_len=args.demod_cp, iters=args.iters
+        )
+        ok = [p for p in pts if p.error is None]
+        winner = max(ok, key=lambda p: p.gs_per_s).backend if ok else None
+        print(json.dumps({
+            "recommended_demod_backend": winner,
+            "points": [_dc.asdict(p) for p in pts],
+        }))
+        return 0
+
     sizes = [int(s) for s in args.sizes.split(",")]
     points = tune_fft(sizes=sizes, iters=args.iters)
     for p in points:
@@ -358,6 +374,10 @@ def build_parser() -> argparse.ArgumentParser:
     a = sub.add_parser("autotune", help="measure FFT backend crossover on this device")
     a.add_argument("--sizes", default="128,256,512,1024,2048,4096,8192,16384")
     a.add_argument("--iters", type=int, default=20)
+    a.add_argument("--demod", action="store_true",
+                   help="A/B the demod backends instead of the FFT backends")
+    a.add_argument("--demod-nfft", type=int, default=4096)
+    a.add_argument("--demod-cp", type=int, default=512)
     a.set_defaults(fn=_cmd_autotune)
 
     w = sub.add_parser("scale", help="weak-scaling samples/s over the device mesh")

@@ -95,3 +95,77 @@ def recommend_crossover(points) -> int:
         else:
             break
     return cross
+
+
+@dataclasses.dataclass
+class DemodTunePoint:
+    backend: str
+    gs_per_s: float
+    error: str | None = None
+
+
+def tune_demod(
+    n_fft: int = 4096,
+    cp_len: int = 512,
+    batch: int = 256,
+    n_syms: int = 8,
+    iters: int = 6,
+    reps: int = 2,
+    backends=("pallas", "fourstep", "fourstep2", "hybrid", "jnp"),
+):
+    """A/B the demod backends at one problem shape on THIS device.
+
+    Same chained methodology as ``tune_fft``. Backends whose gates
+    reject the shape (or that fail to compile) report an error string
+    instead of a rate — the caller picks the fastest survivor. The
+    production recipe: run once on the deployment chip, export
+    ``SDR_TPU_DEMOD_BACKEND=<winner>``.
+    """
+    import numpy as np
+
+    from sdr_tpu.core.config import Modulation
+    from sdr_tpu.ops.channel import ebno_db_to_noise_var
+    from sdr_tpu.ops.demod import demod_chain
+
+    mod = Modulation.QAM16
+    nv = float(ebno_db_to_noise_var(12.0, mod.bits_per_symbol))
+    sym_len = n_fft + cp_len
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def gen(key):
+        kr, ki, kh = jax.random.split(key, 3)
+        scale = jnp.float32(1.0 / (2.0 * n_fft) ** 0.5)
+        re = jax.random.normal(kr, (batch, n_syms, sym_len), jnp.float32) * scale
+        im = jax.random.normal(ki, (batch, n_syms, sym_len), jnp.float32) * scale
+        hr = jax.random.normal(kh, (batch, 1, n_fft), jnp.float32)
+        hi = jax.random.normal(jax.random.fold_in(kh, 1), (batch, 1, n_fft), jnp.float32)
+        return re, im, hr, hi
+
+    args = gen(key)
+    points = []
+    for be in backends:
+        try:
+            @jax.jit
+            def run(re, im, hr, hi, _b=be):
+                def body(_, acc):
+                    s = demod_chain(
+                        re, im, hr + acc * jnp.float32(1e-30), hi,
+                        cp_len, mod, nv, reduce_sum=True, backend=_b,
+                    )
+                    return acc + s * jnp.float32(1e-12)
+
+                return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+            _ = float(run(*args))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _ = float(run(*args))
+                best = min(best, time.perf_counter() - t0)
+            rate = batch * n_syms * sym_len * iters / best / 1e9
+            points.append(DemodTunePoint(backend=be, gs_per_s=rate))
+        except Exception as e:  # gate rejection or compile failure
+            points.append(DemodTunePoint(backend=be, gs_per_s=0.0,
+                                         error=str(e)[:200]))
+    return points

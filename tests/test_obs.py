@@ -186,3 +186,13 @@ def test_profiler_trace_captures_real_artifacts(tmp_path):
     )
     assert files, f"no trace artifacts under {d}"
     assert sum(__import__('os').path.getsize(f) for f in files) > 1000
+
+
+def test_tune_demod_reports_backends():
+    from sdr_tpu.obs.autotune import tune_demod
+
+    pts = tune_demod(n_fft=1024, cp_len=256, batch=8, n_syms=8, iters=1,
+                     reps=1, backends=("jnp", "hybrid"))
+    by = {p.backend: p for p in pts}
+    assert by["jnp"].error is None and by["jnp"].gs_per_s > 0
+    assert by["hybrid"].error is None and by["hybrid"].gs_per_s > 0
