@@ -44,6 +44,26 @@ errors, counted = make_sharded_simulate_fn(cfg, mesh)(jax.random.PRNGKey(0))
 g = multihost_utils.process_allgather(errors, tiled=True)
 if pid == 0:
     print("ERRORS=" + ",".join(str(int(x)) for x in np.asarray(g)), flush=True)
+
+# Stream SP with the time axis SPANNING the process boundary: the
+# multipath halo ppermute and the psum BER reduction become genuine
+# cross-process collectives (the "2-host boundary collectives" of
+# BASELINE config 5, executed for real at CPU scale).
+from sdr_tpu.core.config import Equalizer
+from sdr_tpu.parallel import make_sharded_stream_fn
+
+mp_cfg = LinkConfig(
+    modulation=Modulation.QAM16, ofdm=OFDMConfig(64, 16),
+    channel=ChannelConfig(
+        model=ChannelModel.MULTIPATH, ebno_db=12.0, pdp=(1.0, 0.6, 0.3)
+    ),
+    equalizer=Equalizer.MMSE, n_symbols=8, n_channels=2,
+)
+smesh = make_link_mesh(2, 2)  # time axis = one row per PROCESS
+se, sc = make_sharded_stream_fn(mp_cfg, smesh, n_blocks=4)(jax.random.PRNGKey(7))
+sg = multihost_utils.process_allgather(se, tiled=True)
+if pid == 0:
+    print("STREAM_ERRORS=" + ",".join(str(int(x)) for x in np.asarray(sg)), flush=True)
 """
 
 
@@ -89,6 +109,12 @@ def test_two_process_distributed_matches_single_process(tmp_path):
         ln for ln in outs[0][1].splitlines() if ln.startswith("ERRORS=")
     )
     dist_errors = np.array([int(x) for x in line[len("ERRORS="):].split(",")])
+    sline = next(
+        ln for ln in outs[0][1].splitlines() if ln.startswith("STREAM_ERRORS=")
+    )
+    stream_errors = np.array(
+        [int(x) for x in sline[len("STREAM_ERRORS="):].split(",")]
+    )
 
     # Single-process reference on this process's virtual mesh.
     import jax
@@ -111,3 +137,22 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     )
     ref = simulate(cfg, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(dist_errors, np.asarray(ref.bit_errors))
+
+    # Cross-process halo ppermute + psum: the multipath stream sharded
+    # with the TIME axis spanning both processes must equal the
+    # single-process oracle bit-exactly.
+    from sdr_tpu.core.config import Equalizer
+    from sdr_tpu.link.stream import stream_simulate
+
+    mp_cfg = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(
+            model=ChannelModel.MULTIPATH, ebno_db=12.0, pdp=(1.0, 0.6, 0.3)
+        ),
+        equalizer=Equalizer.MMSE,
+        n_symbols=8,
+        n_channels=2,
+    )
+    se_ref, _ = stream_simulate(mp_cfg, jax.random.PRNGKey(7), n_blocks=4)
+    np.testing.assert_array_equal(stream_errors, np.asarray(se_ref))
