@@ -50,7 +50,20 @@ def _cmd_bench(args) -> int:
             print(f"[{i}] {c.name}: {c.description}")
         return 0
 
-    case = get_case(args.config)
+    if getattr(args, "config_file", None):
+        import dataclasses
+
+        from sdr_tpu.app.baseline_configs import BaselineCase
+        from sdr_tpu.core.config import link_config_from_dict
+
+        with open(args.config_file) as f:
+            case = BaselineCase(
+                name=args.config_file,
+                description="user config file",
+                cfg=link_config_from_dict(json.load(f)),
+            )
+    else:
+        case = get_case(args.config)
     impaired = bool(getattr(args, "cfo", 0.0) or getattr(args, "timing_offset", 0))
     if impaired and args.coded:
         print(
@@ -331,6 +344,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="run a BASELINE config")
     b.add_argument("--config", default="0", help="case name or index 0-4")
+    b.add_argument("--config-file", default=None,
+                   help="JSON LinkConfig file (overrides --config)")
     b.add_argument("--list", action="store_true")
     b.add_argument("--seed", type=int, default=0)
     b.add_argument("--per-channel", action="store_true")

@@ -238,3 +238,46 @@ class LinkConfig:
     @property
     def samples_per_symbol(self) -> int:
         return self.ofdm.symbol_len
+
+
+def link_config_to_dict(cfg: LinkConfig) -> dict:
+    """JSON-ready dict (enums as their string values)."""
+    return {
+        "modulation": cfg.modulation.value,
+        "ofdm": {"n_fft": cfg.ofdm.n_fft, "cp_len": cfg.ofdm.cp_len},
+        "channel": {
+            "model": cfg.channel.model.value,
+            "ebno_db": cfg.channel.ebno_db,
+            "pdp": list(cfg.channel.pdp),
+            "doppler_norm": cfg.channel.doppler_norm,
+            "cfo_subcarriers": cfg.channel.cfo_subcarriers,
+            "timing_offset": cfg.channel.timing_offset,
+        },
+        "equalizer": cfg.equalizer.value,
+        "n_symbols": cfg.n_symbols,
+        "n_channels": cfg.n_channels,
+        "pilot_spacing": cfg.pilot_spacing,
+    }
+
+
+def link_config_from_dict(d: dict) -> LinkConfig:
+    """Inverse of link_config_to_dict; validation runs in __post_init__
+    exactly as for programmatic construction (the trace-time analog of
+    the reference's runtime guards)."""
+    ch = d.get("channel", {})
+    return LinkConfig(
+        modulation=Modulation(d.get("modulation", "qpsk")),
+        ofdm=OFDMConfig(**d.get("ofdm", {})),
+        channel=ChannelConfig(
+            model=ChannelModel(ch.get("model", "awgn")),
+            ebno_db=ch.get("ebno_db", 10.0),
+            pdp=tuple(ch.get("pdp", (1.0,))),
+            doppler_norm=ch.get("doppler_norm", 0.01),
+            cfo_subcarriers=ch.get("cfo_subcarriers", 0.0),
+            timing_offset=ch.get("timing_offset", 0),
+        ),
+        equalizer=Equalizer(d.get("equalizer", "none")),
+        n_symbols=d.get("n_symbols", 16),
+        n_channels=d.get("n_channels", 1),
+        pilot_spacing=d.get("pilot_spacing", 0),
+    )

@@ -198,3 +198,27 @@ def test_cli_bench_fast_path(capsys, monkeypatch):
     out = json.loads(capsys.readouterr().out)
     assert out["case"].endswith("+fast")
     assert out["ber"] < 1e-2
+
+
+def test_cli_config_file_round_trip(tmp_path, capsys):
+    """bench --config-file: JSON LinkConfig in, results out."""
+    from sdr_tpu.core.config import (
+        LinkConfig,
+        Modulation,
+        OFDMConfig,
+        link_config_from_dict,
+        link_config_to_dict,
+    )
+
+    cfg = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(128, 32),
+        n_symbols=8,
+        n_channels=4,
+    )
+    assert link_config_from_dict(link_config_to_dict(cfg)) == cfg
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(link_config_to_dict(cfg)))
+    assert main(["bench", "--config-file", str(p)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["bits"] == 4 * 8 * 128 * 4
