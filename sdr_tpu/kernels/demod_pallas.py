@@ -90,6 +90,24 @@ def _dft_mats(n: int):
     return np.real(w).astype(np.float32), np.imag(w).astype(np.float32)
 
 
+def equalize_llr_bits(yr, yi, hr, hi, inv_nv, mod: Modulation):
+    """Shared fused-kernel tail: unbiased one-tap MMSE + max-log LLR.
+
+    s = conj(h)·y/|h|², LLRs scaled by |h|²/nv (h→0 fades LLRs to zero
+    instead of dividing by ~0). Returns the per-bit LLR plane list
+    (I-axis bits then Q-axis bits, MSB first) — the exact block every
+    fused kernel (demod, llr, fourstep, fourstep-split) ends with.
+    """
+    h2 = hr * hr + hi * hi
+    inv_h2 = jnp.float32(1.0) / jnp.maximum(h2, jnp.float32(1e-12))
+    sr = (hr * yr + hi * yi) * inv_h2
+    si = (hr * yi - hi * yr) * inv_h2
+    inv_eff = h2 * inv_nv
+    if mod is Modulation.BPSK:
+        return _llr_axis(sr, inv_eff, mod)
+    return _llr_axis(sr, inv_eff, mod) + _llr_axis(si, inv_eff, mod)
+
+
 def _llr_axis(v, inv_eff, mod: Modulation):
     """Per-axis max-log LLRs; strategy picked by constellation size.
 
@@ -189,19 +207,7 @@ def _make_kernel(
         # per-symbol fading plane (tb,S,N) → (rows,N).
         hr = jnp.broadcast_to(hr_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
         hi = jnp.broadcast_to(hi_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
-        h2 = hr * hr + hi * hi
-
-        # Unbiased one-tap MMSE (= ZF): s = conj(h) y / |h|².
-        inv_h2 = jnp.float32(1.0) / jnp.maximum(h2, jnp.float32(1e-12))
-        sr = (hr * yr + hi * yi) * inv_h2
-        si = (hr * yi - hi * yr) * inv_h2
-        # LLR scale: 1/eff_var = |h|²/nv (no division by a vanishing h).
-        inv_eff = h2 * inv_nv
-
-        if mod is Modulation.BPSK:
-            llr_bits = _llr_axis(sr, inv_eff, mod)
-        else:
-            llr_bits = _llr_axis(sr, inv_eff, mod) + _llr_axis(si, inv_eff, mod)
+        llr_bits = equalize_llr_bits(yr, yi, hr, hi, inv_nv, mod)
 
         if reduce_sum:
             total = jnp.float32(0.0)

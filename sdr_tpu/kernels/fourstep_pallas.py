@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sdr_tpu.core.config import Modulation
 from sdr_tpu.kernels import _matmul
-from sdr_tpu.kernels.demod_pallas import _llr_axis
+from sdr_tpu.kernels.demod_pallas import equalize_llr_bits
 
 # Stage-2 lane width. 256 balances MXU matmul efficiency against
 # stage-1 VPU butterfly count (N1 = N/N2); override to re-tune.
@@ -258,18 +258,7 @@ def _make_kernel(tb: int, n_syms: int, cps: int, cp_chunks: int, n1: int,
             hi_ = jnp.broadcast_to(
                 hi_ref[:, :, k1, :], (tb, n_syms, n2)
             ).reshape(rows, n2)
-            h2 = hr * hr + hi_ * hi_
-            inv_h2 = jnp.float32(1.0) / jnp.maximum(h2, jnp.float32(1e-12))
-            sr = (hr * yr + hi_ * yi) * inv_h2
-            si = (hr * yi - hi_ * yr) * inv_h2
-            inv_eff = h2 * inv_nv
-
-            if mod is Modulation.BPSK:
-                llr_bits = _llr_axis(sr, inv_eff, mod)
-            else:
-                llr_bits = _llr_axis(sr, inv_eff, mod) + _llr_axis(
-                    si, inv_eff, mod
-                )
+            llr_bits = equalize_llr_bits(yr, yi, hr, hi_, inv_nv, mod)
 
             if reduce_sum:
                 for b_llr in llr_bits:

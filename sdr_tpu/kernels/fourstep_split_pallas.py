@@ -34,7 +34,7 @@ import numpy as np
 
 from sdr_tpu.core.config import Modulation
 from sdr_tpu.kernels import _matmul
-from sdr_tpu.kernels.demod_pallas import _llr_axis
+from sdr_tpu.kernels.demod_pallas import equalize_llr_bits
 from sdr_tpu.kernels.fourstep_pallas import (
     _fft_chunks,
     _pick_n2,
@@ -150,7 +150,6 @@ def demod_chain_fourstep2(
     batch, n_syms, sym_len = re.shape
     n_fft = sym_len - cp_len
     bps = mod.bits_per_symbol
-    m = mod.bits_per_axis
     n2 = _pick_n2(n_fft, cp_len)
     n1 = n_fft // n2
     cps = sym_len // n2
@@ -188,15 +187,7 @@ def demod_chain_fourstep2(
         hib = jnp.broadcast_to(hi_ref[:, :, 0, :], (tbb, n_syms, n2)).reshape(
             rows, n2
         )
-        h2 = hrb * hrb + hib * hib
-        inv_h2 = jnp.float32(1.0) / jnp.maximum(h2, jnp.float32(1e-12))
-        sr = (hrb * yr + hib * yi) * inv_h2
-        si = (hrb * yi - hib * yr) * inv_h2
-        inv_eff = h2 * inv_nv
-        if mod is Modulation.BPSK:
-            llr_bits = _llr_axis(sr, inv_eff, mod)
-        else:
-            llr_bits = _llr_axis(sr, inv_eff, mod) + _llr_axis(si, inv_eff, mod)
+        llr_bits = equalize_llr_bits(yr, yi, hrb, hib, inv_nv, mod)
         if reduce_sum:
             total = jnp.float32(0.0)
             for b_llr in llr_bits:

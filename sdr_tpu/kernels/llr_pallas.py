@@ -22,7 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sdr_tpu.core.config import Modulation
-from sdr_tpu.kernels.demod_pallas import _llr_axis
+from sdr_tpu.kernels.demod_pallas import equalize_llr_bits
 
 # VMEM budget for one block's resident tiles (y, h, out, temps).
 _VMEM_BUDGET = 8 << 20
@@ -73,7 +73,6 @@ def llr_chain_pallas(
     if hr.shape != (batch, h_syms, n_fft) or h_syms not in (1, n_syms):
         raise ValueError(f"unsupported channel shape {hr.shape}")
     bps = mod.bits_per_symbol
-    m = mod.bits_per_axis
     tb = _pick_tile(batch, n_syms, n_fft, bps)
     grid = (batch // tb,)
     rows = tb * n_syms
@@ -86,16 +85,7 @@ def llr_chain_pallas(
         vi = yi_ref[:].reshape(rows, n_fft)
         hr_b = jnp.broadcast_to(hr_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
         hi_b = jnp.broadcast_to(hi_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
-        h2 = hr_b * hr_b + hi_b * hi_b
-        inv_h2 = jnp.float32(1.0) / jnp.maximum(h2, jnp.float32(1e-12))
-        sr = (hr_b * vr + hi_b * vi) * inv_h2
-        si = (hr_b * vi - hi_b * vr) * inv_h2
-        inv_eff = h2 * inv_nv
-
-        if mod is Modulation.BPSK:
-            llr_bits = _llr_axis(sr, inv_eff, mod)
-        else:
-            llr_bits = _llr_axis(sr, inv_eff, mod) + _llr_axis(si, inv_eff, mod)
+        llr_bits = equalize_llr_bits(vr, vi, hr_b, hi_b, inv_nv, mod)
 
         if reduce_sum:
             total = jnp.float32(0.0)
