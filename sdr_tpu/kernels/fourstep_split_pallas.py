@@ -61,6 +61,10 @@ def _pick_tile_b(batch: int, n_syms: int, n2: int, bps: int) -> int:
         if batch % tb:
             continue
         rows = tb * n_syms
+        # rows is the second-to-last dim of the non-reduced output block;
+        # Mosaic requires it divisible by 8 (or equal to the full axis).
+        if rows % 8:
+            continue
         if rows <= 512 and rows * n2 * (8 + 4 * bps + 16) <= (4 << 20):
             best = tb
     return best
@@ -164,8 +168,19 @@ def demod_chain_fourstep2(
 
     re4 = re.reshape(batch, n_syms, cps, n2)
     im4 = im.reshape(batch, n_syms, cps, n2)
-    hr4 = permute_h(hr, n_fft, n2).reshape(batch, h_syms, n1, n2)
-    hi4 = permute_h(hi, n_fft, n2).reshape(batch, h_syms, n1, n2)
+    # Chunk axis leading, matching tr/ti: a (1, tbb, h_syms, n2) block then
+    # has its last two dims equal to the array's, which Mosaic requires
+    # (h_syms is not divisible by 8 in the common h_syms=1 case).
+    hr4 = (
+        permute_h(hr, n_fft, n2)
+        .reshape(batch, h_syms, n1, n2)
+        .transpose(2, 0, 1, 3)
+    )
+    hi4 = (
+        permute_h(hi, n_fft, n2)
+        .reshape(batch, h_syms, n1, n2)
+        .transpose(2, 0, 1, 3)
+    )
 
     tr, ti = _stage1_call(re4, im4, n1, n2, cps, cp_chunks, tba, interpret)
 
@@ -181,12 +196,8 @@ def demod_chain_fourstep2(
         xr = tr_ref[0].reshape(rows, n2)
         xi = ti_ref[0].reshape(rows, n2)
         yr, yi = _matmul.complex_dot(xr, xi, w_refs, mode)
-        hrb = jnp.broadcast_to(hr_ref[:, :, 0, :], (tbb, n_syms, n2)).reshape(
-            rows, n2
-        )
-        hib = jnp.broadcast_to(hi_ref[:, :, 0, :], (tbb, n_syms, n2)).reshape(
-            rows, n2
-        )
+        hrb = jnp.broadcast_to(hr_ref[0], (tbb, n_syms, n2)).reshape(rows, n2)
+        hib = jnp.broadcast_to(hi_ref[0], (tbb, n_syms, n2)).reshape(rows, n2)
         llr_bits = equalize_llr_bits(yr, yi, hrb, hib, inv_nv, mod)
         if reduce_sum:
             total = jnp.float32(0.0)
@@ -201,9 +212,9 @@ def demod_chain_fourstep2(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tbb, n_syms, n2), lambda k, j: (k, j, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tbb, h_syms, 1, n2), lambda k, j: (j, 0, k, 0),
+        pl.BlockSpec((1, tbb, h_syms, n2), lambda k, j: (k, j, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tbb, h_syms, 1, n2), lambda k, j: (j, 0, k, 0),
+        pl.BlockSpec((1, tbb, h_syms, n2), lambda k, j: (k, j, 0, 0),
                      memory_space=pltpu.VMEM),
     ] + [
         pl.BlockSpec((n2, n2), lambda k, j: (0, 0), memory_space=pltpu.VMEM)
