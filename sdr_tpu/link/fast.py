@@ -54,36 +54,25 @@ def _tx(cfg: LinkConfig, idx: jnp.ndarray, backend: str):
     return jnp.real(x), jnp.imag(x)
 
 
-def fast_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray, backend: str):
-    """The batched link over explicit GLOBAL channel ids.
-
-    Every random draw is keyed by fold_in(key, channel_id) — the same
-    discipline as link.pipeline — so the result for a channel does not
-    depend on which device (or batch slice) computes it. That is what
-    makes the sharded fast path (parallel.shard.make_sharded_fast_fn)
-    bit-exact vs the unsharded one. Returns per-channel
-    (bit_errors, bits_counted), both (len(ch_ids),) int32.
-    """
-    B = ch_ids.shape[0]
-    S, N = cfg.n_symbols, cfg.ofdm.n_fft
-    mod = cfg.modulation
-    bps = mod.bits_per_symbol
-    # Host floats (cfg is static) so they stay trace-time constants.
-    nv = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps)
-    tvar = nv / N
-
+def _role_keys(key: jax.Array, ch_ids: jnp.ndarray):
     ch_keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(ch_ids)
     k_idx = jax.vmap(lambda k: prng.role_key(k, prng.ROLE_PAYLOAD))(ch_keys)
     k_noise = jax.vmap(lambda k: prng.role_key(k, prng.ROLE_NOISE))(ch_keys)
     k_fade = jax.vmap(lambda k: prng.role_key(k, prng.ROLE_FADING))(ch_keys)
+    return k_idx, k_noise, k_fade
 
-    idx = jax.vmap(
-        lambda k: jax.random.randint(k, (S, N), 0, 1 << bps, jnp.int32)
-    )(k_idx)
-    re, im = _tx(cfg, idx, backend)
 
+def _fade_state(cfg: LinkConfig, k_fade: jnp.ndarray):
+    """Per-channel fading state from keys: (h, taps); either may be None.
+
+    Pure function of the keys, so the TX side (which applies the
+    channel) and the RX side (which equalizes against it) can each
+    recompute it independently — what lets the pipelined link
+    (parallel.pp) ship only the impaired samples between stages.
+    """
     model = cfg.channel.model
-    h = None
+    S, N = cfg.n_symbols, cfg.ofdm.n_fft
+    h = taps = None
     if model == ChannelModel.RAYLEIGH_FLAT:
         h = jax.vmap(lambda k: chan.rayleigh_flat(k, (1, 1)))(k_fade)  # (B,1,1)
     elif model == ChannelModel.MULTIPATH:
@@ -100,6 +89,29 @@ def fast_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray, backend: str
         raise NotImplementedError(
             f"fast_simulate has no dispatch for channel model {model}"
         )
+    return h, taps
+
+
+def tx_channel_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
+                    backend: str):
+    """TX + channel for explicit global channel ids → impaired planar
+    (re, im), each (B, n_symbols, sym_len) float32. First pipeline
+    stage of parallel.pp; fast_core composes it with rx_count_core."""
+    B = ch_ids.shape[0]
+    S, N = cfg.n_symbols, cfg.ofdm.n_fft
+    bps = cfg.modulation.bits_per_symbol
+    # Host floats (cfg is static) so they stay trace-time constants.
+    nv = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps)
+    tvar = nv / N
+
+    k_idx, k_noise, k_fade = _role_keys(key, ch_ids)
+    idx = jax.vmap(
+        lambda k: jax.random.randint(k, (S, N), 0, 1 << bps, jnp.int32)
+    )(k_idx)
+    re, im = _tx(cfg, idx, backend)
+
+    model = cfg.channel.model
+    h, taps = _fade_state(cfg, k_fade)
 
     x = jax.lax.complex(re, im)
     if model == ChannelModel.MULTIPATH:
@@ -109,7 +121,26 @@ def fast_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray, backend: str
         x = x * h
     if model != ChannelModel.IDENTITY:
         x = jax.vmap(lambda k, xc: chan.awgn(k, xc, tvar))(k_noise, x)
+    return jnp.real(x), jnp.imag(x)
 
+
+def rx_count_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
+                  re: jnp.ndarray, im: jnp.ndarray, backend: str):
+    """Demod + error count over impaired planar samples.
+
+    Recomputes the channel plane AND the transmitted bits from the
+    channel-id keys (both are pure functions of them), so the only
+    data dependency on the TX side is the impaired samples — the
+    pipeline payload. Returns per-channel (bit_errors, bits_counted).
+    """
+    B = ch_ids.shape[0]
+    S, N = cfg.n_symbols, cfg.ofdm.n_fft
+    mod = cfg.modulation
+    bps = mod.bits_per_symbol
+    nv = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps)
+
+    k_idx, _, k_fade = _role_keys(key, ch_ids)
+    h, _ = _fade_state(cfg, k_fade)
     if h is None:
         hb = jnp.broadcast_to(jnp.complex64(1.0), (B, 1, N))
     else:
@@ -119,16 +150,33 @@ def fast_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray, backend: str
         hb = jnp.broadcast_to(h, (B, h_syms, N)).astype(jnp.complex64)
 
     llr = demod_chain(
-        jnp.real(x), jnp.imag(x),
+        re, im,
         jnp.real(hb), jnp.imag(hb),
         cfg.ofdm.cp_len, mod, max(nv, 1e-12),
         backend=None if backend == "auto" else backend,
     )
     hard = (llr < 0).astype(jnp.int8)  # (B, S, N*bps)
+    idx = jax.vmap(
+        lambda k: jax.random.randint(k, (S, N), 0, 1 << bps, jnp.int32)
+    )(k_idx)
     tx_bits = _ints_to_bits(idx, bps)
     errors = jnp.sum((hard != tx_bits).astype(jnp.int32), axis=(1, 2))
     counted = jnp.full((B,), S * N * bps, jnp.int32)
     return errors, counted
+
+
+def fast_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray, backend: str):
+    """The batched link over explicit GLOBAL channel ids.
+
+    Every random draw is keyed by fold_in(key, channel_id) — the same
+    discipline as link.pipeline — so the result for a channel does not
+    depend on which device (or batch slice) computes it. That is what
+    makes the sharded fast path (parallel.shard.make_sharded_fast_fn)
+    bit-exact vs the unsharded one. Returns per-channel
+    (bit_errors, bits_counted), both (len(ch_ids),) int32.
+    """
+    re, im = tx_channel_core(cfg, key, ch_ids, backend)
+    return rx_count_core(cfg, key, ch_ids, re, im, backend)
 
 
 def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto"):

@@ -5,3 +5,5 @@ from sdr_tpu.parallel.shard import (  # noqa: F401
     make_sharded_stream_fn,
 )
 from sdr_tpu.parallel.distributed import init_multihost  # noqa: F401
+from sdr_tpu.parallel.tp import make_tp_demod_fn  # noqa: F401
+from sdr_tpu.parallel.pp import make_pipelined_fast_fn  # noqa: F401
