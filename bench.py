@@ -28,6 +28,16 @@ complex samples/s/chip is the baseline).
 Environment knobs: SDR_BENCH_BATCH, SDR_BENCH_SYMS, SDR_BENCH_ITERS,
 SDR_BENCH_REPS, SDR_TPU_FFT_BACKEND (xla|matmul|auto),
 SDR_TPU_DEMOD_BACKEND (jnp|pallas|auto).
+
+Degraded-window handling: the tunnel alternates healthy windows
+(HBM probe 423-429 GB/s) with degraded ones (~100 GB/s, everything
+~2-4x slow). A single-shot measurement in a degraded window would
+record a number that reflects the tunnel, not the code — so when the
+probe reads degraded, the measurement (cheap: the program is already
+compiled) retries on a sleep cadence up to SDR_BENCH_RETRY_S seconds
+(default 420, 0 disables), keeping the BEST rate seen. An overall
+SIGALRM deadline guarantees the JSON line is still printed from
+whatever completed if a later attempt wedges mid-run.
 """
 
 from __future__ import annotations
@@ -90,46 +100,93 @@ def _build(batch: int, n_syms: int, iters: int):
     return gen, run
 
 
+def _hbm_probe() -> float:
+    """Sustained HBM GB/s via the chained methodology (healthy: 423-429)."""
+    nprobe = 32 * 1024 * 1024
+
+    @jax.jit
+    def _hbm(x):
+        def body(_, acc):
+            y = x + acc * jnp.float32(1e-30)
+            return acc + jnp.sum(y[::65536], dtype=jnp.float32) * jnp.float32(1e-12)
+
+        return lax.fori_loop(0, 12, body, jnp.float32(0.0))
+
+    xp = jax.random.normal(jax.random.PRNGKey(1), (nprobe,), jnp.float32)
+    _ = float(_hbm(xp))
+    t0 = time.perf_counter()
+    _ = float(_hbm(xp))
+    return 12 * 2 * nprobe * 4 / (time.perf_counter() - t0) / 1e9
+
+
+class _Deadline(Exception):
+    pass
+
+
 def main() -> None:
     batch = int(os.environ.get("SDR_BENCH_BATCH", "4096"))
     n_syms = int(os.environ.get("SDR_BENCH_SYMS", "64"))
     iters = int(os.environ.get("SDR_BENCH_ITERS", "12"))
     reps = int(os.environ.get("SDR_BENCH_REPS", "3"))
+    retry_s = float(os.environ.get("SDR_BENCH_RETRY_S", "300"))
+    healthy_bw = float(os.environ.get("SDR_BENCH_HEALTHY_BW", "300"))
+    if jax.default_backend() == "cpu":
+        retry_s = 0.0  # probe thresholds are TPU-specific
 
     gen, run = _build(batch, n_syms, iters)
     args = gen(jax.random.PRNGKey(0))
 
     _ = float(run(*args))  # warmup: compile + one full execution, synced by fetch
 
+    start = time.monotonic()
     best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _ = float(run(*args))  # host fetch forces completion of all iters
-        best = min(best, time.perf_counter() - t0)
+    bw = 0.0
+    attempts = 0
+    # The SIGALRM deadline covers the RETRY phase only: if a later
+    # attempt lands in a wedged window and hangs, the line below still
+    # prints from the best completed attempt.
+    import signal
 
-    # Device-health context (stderr only): sustained HBM bandwidth via
-    # the same chained methodology. The axon tunnel has degraded windows
-    # (~3x slow vs the healthy 423-429 GB/s) — this labels the run so a
-    # low headline number can be attributed to the window, not the code.
+    def _on_alarm(_sig, _frm):
+        raise _Deadline()
+
     try:
-        nprobe = 32 * 1024 * 1024
+        if retry_s > 0 and hasattr(signal, "SIGALRM"):
+            signal.signal(signal.SIGALRM, _on_alarm)
+            signal.alarm(int(retry_s) + 120)
+        while True:
+            attempts += 1
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _ = float(run(*args))  # host fetch forces completion of all iters
+                best = min(best, time.perf_counter() - t0)
+            try:
+                bw = _hbm_probe()
+            except Exception as e:  # pragma: no cover - probe is advisory
+                print(f"# hbm_probe failed: {e}", file=sys.stderr)
+                bw = float("nan")
+            print(f"# attempt {attempts}: hbm_probe={bw:.0f} GB/s "
+                  f"(healthy 423-429), best so far {best * 1e3:.2f}ms",
+                  file=sys.stderr)
+            if not bw < healthy_bw:  # healthy window (or probe NaN)
+                break
+            if time.monotonic() - start + 45 > retry_s:
+                break
+            time.sleep(45)  # wait out the degraded window, then retry
+    except _Deadline:
+        print("# retry deadline hit; reporting best completed attempt",
+              file=sys.stderr)
+    finally:
+        if hasattr(signal, "SIGALRM"):
+            signal.alarm(0)
 
-        @jax.jit
-        def _hbm(x):
-            def body(_, acc):
-                y = x + acc * jnp.float32(1e-30)
-                return acc + jnp.sum(y[::65536], dtype=jnp.float32) * jnp.float32(1e-12)
-
-            return lax.fori_loop(0, 12, body, jnp.float32(0.0))
-
-        xp = jax.random.normal(jax.random.PRNGKey(1), (nprobe,), jnp.float32)
-        _ = float(_hbm(xp))
+    if best == float("inf"):
+        # Deadline fired before ANY attempt finished. Fall back to one
+        # un-deadlined attempt — identical to the pre-retry behavior
+        # (blocks if the tunnel is wedged, which is all it could do).
         t0 = time.perf_counter()
-        _ = float(_hbm(xp))
-        bw = 12 * 2 * nprobe * 4 / (time.perf_counter() - t0) / 1e9
-        print(f"# hbm_probe={bw:.0f} GB/s (healthy 423-429)", file=sys.stderr)
-    except Exception as e:  # pragma: no cover - probe is advisory
-        print(f"# hbm_probe failed: {e}", file=sys.stderr)
+        _ = float(run(*args))
+        best = time.perf_counter() - t0
 
     samples = batch * n_syms * SYM_LEN * iters
     rate = samples / best
