@@ -245,8 +245,13 @@ def _cmd_autotune(args) -> int:
         )
         ok = [p for p in pts if p.error is None]
         winner = max(ok, key=lambda p: p.gs_per_s).backend if ok else None
+        be, _, stage = (winner or "").partition(":")
+        env = {"SDR_TPU_DEMOD_BACKEND": be} if winner else {}
+        if stage:
+            env["SDR_TPU_FOURSTEP_STAGE"] = stage
         print(json.dumps({
-            "recommended_demod_backend": winner,
+            "recommended_demod_backend": be or None,
+            "recommended_env": env,
             "points": [_dc.asdict(p) for p in pts],
         }))
         return 0

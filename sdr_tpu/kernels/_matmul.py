@@ -115,6 +115,26 @@ def _dot2(x, wh_ref, wl_ref):
     return d(xh, wh_ref[:]) + d(xh, wl_ref[:])
 
 
+def complex_dot_xbf16(xr, xi, w_refs, mode: str):
+    """``complex_dot`` for x ALREADY truncated to bfloat16 (e.g. the
+    bf16-staged HBM intermediate of the split four-step kernel). The
+    x-side hi/lo split collapses (lo ≡ 0), so the bf16-prepped modes
+    need only 2 MXU passes per real matmul (6 with Gauss) while W stays
+    exact to ~2e-8 — identical numerics to bf16x2 given bf16 x. Modes
+    with f32 W operands fall back to ``complex_dot`` on upcast inputs."""
+    if mode in ("bf16x3", "bf16x2"):
+        a_hi, a_lo, b_hi, b_lo, c_hi, c_lo = w_refs
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        s = (xr.astype(jnp.float32) + xi.astype(jnp.float32)).astype(jnp.bfloat16)
+        m1 = d(s, a_hi[:]) + d(s, a_lo[:])
+        m2 = d(xi, b_hi[:]) + d(xi, b_lo[:])
+        m3 = d(xr, c_hi[:]) + d(xr, c_lo[:])
+        return m1 - m2, m1 + m3
+    return complex_dot(
+        xr.astype(jnp.float32), xi.astype(jnp.float32), w_refs, mode
+    )
+
+
 def complex_dot(xr, xi, w_refs, mode: str):
     """(Yr, Yi) = (Xr + i·Xi) @ W with the Gauss identity, per mode."""
     if mode in ("bf16x3", "bf16x2"):

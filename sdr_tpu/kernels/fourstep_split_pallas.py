@@ -22,9 +22,19 @@ write+read) ≈ 22 B → memory speed-of-light ≈ 19 GS/s at the measured
 healthy bandwidth, vs the compute-bound ~2 GS/s the small-tile
 single-kernel variant achieves. Same numerics contract as
 fourstep_pallas (tests/test_fourstep.py).
+
+``SDR_TPU_FOURSTEP_STAGE=bf16`` stores the intermediate in bfloat16:
+the staging traffic halves (≈22 → ≈15 B/sample, SOL ≈ 28 GS/s) and
+phase B's x-side bf16 split collapses (9 → 6 MXU passes under the
+default bf16x3 — see kernels._matmul.complex_dot_xbf16). Accuracy is
+bf16x2-class (~2e-3 relative on the transform; the bf16x2 hardware BER
+gate in docs/PERF.md measured error-count movement at noise level).
+Default stays f32 until a healthy-window A/B shows a win.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +52,16 @@ from sdr_tpu.kernels.fourstep_pallas import (
     _twiddles,
     permute_h,
 )
+
+def stage_dtype():
+    """Intermediate dtype for the HBM-staged hop (env-selected)."""
+    s = os.environ.get("SDR_TPU_FOURSTEP_STAGE", "f32").lower()
+    if s in ("f32", "float32"):
+        return jnp.float32
+    if s in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown SDR_TPU_FOURSTEP_STAGE {s!r}")
+
 
 def _pick_tile_a(batch: int, n_syms: int, n_fft: int, n2: int) -> int:
     """Phase-A batch tile: the live chunk set is rows·N·16 B; keep the
@@ -90,7 +110,7 @@ def supported(shape, cp_len: int, mod: Modulation, h_syms: int = 1) -> bool:
     )
 
 
-def _stage1_call(re4, im4, n1, n2, cps, cp_chunks, tb, interpret):
+def _stage1_call(re4, im4, n1, n2, cps, cp_chunks, tb, interpret, out_dtype):
     batch, n_syms = re4.shape[0], re4.shape[1]
     rows = tb * n_syms
     twr, twi = _twiddles(n1, n2)
@@ -110,8 +130,12 @@ def _stage1_call(re4, im4, n1, n2, cps, cp_chunks, tb, interpret):
             gr, gi = g[k1]
             wr = twr_ref[k1 : k1 + 1, :]
             wi = twi_ref[k1 : k1 + 1, :]
-            tr_ref[k1] = (gr * wr - gi * wi).reshape(tb, n_syms, n2)
-            ti_ref[k1] = (gr * wi + gi * wr).reshape(tb, n_syms, n2)
+            tr_ref[k1] = (
+                (gr * wr - gi * wi).reshape(tb, n_syms, n2).astype(out_dtype)
+            )
+            ti_ref[k1] = (
+                (gr * wi + gi * wr).reshape(tb, n_syms, n2).astype(out_dtype)
+            )
 
     out_spec = pl.BlockSpec(
         (n1, tb, n_syms, n2), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
@@ -129,8 +153,8 @@ def _stage1_call(re4, im4, n1, n2, cps, cp_chunks, tb, interpret):
         ],
         out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((n1, batch, n_syms, n2), jnp.float32),
-            jax.ShapeDtypeStruct((n1, batch, n_syms, n2), jnp.float32),
+            jax.ShapeDtypeStruct((n1, batch, n_syms, n2), out_dtype),
+            jax.ShapeDtypeStruct((n1, batch, n_syms, n2), out_dtype),
         ),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
@@ -182,7 +206,10 @@ def demod_chain_fourstep2(
         .transpose(2, 0, 1, 3)
     )
 
-    tr, ti = _stage1_call(re4, im4, n1, n2, cps, cp_chunks, tba, interpret)
+    sdt = stage_dtype()
+    tr, ti = _stage1_call(
+        re4, im4, n1, n2, cps, cp_chunks, tba, interpret, sdt
+    )
 
     rows = tbb * n_syms
     inv_nv = np.float32(1.0 / max(float(noise_var), 1e-12))
@@ -195,7 +222,10 @@ def demod_chain_fourstep2(
         out_ref = rest[n_w]
         xr = tr_ref[0].reshape(rows, n2)
         xi = ti_ref[0].reshape(rows, n2)
-        yr, yi = _matmul.complex_dot(xr, xi, w_refs, mode)
+        if xr.dtype == jnp.bfloat16:
+            yr, yi = _matmul.complex_dot_xbf16(xr, xi, w_refs, mode)
+        else:
+            yr, yi = _matmul.complex_dot(xr, xi, w_refs, mode)
         hrb = jnp.broadcast_to(hr_ref[0], (tbb, n_syms, n2)).reshape(rows, n2)
         hib = jnp.broadcast_to(hi_ref[0], (tbb, n_syms, n2)).reshape(rows, n2)
         llr_bits = equalize_llr_bits(yr, yi, hrb, hib, inv_nv, mod)

@@ -111,16 +111,29 @@ def tune_demod(
     n_syms: int = 8,
     iters: int = 6,
     reps: int = 2,
-    backends=("pallas", "fourstep", "fourstep2", "hybrid", "jnp"),
+    backends=(
+        "pallas",
+        "fourstep",
+        "fourstep2",
+        "fourstep2:bf16",
+        "hybrid",
+        "jnp",
+    ),
 ):
     """A/B the demod backends at one problem shape on THIS device.
 
     Same chained methodology as ``tune_fft``. Backends whose gates
     reject the shape (or that fail to compile) report an error string
-    instead of a rate — the caller picks the fastest survivor. The
+    instead of a rate — the caller picks the fastest survivor. A
+    ``backend:bf16`` spec runs that backend with the bf16-staged
+    intermediate (``SDR_TPU_FOURSTEP_STAGE=bf16`` — set for tracing
+    only; the winner's env recipe is part of the report). The
     production recipe: run once on the deployment chip, export
-    ``SDR_TPU_DEMOD_BACKEND=<winner>``.
+    ``SDR_TPU_DEMOD_BACKEND=<winner>`` (plus the stage env if the
+    bf16 variant won).
     """
+    import os
+
     import numpy as np
 
     from sdr_tpu.core.config import Modulation
@@ -144,8 +157,13 @@ def tune_demod(
 
     args = gen(key)
     points = []
-    for be in backends:
+    for spec in backends:
+        be, _, stage = spec.partition(":")
+        prev_stage = os.environ.get("SDR_TPU_FOURSTEP_STAGE")
         try:
+            if stage:
+                os.environ["SDR_TPU_FOURSTEP_STAGE"] = stage
+
             @jax.jit
             def run(re, im, hr, hi, _b=be):
                 def body(_, acc):
@@ -164,8 +182,14 @@ def tune_demod(
                 _ = float(run(*args))
                 best = min(best, time.perf_counter() - t0)
             rate = batch * n_syms * sym_len * iters / best / 1e9
-            points.append(DemodTunePoint(backend=be, gs_per_s=rate))
+            points.append(DemodTunePoint(backend=spec, gs_per_s=rate))
         except Exception as e:  # gate rejection or compile failure
-            points.append(DemodTunePoint(backend=be, gs_per_s=0.0,
+            points.append(DemodTunePoint(backend=spec, gs_per_s=0.0,
                                          error=str(e)[:200]))
+        finally:
+            if stage:
+                if prev_stage is None:
+                    os.environ.pop("SDR_TPU_FOURSTEP_STAGE", None)
+                else:
+                    os.environ["SDR_TPU_FOURSTEP_STAGE"] = prev_stage
     return points

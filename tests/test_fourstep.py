@@ -177,6 +177,27 @@ def test_auto_dispatch_never_claims_infeasible_shapes():
         )
 
 
+def test_fourstep_split_bf16_stage(rng, monkeypatch):
+    """bf16-staged intermediate (SDR_TPU_FOURSTEP_STAGE=bf16): halves the
+    HBM hop; accuracy must stay bf16-class relative to the jnp chain."""
+    from sdr_tpu.kernels.fourstep_split_pallas import demod_chain_fourstep2
+
+    mod, n_fft, cp = Modulation.QAM16, 1024, 256
+    nv = float(ebno_db_to_noise_var(10.0, mod.bits_per_symbol))
+    re, im, hr, hi = _inputs(rng, 2, 4, n_fft + cp, n_fft)
+    ref = np.asarray(demod_chain_jnp(re, im, hr, hi, cp, mod, nv))
+    monkeypatch.setenv("SDR_TPU_FOURSTEP_STAGE", "bf16")
+    got = np.asarray(
+        demod_chain_fourstep2(re, im, hr, hi, cp, mod, nv, interpret=True)
+    )
+    scale = np.abs(ref).max()
+    # bf16 mantissa (~8e-3 relative) through the staged hop; LLR-sign
+    # agreement is the decision-relevant contract.
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05 * scale)
+    confident = np.abs(ref) > 0.05 * scale
+    assert np.all(np.sign(got[confident]) == np.sign(ref[confident]))
+
+
 @pytest.mark.parametrize("h_syms_is_S", [False, True])
 def test_fourstep_split_matches_jnp(rng, h_syms_is_S):
     """Two-phase four-step (HBM-staged) parity vs jnp, both h layouts."""

@@ -191,8 +191,13 @@ def test_profiler_trace_captures_real_artifacts(tmp_path):
 def test_tune_demod_reports_backends():
     from sdr_tpu.obs.autotune import tune_demod
 
+    import os
+
     pts = tune_demod(n_fft=1024, cp_len=256, batch=8, n_syms=8, iters=1,
-                     reps=1, backends=("jnp", "hybrid"))
+                     reps=1, backends=("jnp", "hybrid", "fourstep2:bf16"))
     by = {p.backend: p for p in pts}
     assert by["jnp"].error is None and by["jnp"].gs_per_s > 0
     assert by["hybrid"].error is None and by["hybrid"].gs_per_s > 0
+    # the staged-variant spec must time (CPU runs it via interpret-free
+    # jnp fallback or the kernel gate errors cleanly) and must restore env
+    assert "SDR_TPU_FOURSTEP_STAGE" not in os.environ
