@@ -177,6 +177,26 @@ def test_auto_dispatch_never_claims_infeasible_shapes():
         )
 
 
+def test_fourstep_split_4096_parity(rng):
+    """Config-5 numerology (4096sc/CP512) through the split kernel:
+    the exact shape the wideband bench runs, in interpret mode."""
+    from sdr_tpu.kernels.fourstep_split_pallas import (
+        demod_chain_fourstep2,
+        supported as fs2_ok,
+    )
+
+    mod, n_fft, cp = Modulation.QAM16, 4096, 512
+    nv = float(ebno_db_to_noise_var(10.0, mod.bits_per_symbol))
+    re, im, hr, hi = _inputs(rng, 2, 4, n_fft + cp, n_fft)
+    assert fs2_ok(re.shape, cp, mod)
+    ref = np.asarray(demod_chain_jnp(re, im, hr, hi, cp, mod, nv))
+    got = np.asarray(
+        demod_chain_fourstep2(re, im, hr, hi, cp, mod, nv, interpret=True)
+    )
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3 * scale)
+
+
 def test_fourstep_split_bf16_stage(rng, monkeypatch):
     """bf16-staged intermediate (SDR_TPU_FOURSTEP_STAGE=bf16): halves the
     HBM hop; accuracy must stay bf16-class relative to the jnp chain."""
