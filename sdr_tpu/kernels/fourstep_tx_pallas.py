@@ -74,11 +74,13 @@ def supported(shape, cp_len: int, mod: Modulation) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _stage1_mats(n2: int, n: int):
-    """(Wr, Wi) (n2, n2): W[k2, n2'] = e^{+2πi n2'·k2/N2} / N —
-    the inverse kernel with the full 1/N scaling folded in."""
+def _stage1_mats(n2: int, n: int, scale: float = 1.0):
+    """(Wr, Wi) (n2, n2): W[k2, n2'] = e^{+2πi n2'·k2/N2} · scale / N —
+    the inverse kernel with the 1/N scaling AND the constellation norm
+    folded in, so the kernel matmuls raw PAM integers (bf16-exact →
+    6-pass Gauss, see tx_pallas._idft_mats)."""
     jk = np.outer(np.arange(n2), np.arange(n2)).astype(np.float64)
-    w = np.exp(2j * np.pi * jk / n2) / n
+    w = np.exp(2j * np.pi * jk / n2) * (float(scale) / n)
     return np.real(w).astype(np.float32), np.imag(w).astype(np.float32)
 
 
@@ -96,7 +98,6 @@ def _make_kernel(tb: int, n_syms: int, cps: int, cp_chunks: int, n1: int,
     rows = tb * n_syms
     m = mod.bits_per_axis
     L = mod.levels_per_axis
-    norm = np.float32(mod.unit_energy_scale)
     mode = _matmul.mxu_mode()
     n_w = _matmul.n_w_operands(mode)
 
@@ -114,14 +115,17 @@ def _make_kernel(tb: int, n_syms: int, cps: int, cp_chunks: int, n1: int,
                 gi = idx >> m
                 gq = idx & jnp.int32(L - 1)
             bi = _gray_to_binary_vec(gi, m)
-            xr = (2 * bi - (L - 1)).astype(jnp.float32) * norm
+            # Raw PAM integers (norm folded into W): bf16-exact.
+            xr = (2 * bi - (L - 1)).astype(jnp.float32)
             if gq is None:
                 xi = jnp.zeros_like(xr)
             else:
                 bq = _gray_to_binary_vec(gq, m)
-                xi = (2 * bq - (L - 1)).astype(jnp.float32) * norm
+                xi = (2 * bq - (L - 1)).astype(jnp.float32)
 
-            yr, yi = _matmul.complex_dot(xr, xi, w_refs, mode)
+            yr, yi = _matmul.complex_dot_xbf16(
+                xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16), w_refs, mode
+            )
             twr = twr_ref[k1 : k1 + 1, :]
             twi = twi_ref[k1 : k1 + 1, :]
             chunks.append((yr * twr - yi * twi, yr * twi + yi * twr))
@@ -172,7 +176,9 @@ def tx_chain_fourstep(
     idx4 = idx.reshape(batch, n_syms, n2, n1).swapaxes(-1, -2)
 
     twr, twi = _tx_twiddles(n1, n2)
-    w_ops = _matmul.prepare_w(*_stage1_mats(n2, n_fft), _matmul.mxu_mode())
+    w_ops = _matmul.prepare_w(
+        *_stage1_mats(n2, n_fft, mod.unit_energy_scale), _matmul.mxu_mode()
+    )
     kernel = _make_kernel(tb, n_syms, cps, cp_chunks, n1, n2, mod)
 
     in_specs = [

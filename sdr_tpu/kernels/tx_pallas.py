@@ -49,10 +49,16 @@ def supported(shape, mod: Modulation) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _idft_mats(n: int):
-    """(Wr, Wi) float32 (n, n): inverse kernel e^{+2πi jk/n} / n."""
+def _idft_mats(n: int, scale: float = 1.0):
+    """(Wr, Wi) float32 (n, n): inverse kernel e^{+2πi jk/n} · scale / n.
+
+    The constellation's unit-energy norm is folded in as ``scale`` so
+    the kernel can matmul RAW PAM integers (odd ints ≤ L−1) — which are
+    exact in bfloat16, collapsing the x-side hi/lo split
+    (``_matmul.complex_dot_xbf16``): 6 MXU passes instead of 9 with
+    strictly better accuracy (no f32-rounded x·norm to re-split)."""
     jk = np.outer(np.arange(n), np.arange(n)).astype(np.float64)
-    w = np.exp(2j * np.pi * jk / n) / n
+    w = np.exp(2j * np.pi * jk / n) * (float(scale) / n)
     return np.real(w).astype(np.float32), np.imag(w).astype(np.float32)
 
 
@@ -70,7 +76,6 @@ def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int, mod: Modulation)
     rows = tb * n_syms
     m = mod.bits_per_axis
     L = mod.levels_per_axis
-    norm = np.float32(mod.unit_energy_scale)
     sym_len = n_fft + cp_len
 
     mode = _matmul.mxu_mode()
@@ -87,16 +92,18 @@ def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int, mod: Modulation)
             gi = idx >> m
             gq = idx & jnp.int32(L - 1)
         bi = _gray_to_binary_vec(gi, m)
-        xr = (2 * bi - (L - 1)).astype(jnp.float32) * norm
+        # Raw PAM integers (norm folded into W): exact in bfloat16, so
+        # the Gauss product needs 6 MXU passes, not 9 (_matmul docs).
+        xr = (2 * bi - (L - 1)).astype(jnp.float32)
         if gq is None:
             xi = jnp.zeros_like(xr)
         else:
             bq = _gray_to_binary_vec(gq, m)
-            xi = (2 * bq - (L - 1)).astype(jnp.float32) * norm
+            xi = (2 * bq - (L - 1)).astype(jnp.float32)
 
-        # Gauss 3-matmul complex product (default bf16x3);
-        # see kernels/_matmul.py.
-        yr, yi = _matmul.complex_dot(xr, xi, w_refs, mode)
+        yr, yi = _matmul.complex_dot_xbf16(
+            xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16), w_refs, mode
+        )
 
         if cp_len:
             re_ref[:, :cp_len] = yr[:, n_fft - cp_len :]
@@ -129,7 +136,9 @@ def tx_chain_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    w_ops = _matmul.prepare_w(*_idft_mats(n_fft), _matmul.mxu_mode())
+    w_ops = _matmul.prepare_w(
+        *_idft_mats(n_fft, mod.unit_energy_scale), _matmul.mxu_mode()
+    )
     kernel, sym_len = _make_kernel(tb, n_syms, n_fft, cp_len, mod)
     rows_per_block = tb * n_syms
 

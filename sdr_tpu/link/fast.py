@@ -31,10 +31,21 @@ from sdr_tpu.ops.ofdm import ofdm_tx
 
 
 def _tx(cfg: LinkConfig, idx: jnp.ndarray, backend: str):
-    """(B,S,N) indices → planar (re, im) (B,S,sym_len)."""
+    """(B,S,N) indices → planar (re, im) (B,S,sym_len).
+
+    The wideband kernel variant is selectable via
+    ``SDR_TPU_TX_WIDEBAND=fourstep|fourstep2`` (default fourstep; the
+    split variant stages through HBM for full-row MXU tiles — A/B
+    on-device, same recipe as the demod backends)."""
+    import os
+
     from sdr_tpu.kernels.fourstep_tx_pallas import (
         supported as tx4_ok,
         tx_chain_fourstep,
+    )
+    from sdr_tpu.kernels.fourstep_tx_split_pallas import (
+        supported as tx42_ok,
+        tx_chain_fourstep2,
     )
     from sdr_tpu.kernels.tx_pallas import supported as tx_ok, tx_chain_pallas
 
@@ -45,6 +56,13 @@ def _tx(cfg: LinkConfig, idx: jnp.ndarray, backend: str):
     )
     if want and small_ok:
         return tx_chain_pallas(idx, cfg.ofdm.cp_len, cfg.modulation)
+    wide_variant = os.environ.get("SDR_TPU_TX_WIDEBAND", "fourstep")
+    if (
+        want
+        and wide_variant == "fourstep2"
+        and tx42_ok(idx.shape, cfg.ofdm.cp_len, cfg.modulation)
+    ):
+        return tx_chain_fourstep2(idx, cfg.ofdm.cp_len, cfg.modulation)
     if want and wide_ok:
         return tx_chain_fourstep(idx, cfg.ofdm.cp_len, cfg.modulation)
     bits = _ints_to_bits(idx, cfg.modulation.bits_per_symbol)

@@ -130,6 +130,39 @@ def test_fourstep_tx_matches_jnp(rng):
         )
 
 
+@pytest.mark.parametrize("stage", ["f32", "bf16"])
+def test_fourstep_tx_split_matches_jnp(rng, monkeypatch, stage):
+    """Two-phase four-step TX (HBM-staged) vs modulate + ofdm_tx, both
+    staging dtypes."""
+    from sdr_tpu.kernels.fourstep_tx_split_pallas import (
+        supported as tx2_ok,
+        tx_chain_fourstep2,
+    )
+    from sdr_tpu.ops.modulation import _ints_to_bits, modulate
+    from sdr_tpu.ops.ofdm import ofdm_tx
+
+    monkeypatch.setenv("SDR_TPU_FOURSTEP_STAGE", stage)
+    tol = dict(rtol=1e-4, atol=1e-5) if stage == "f32" else dict(
+        rtol=0.05, atol=8e-3 * 0.05
+    )
+    for mod, n_fft, cp in [
+        (Modulation.QAM16, 1024, 256),
+        (Modulation.QAM64, 4096, 512),
+    ]:
+        bps = mod.bits_per_symbol
+        idx = jnp.asarray(rng.integers(0, 1 << bps, (2, 4, n_fft)), jnp.int32)
+        assert tx2_ok(idx.shape, cp, mod)
+        re, im = tx_chain_fourstep2(idx, cp, mod, interpret=True)
+        ref = ofdm_tx(modulate(_ints_to_bits(idx, bps), mod), cp)
+        assert re.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(re), np.real(np.asarray(ref)), **tol
+        )
+        np.testing.assert_allclose(
+            np.asarray(im), np.imag(np.asarray(ref)), **tol
+        )
+
+
 def test_fast_wideband_pallas_matches_jnp():
     """Full fast link at config-5 numerology through both fused
     four-step kernels (TX + demod), vs the jnp composition."""
