@@ -177,9 +177,26 @@ def _llr_axis_recursive(v, inv_eff, mod: Modulation):
     return out
 
 
+def count_errors_bits(llr_bits, idx, bps: int):
+    """Shared fused-kernel counting tail: hard decisions vs the
+    transmitted symbol indices, summed over bit planes.
+
+    ``llr_bits`` is the kernel-order plane list (I bits then Q bits,
+    MSB first — position j IS public bit j of each subcarrier), so the
+    transmitted bit plane is ``(idx >> (bps−1−j)) & 1``, matching
+    ops.modulation._ints_to_bits' MSB-first unpack exactly. Returns the
+    float32 error plane (rows, n) — counts ≤ 2²⁴ so f32 is exact."""
+    err = None
+    for j, b_llr in enumerate(llr_bits):
+        tx_j = ((idx >> (bps - 1 - j)) & jnp.int32(1)) != 0
+        e = jnp.where((b_llr < 0) != tx_j, jnp.float32(1.0), jnp.float32(0.0))
+        err = e if err is None else err + e
+    return err
+
+
 def _make_kernel(
     tb: int, n_syms: int, sym_len: int, cp_len: int, mod: Modulation,
-    noise_var: float, reduce_sum: bool
+    noise_var: float, reduce_sum: bool, count: bool = False
 ):
     n_fft = sym_len - cp_len
     rows = tb * n_syms
@@ -191,6 +208,9 @@ def _make_kernel(
     n_w = _matmul.n_w_operands(mode)
 
     def kernel(re_ref, im_ref, hr_ref, hi_ref, *rest):
+        if count:
+            idx_ref = rest[0]
+            rest = rest[1:]
         w_refs = rest[:n_w]
         out_ref = rest[n_w]
         # CP strip + row-major reshape: (tb, S, sym_len) → (rows, n_fft).
@@ -209,7 +229,15 @@ def _make_kernel(
         hi = jnp.broadcast_to(hi_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
         llr_bits = equalize_llr_bits(yr, yi, hr, hi, inv_nv, mod)
 
-        if reduce_sum:
+        if count:
+            idx = idx_ref[:].reshape(rows, n_fft)
+            err = count_errors_bits(llr_bits, idx, bps)
+            # Per-CHANNEL partial counts: fold the symbol axis in-kernel,
+            # keep the lane axis for the (tiny) XLA sum outside. The
+            # write is tb·N floats per block — ~1000x less HBM than the
+            # LLR plane + restore transpose this path replaces.
+            out_ref[0] = jnp.sum(err.reshape(tb, n_syms, n_fft), axis=1)
+        elif reduce_sum:
             total = jnp.float32(0.0)
             for b_llr in llr_bits:
                 total = total + jnp.sum(b_llr, dtype=jnp.float32)
@@ -315,3 +343,80 @@ def demod_chain_pallas(
     # XLA transpose restores it.
     out = out.reshape(batch * n_syms, bps, n_fft).transpose(0, 2, 1)
     return out.reshape(batch, n_syms, n_fft * bps)
+
+
+def demod_count_pallas(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    hr: jnp.ndarray,
+    hi: jnp.ndarray,
+    idx: jnp.ndarray,
+    cp_len: int,
+    mod: Modulation,
+    noise_var: float,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused demod + hard-decision error count vs transmitted indices.
+
+    The BER-counting twin of ``demod_chain_pallas``: identical chain
+    (CP strip → DFT → MMSE → max-log LLR) but the hard decisions are
+    compared against ``idx`` (batch, n_syms, n_fft) int32 IN the
+    kernel, so the only HBM traffic is the planar input read + the
+    int32 index read + a tb·n_fft count write per block. No LLR plane
+    is materialized and no bit-order restore transpose runs — the
+    error count is invariant to the kernel's bit-major layout.
+    Returns per-channel (batch,) int32 error counts, decision-exact vs
+    counting on ``demod_chain_pallas``'s public-order LLRs.
+    """
+    if not supported(re.shape, cp_len, mod):
+        raise ValueError(f"unsupported shape {re.shape} for fused demod kernel")
+    batch, n_syms, sym_len = re.shape
+    n_fft = sym_len - cp_len
+    h_syms = hr.shape[1]
+    if hr.shape != (batch, h_syms, n_fft) or h_syms not in (1, n_syms):
+        raise ValueError(f"unsupported channel shape {hr.shape}")
+    if idx.shape != (batch, n_syms, n_fft):
+        raise ValueError(f"unsupported index shape {idx.shape}")
+    tb = _matmul.pick_batch_tile(batch, n_syms, n_fft)
+    grid = (batch // tb,)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    w_ops = _matmul.prepare_w(*_dft_mats(n_fft), _matmul.mxu_mode())
+    kernel = _make_kernel(
+        tb, n_syms, sym_len, cp_len, mod, float(noise_var),
+        reduce_sum=False, count=True,
+    )
+    in_specs = [
+        pl.BlockSpec((tb, n_syms, sym_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, n_syms, sym_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, h_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, h_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for _ in w_ops
+    ]
+    rows = tb * n_syms
+    cost = pl.CostEstimate(
+        flops=6 * rows * n_fft * n_fft * grid[0],
+        bytes_accessed=(2 * batch * n_syms * sym_len
+                        + 2 * batch * h_syms * n_fft
+                        + batch * n_syms * n_fft) * 4,
+        transcendentals=0,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tb, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid[0], tb, n_fft), jnp.float32),
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(re, im, hr, hi, idx.astype(jnp.int32), *w_ops)
+    return jnp.sum(
+        out.reshape(batch, n_fft), axis=-1, dtype=jnp.float32
+    ).astype(jnp.int32)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from sdr_tpu.core import prng
 from sdr_tpu.core.config import ChannelModel, LinkConfig
 from sdr_tpu.ops import channel as chan
-from sdr_tpu.ops.demod import demod_chain
+from sdr_tpu.ops.demod import demod_count_chain
 from sdr_tpu.ops.modulation import _ints_to_bits
 from sdr_tpu.ops.ofdm import ofdm_tx
 
@@ -167,18 +167,18 @@ def rx_count_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
         h_syms = h.shape[1]
         hb = jnp.broadcast_to(h, (B, h_syms, N)).astype(jnp.complex64)
 
-    llr = demod_chain(
-        re, im,
-        jnp.real(hb), jnp.imag(hb),
-        cfg.ofdm.cp_len, mod, max(nv, 1e-12),
-        backend=None if backend == "auto" else backend,
-    )
-    hard = (llr < 0).astype(jnp.int8)  # (B, S, N*bps)
     idx = jax.vmap(
         lambda k: jax.random.randint(k, (S, N), 0, 1 << bps, jnp.int32)
     )(k_idx)
-    tx_bits = _ints_to_bits(idx, bps)
-    errors = jnp.sum((hard != tx_bits).astype(jnp.int32), axis=(1, 2))
+    # Fused count path where available: hard decisions compared in the
+    # demod kernel itself — no LLR plane or bit-order transpose in HBM
+    # (ops.demod.demod_count_chain; decision-identical fallback).
+    errors = demod_count_chain(
+        re, im,
+        jnp.real(hb), jnp.imag(hb),
+        idx, cfg.ofdm.cp_len, mod, max(nv, 1e-12),
+        backend=backend,
+    )
     counted = jnp.full((B,), S * N * bps, jnp.int32)
     return errors, counted
 

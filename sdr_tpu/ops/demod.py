@@ -153,6 +153,52 @@ def demod_chain(
     return demod_chain_jnp(re, im, hr, hi, cp_len, mod, noise_var, reduce_sum)
 
 
+def demod_count_chain(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    hr: jnp.ndarray,
+    hi: jnp.ndarray,
+    idx: jnp.ndarray,
+    cp_len: int,
+    mod: Modulation,
+    noise_var: float,
+    backend: str | None = None,
+) -> jnp.ndarray:
+    """Demod + hard-decision bit-error count vs transmitted indices.
+
+    The BER-counting terminal of the receive chain: where the fused
+    count kernel applies (single-matmul sizes on TPU), the comparison
+    happens IN the kernel and no LLR plane ever reaches HBM — the
+    dominant cost of the full-LLR fast path (the N·bps float32 write
+    plus the bit-order restore transpose is ~3x the kernel's own input
+    traffic). Everywhere else it falls back to counting on the public
+    LLRs — decision-identical by construction. Returns per-channel
+    (batch,) int32 error counts.
+    """
+    from sdr_tpu.ops.modulation import _ints_to_bits
+
+    b = backend or _default_backend()
+    if b == "auto":
+        b = select_backend(re.shape, hr.shape, cp_len, mod, jax.default_backend())
+    if b == "pallas":
+        from sdr_tpu.kernels.demod_pallas import demod_count_pallas
+        from sdr_tpu.kernels.demod_pallas import supported as _pl_ok
+
+        if _pl_ok(re.shape, cp_len, mod) and idx.shape == (
+            re.shape[0], re.shape[1], re.shape[2] - cp_len
+        ):
+            return demod_count_pallas(
+                re, im, hr, hi, idx, cp_len, mod, noise_var
+            )
+    llr = demod_chain(
+        re, im, hr, hi, cp_len, mod, noise_var,
+        backend=None if backend == "auto" else backend,
+    )
+    hard = (llr < 0).astype(jnp.int8)
+    bits = _ints_to_bits(idx, mod.bits_per_symbol)
+    return jnp.sum((hard != bits).astype(jnp.int32), axis=(1, 2))
+
+
 def demod_chain_hybrid(
     re: jnp.ndarray,
     im: jnp.ndarray,

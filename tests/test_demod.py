@@ -186,3 +186,51 @@ def test_mxu_mode_bf16x2(rng, monkeypatch):
     scale = np.abs(ref).max()
     rel = np.abs(got - ref).max() / scale
     assert rel < 2e-2, f"bf16x2 drift {rel:.3f} of full scale"
+
+
+@pytest.mark.parametrize(
+    "mod", [Modulation.QAM16, Modulation.QPSK, Modulation.BPSK, Modulation.QAM64]
+)
+def test_count_kernel_matches_llr_counting(rng, mod):
+    """Fused count kernel == hard decisions on the kernel's own public
+    LLRs (decision-exact: identical chain, only the terminal differs)."""
+    from sdr_tpu.kernels.demod_pallas import demod_count_pallas
+    from sdr_tpu.ops.modulation import _ints_to_bits
+
+    n_fft, cp = 256, 64
+    batch, n_syms = 4, 8
+    bps = mod.bits_per_symbol
+    nv = float(ebno_db_to_noise_var(8.0, bps))
+    re, im, hr, hi = _inputs(rng, batch, n_syms, n_fft + cp, n_fft)
+    idx = jnp.asarray(
+        rng.integers(0, 1 << bps, (batch, n_syms, n_fft)), jnp.int32
+    )
+    llr = demod_chain_pallas(re, im, hr, hi, cp, mod, nv, interpret=True)
+    hard = (np.asarray(llr) < 0).astype(np.int8)
+    bits = np.asarray(_ints_to_bits(idx, bps))
+    want = (hard != bits).sum(axis=(1, 2))
+    got = np.asarray(
+        demod_count_pallas(re, im, hr, hi, idx, cp, mod, nv, interpret=True)
+    )
+    assert got.dtype == np.int32 and got.shape == (batch,)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_demod_count_chain_backends_agree(rng):
+    """ops.demod.demod_count_chain: fused path == jnp fallback counts
+    (the fast link's invariant across backends)."""
+    from sdr_tpu.ops.demod import demod_count_chain
+
+    mod, n_fft, cp = Modulation.QAM16, 256, 64
+    batch, n_syms = 4, 8
+    nv = float(ebno_db_to_noise_var(8.0, mod.bits_per_symbol))
+    re, im, hr, hi = _inputs(rng, batch, n_syms, n_fft + cp, n_fft)
+    idx = jnp.asarray(
+        rng.integers(0, 16, (batch, n_syms, n_fft)), jnp.int32
+    )
+    a = demod_count_chain(re, im, hr, hi, idx, cp, mod, nv, backend="pallas")
+    b = demod_count_chain(re, im, hr, hi, idx, cp, mod, nv, backend="jnp")
+    # bf16x3 matmul-DFT vs XLA FFT can flip decisions only at noise
+    # level; at these sizes the counts must agree exactly or within a
+    # couple of boundary bits.
+    assert abs(int(np.asarray(a).sum()) - int(np.asarray(b).sum())) <= 2
