@@ -44,7 +44,7 @@ import numpy as np
 
 from sdr_tpu.core.config import Modulation
 from sdr_tpu.kernels import _matmul
-from sdr_tpu.kernels.demod_pallas import equalize_llr_bits
+from sdr_tpu.kernels.demod_pallas import count_errors_bits, equalize_llr_bits
 from sdr_tpu.kernels.fourstep_pallas import (
     _fft_chunks,
     _pick_n2,
@@ -171,8 +171,17 @@ def demod_chain_fourstep2(
     noise_var: float,
     reduce_sum: bool = False,
     interpret: bool | None = None,
+    count_idx: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Two-phase four-step demod; same contract as demod_chain_fourstep."""
+    """Two-phase four-step demod; same contract as demod_chain_fourstep.
+
+    With ``count_idx`` (batch, n_syms, n_fft) int32 transmitted symbol
+    indices, phase B compares hard decisions in-kernel and returns
+    per-channel (batch,) int32 error counts instead of LLRs — the
+    wideband twin of demod_pallas.demod_count_pallas (no LLR plane or
+    digit/bit-order restore transpose in HBM). The indices ride the
+    same digit permutation as the channel plane, so bit plane j
+    compares against public bit j of the same subcarrier."""
     if not supported(re.shape, cp_len, mod):
         raise ValueError(f"unsupported shape {re.shape} for split four-step")
     batch, n_syms, sym_len = re.shape
@@ -216,8 +225,12 @@ def demod_chain_fourstep2(
     mode = _matmul.mxu_mode()
     n_w = _matmul.n_w_operands(mode)
     w_ops = _matmul.prepare_w(*_stage2_mats(n2), mode)
+    count = count_idx is not None
 
     def kernel_b(tr_ref, ti_ref, hr_ref, hi_ref, *rest):
+        if count:
+            idx_ref = rest[0]
+            rest = rest[1:]
         w_refs = rest[:n_w]
         out_ref = rest[n_w]
         xr = tr_ref[0].reshape(rows, n2)
@@ -229,7 +242,11 @@ def demod_chain_fourstep2(
         hrb = jnp.broadcast_to(hr_ref[0], (tbb, n_syms, n2)).reshape(rows, n2)
         hib = jnp.broadcast_to(hi_ref[0], (tbb, n_syms, n2)).reshape(rows, n2)
         llr_bits = equalize_llr_bits(yr, yi, hrb, hib, inv_nv, mod)
-        if reduce_sum:
+        if count:
+            idx_b = idx_ref[0].reshape(rows, n2)
+            err = count_errors_bits(llr_bits, idx_b, bps)
+            out_ref[0, 0] = jnp.sum(err.reshape(tbb, n_syms, n2), axis=1)
+        elif reduce_sum:
             total = jnp.float32(0.0)
             for b_llr in llr_bits:
                 total = total + jnp.sum(b_llr, dtype=jnp.float32)
@@ -246,12 +263,46 @@ def demod_chain_fourstep2(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tbb, h_syms, n2), lambda k, j: (k, j, 0, 0),
                      memory_space=pltpu.VMEM),
-    ] + [
+    ]
+    if count:
+        in_specs.append(
+            pl.BlockSpec((1, tbb, n_syms, n2), lambda k, j: (k, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    in_specs += [
         pl.BlockSpec((n2, n2), lambda k, j: (0, 0), memory_space=pltpu.VMEM)
         for _ in w_ops
     ]
     grid = (n1, batch // tbb)
     params = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"))
+
+    if count:
+        # Transmitted indices in the kernel's digit-major layout — the
+        # same permutation the channel plane rides.
+        idx4 = (
+            permute_h(count_idx.astype(jnp.int32), n_fft, n2)
+            .reshape(batch, n_syms, n1, n2)
+            .transpose(2, 0, 1, 3)
+        )
+        out = pl.pallas_call(
+            kernel_b,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, tbb, n2), lambda k, j: (k, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (n1, batch // tbb, tbb, n2), jnp.float32
+            ),
+            compiler_params=params,
+            interpret=interpret,
+        )(tr, ti, hr4, hi4, idx4, *w_ops)
+        return (
+            jnp.sum(out, axis=(0, 3), dtype=jnp.float32)
+            .reshape(batch)
+            .astype(jnp.int32)
+        )
 
     if reduce_sum:
         partial = pl.pallas_call(

@@ -1,0 +1,315 @@
+"""Monte-Carlo link kernel: the ENTIRE link simulation in one kernel.
+
+The fast link (link/fast.py) already fuses TX and demod+count, but the
+channel between them is XLA elementwise code whose random draws come
+from counter-based threefry — tens of VPU ops per normal — and every
+stage hop costs an HBM round trip of the sample planes. Measured on
+the v5e, the end-to-end link runs ~3x slower than the demod kernel
+alone: the simulation is bound by noise generation and staging, not by
+the chain it measures.
+
+This kernel is the TPU-first answer for the Monte-Carlo use case (BER
+curves, Eb/N0 sweeps — the reference's statistical role, ofdm.hpp +
+the demo loop): per grid block it
+
+  1. draws transmitted symbol indices from the ON-CORE hardware PRNG
+     (`pltpu.prng_seed` / `prng_random_bits` — near-free vs threefry),
+  2. Gray-maps them arithmetically and runs the norm-folded IDFT on
+     the MXU (6-pass exact-int Gauss, fourstep_tx docstring),
+  3. draws the channel realization (flat-Rayleigh gain or multipath
+     taps → frequency response) and complex AWGN via Box–Muller
+     (log/sqrt/cos lower to Mosaic transcendentals),
+  4. applies the channel, runs the forward DFT, MMSE-equalizes with
+     genie CSI, forms max-log LLRs and counts hard-decision errors
+     against the indices drawn in step 1 — all without a single
+     intermediate leaving VMEM.
+
+The only HBM traffic is the int32 seed in and a (tb, n_fft) partial
+count out per block: the simulation runs at MXU/VPU rates.
+
+Channel equivalence note: the multipath channel is applied per
+subcarrier (Y = H·X) BEFORE the IDFT→noise→DFT round trip. With a
+cyclic prefix at least as long as the delay spread this is EXACTLY the
+time-domain circular convolution the CP exists to create (the same
+identity ofdm.hpp's perfect-sync RX relies on), so BER statistics are
+identical to the oracle chain while both transforms are still
+exercised at full cost. CP samples carry no information and their
+noise is discarded by the CP strip, so the kernel does not materialize
+them; throughput accounting for this kernel counts N samples per
+symbol (CP excluded) — stricter than the demod-chain metric.
+
+Randomness contract: draws are keyed by (seed, grid block, iteration),
+deterministic and reproducible on the same topology, but NOT the
+jax.random stream of link/fast — this is a statistically-validated
+path (BER vs exact theory on hardware; `rand_inputs` injection mode
+for CPU-interpret parity against the jnp chain), not a bit-exact twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sdr_tpu.core.config import ChannelModel, LinkConfig, Modulation
+from sdr_tpu.kernels import _matmul
+from sdr_tpu.kernels.demod_pallas import (
+    _dft_mats,
+    count_errors_bits,
+    equalize_llr_bits,
+)
+from sdr_tpu.kernels.tx_pallas import _gray_to_binary_vec, _idft_mats
+
+_SUPPORTED_MODELS = (
+    ChannelModel.IDENTITY,
+    ChannelModel.AWGN,
+    ChannelModel.RAYLEIGH_FLAT,
+    ChannelModel.MULTIPATH,
+)
+
+
+def supported(cfg: LinkConfig) -> bool:
+    """Single-matmul numerology, supported channel model, genie CSI."""
+    n_fft = cfg.ofdm.n_fft
+    return (
+        cfg.channel.model in _SUPPORTED_MODELS
+        and 128 <= n_fft <= 512
+        and n_fft % 128 == 0
+        and cfg.pilot_spacing == 0
+        and cfg.channel.cfo_subcarriers == 0.0
+        and cfg.channel.timing_offset == 0
+        and (cfg.n_channels * cfg.n_symbols) % 8 == 0
+        and cfg.n_symbols <= _matmul.row_target(n_fft)
+    )
+
+
+def _uniform_01(bits):
+    """random bits → f32 uniform in (0, 1]: 24 mantissa-grade bits,
+    offset half an ulp so log() never sees 0. The uint32 view makes
+    the shift logical regardless of the primitive's signedness."""
+    u = bits.astype(jnp.uint32) >> 8
+    return u.astype(jnp.float32) * jnp.float32(2.0**-24) + jnp.float32(2.0**-25)
+
+
+def _gauss_pair(b1, b2):
+    """Box–Muller: two uint32 planes → two independent N(0,1) planes."""
+    u1 = _uniform_01(b1)
+    u2 = _uniform_01(b2)
+    r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+    t = jnp.float32(2.0 * np.pi) * u2
+    return r * jnp.cos(t), r * jnp.sin(t)
+
+
+def _pdp_mask(pdp, n_fft: int) -> np.ndarray:
+    """(1, n_fft) float32: sqrt(pdp_l / Σpdp) on the first L lanes."""
+    p = np.asarray(pdp, np.float64)
+    p = p / p.sum()
+    m = np.zeros((1, n_fft), np.float32)
+    m[0, : len(p)] = np.sqrt(p).astype(np.float32)
+    return m
+
+
+def mc_count_pallas(
+    cfg: LinkConfig,
+    seed,
+    interpret: bool | None = None,
+    rand_inputs=None,
+):
+    """One Monte-Carlo pass over cfg's (n_channels, n_symbols) grid.
+
+    ``seed``: int32 scalar (array or python int); draws are keyed by
+    (seed, block). Returns per-channel int32 error counts
+    (n_channels,); bits counted per channel is the static
+    ``n_symbols · n_fft · bits_per_symbol``.
+
+    ``rand_inputs``: optional (idx, nr, ni, hr, hi) arrays replacing
+    the in-kernel draws — idx (B,S,N) int32, nr/ni (B,S,N) float32
+    N(0,1) planes, hr/hi (B,1,N) float32 channel response (ignored for
+    AWGN/IDENTITY). This injection mode is interpret-compatible (the
+    hardware PRNG is not) and pins the kernel's math against the jnp
+    chain in tests.
+    """
+    if not supported(cfg):
+        raise ValueError(f"mc_count_pallas does not support this config: {cfg}")
+    mod = cfg.modulation
+    model = cfg.channel.model
+    batch, n_syms = cfg.n_channels, cfg.n_symbols
+    n_fft = cfg.ofdm.n_fft
+    bps = mod.bits_per_symbol
+    m = mod.bits_per_axis
+    L = mod.levels_per_axis
+    nv = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps)
+    inv_nv = np.float32(1.0 / max(nv, 1e-12))
+    # Time-domain per-component noise sigma: total complex variance
+    # nv/N in time (ops.channel.awgn convention), halved per component,
+    # and the forward DFT scales variance by N → nv in frequency.
+    sigma_t = np.float32(np.sqrt(nv / n_fft / 2.0))
+    tb = _matmul.pick_batch_tile(batch, n_syms, n_fft)
+    rows = tb * n_syms
+    grid = (batch // tb,)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    mode = _matmul.mxu_mode()
+    n_w = _matmul.n_w_operands(mode)
+    w_tx = _matmul.prepare_w(
+        *_idft_mats(n_fft, mod.unit_energy_scale), mode
+    )
+    w_rx = _matmul.prepare_w(*_dft_mats(n_fft), mode)
+    pdp_mask = (
+        _pdp_mask(cfg.channel.pdp, n_fft)
+        if model == ChannelModel.MULTIPATH
+        else None
+    )
+    inject = rand_inputs is not None
+    tbh = max(tb, 8)  # PRNG tile floor for the per-link channel draw
+
+    def kernel(seed_ref, *rest):
+        if inject:
+            idx_ref, nr_ref, ni_ref, hr_ref, hi_ref = rest[:5]
+            rest = rest[5:]
+        wtx_refs = rest[:n_w]
+        wrx_refs = rest[n_w : 2 * n_w]
+        out_ref = rest[2 * n_w]
+
+        if inject:
+            idx = idx_ref[:].reshape(rows, n_fft)
+        else:
+            pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+            idx = (
+                pltpu.prng_random_bits((rows, n_fft)).astype(jnp.uint32)
+                & jnp.uint32((1 << bps) - 1)
+            ).astype(jnp.int32)
+
+        # TX: arithmetic Gray decode to raw PAM integers (bf16-exact;
+        # the constellation norm is folded into the IDFT operand).
+        if mod is Modulation.BPSK:
+            gi, gq = idx, None
+        else:
+            gi = idx >> m
+            gq = idx & jnp.int32(L - 1)
+        bi = _gray_to_binary_vec(gi, m)
+        xr = (2 * bi - (L - 1)).astype(jnp.float32)
+        if gq is None:
+            xi = jnp.zeros_like(xr)
+        else:
+            bq = _gray_to_binary_vec(gq, m)
+            xi = (2 * bq - (L - 1)).astype(jnp.float32)
+
+        # Channel realization (per link, genie CSI) in frequency.
+        if model not in (ChannelModel.RAYLEIGH_FLAT, ChannelModel.MULTIPATH):
+            hr = hi = None
+        elif inject:
+            hr = hr_ref[:].reshape(tb, 1, n_fft)
+            hi = hi_ref[:].reshape(tb, 1, n_fft)
+        elif model == ChannelModel.RAYLEIGH_FLAT:
+            gr, gim = _gauss_pair(
+                pltpu.prng_random_bits((tbh, 128)),
+                pltpu.prng_random_bits((tbh, 128)),
+            )
+            s = jnp.float32(np.sqrt(0.5))
+            hr = jnp.broadcast_to(
+                (gr[:tb, :1] * s)[:, None, :], (tb, 1, n_fft)
+            )
+            hi = jnp.broadcast_to(
+                (gim[:tb, :1] * s)[:, None, :], (tb, 1, n_fft)
+            )
+        elif model == ChannelModel.MULTIPATH:
+            tr_, ti_ = _gauss_pair(
+                pltpu.prng_random_bits((tbh, n_fft)),
+                pltpu.prng_random_bits((tbh, n_fft)),
+            )
+            s = jnp.float32(np.sqrt(0.5))
+            mask = jnp.asarray(pdp_mask)
+            tr_ = tr_[:tb] * mask * s
+            ti_ = ti_[:tb] * mask * s
+            # H = taps @ DFT — one extra small complex matmul; operand
+            # rounding just perturbs the channel DRAW, BER-neutral.
+            hfr, hfi = _matmul.complex_dot(tr_, ti_, wrx_refs, mode)
+            hr = hfr[:, None, :]
+            hi = hfi[:, None, :]
+
+        if hr is not None:
+            hrb = jnp.broadcast_to(hr, (tb, n_syms, n_fft)).reshape(rows, n_fft)
+            hib = jnp.broadcast_to(hi, (tb, n_syms, n_fft)).reshape(rows, n_fft)
+            # Per-subcarrier channel BEFORE the transform round trip ≡
+            # CP circular convolution (module docstring).
+            xr, xi = xr * hrb - xi * hib, xr * hib + xi * hrb
+        else:
+            hrb = jnp.ones((rows, n_fft), jnp.float32)
+            hib = jnp.zeros((rows, n_fft), jnp.float32)
+
+        # IDFT to time domain. After the channel multiply x is no
+        # longer integer-valued, so the exact-int 2-pass shortcut only
+        # applies when no fading was folded in.
+        if hr is None and mod is not Modulation.BPSK:
+            tr_t, ti_t = _matmul.complex_dot_xbf16(
+                xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16), wtx_refs, mode
+            )
+        else:
+            tr_t, ti_t = _matmul.complex_dot(xr, xi, wtx_refs, mode)
+
+        # AWGN in the time domain.
+        if model is not ChannelModel.IDENTITY:
+            if inject:
+                nr = nr_ref[:].reshape(rows, n_fft)
+                ni = ni_ref[:].reshape(rows, n_fft)
+            else:
+                nr, ni = _gauss_pair(
+                    pltpu.prng_random_bits((rows, n_fft)),
+                    pltpu.prng_random_bits((rows, n_fft)),
+                )
+            tr_t = tr_t + nr * sigma_t
+            ti_t = ti_t + ni * sigma_t
+
+        # RX: forward DFT → genie-CSI MMSE → max-log LLR → count.
+        yr, yi = _matmul.complex_dot(tr_t, ti_t, wrx_refs, mode)
+        llr_bits = equalize_llr_bits(yr, yi, hrb, hib, inv_nv, mod)
+        err = count_errors_bits(llr_bits, idx, bps)
+        out_ref[0] = jnp.sum(err.reshape(tb, n_syms, n_fft), axis=1)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    operands = [jnp.atleast_1d(jnp.asarray(seed, jnp.int32))]
+    if inject:
+        idx, nr, ni, hr, hi = rand_inputs
+        in_specs += [
+            pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1, n_fft), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1, n_fft), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [
+            idx.astype(jnp.int32),
+            nr.astype(jnp.float32),
+            ni.astype(jnp.float32),
+            hr.astype(jnp.float32),
+            hi.astype(jnp.float32),
+        ]
+    in_specs += [
+        pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for _ in (*w_tx, *w_rx)
+    ]
+    operands += [*w_tx, *w_rx]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tb, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid[0], tb, n_fft), jnp.float32),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(*operands)
+    return jnp.sum(
+        out.reshape(batch, n_fft), axis=-1, dtype=jnp.float32
+    ).astype(jnp.int32)

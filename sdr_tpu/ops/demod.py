@@ -180,15 +180,28 @@ def demod_count_chain(
     b = backend or _default_backend()
     if b == "auto":
         b = select_backend(re.shape, hr.shape, cp_len, mod, jax.default_backend())
-    if b == "pallas":
+    idx_ok = idx.shape == (re.shape[0], re.shape[1], re.shape[2] - cp_len)
+    if b == "pallas" and idx_ok:
         from sdr_tpu.kernels.demod_pallas import demod_count_pallas
         from sdr_tpu.kernels.demod_pallas import supported as _pl_ok
 
-        if _pl_ok(re.shape, cp_len, mod) and idx.shape == (
-            re.shape[0], re.shape[1], re.shape[2] - cp_len
-        ):
+        if _pl_ok(re.shape, cp_len, mod):
             return demod_count_pallas(
                 re, im, hr, hi, idx, cp_len, mod, noise_var
+            )
+    if b in ("pallas", "fourstep", "fourstep2") and idx_ok:
+        from sdr_tpu.kernels.fourstep_split_pallas import (
+            demod_chain_fourstep2,
+            supported as _fs2_ok,
+        )
+
+        # Wideband count terminal: the split four-step with in-kernel
+        # comparison (the "pallas" family auto-routes here at
+        # n_fft >= 1024 because the count variant avoids the digit/bit
+        # restore transpose the LLR fallback would pay).
+        if _fs2_ok(re.shape, cp_len, mod, h_syms=hr.shape[1]):
+            return demod_chain_fourstep2(
+                re, im, hr, hi, cp_len, mod, noise_var, count_idx=idx
             )
     llr = demod_chain(
         re, im, hr, hi, cp_len, mod, noise_var,

@@ -272,3 +272,30 @@ def test_fourstep_split_matches_jnp(rng, h_syms_is_S):
     np.testing.assert_allclose(
         float(red), float(jnp.sum(ref, dtype=jnp.float32)), rtol=1e-4
     )
+
+
+def test_fourstep_split_count_matches_llr_counting(rng):
+    """Wideband fused count (count_idx) == hard decisions on the split
+    kernel's own public-order LLRs (decision-exact)."""
+    from sdr_tpu.kernels.fourstep_split_pallas import demod_chain_fourstep2
+    from sdr_tpu.ops.modulation import _ints_to_bits
+
+    mod, n_fft, cp = Modulation.QAM16, 1024, 256
+    batch, n_syms = 2, 4
+    bps = mod.bits_per_symbol
+    nv = float(ebno_db_to_noise_var(8.0, bps))
+    re, im, hr, hi = _inputs(rng, batch, n_syms, n_fft + cp, n_fft)
+    idx = jnp.asarray(
+        rng.integers(0, 1 << bps, (batch, n_syms, n_fft)), jnp.int32
+    )
+    llr = demod_chain_fourstep2(re, im, hr, hi, cp, mod, nv, interpret=True)
+    hard = (np.asarray(llr) < 0).astype(np.int8)
+    bits = np.asarray(_ints_to_bits(idx, bps))
+    want = (hard != bits).sum(axis=(1, 2))
+    got = np.asarray(
+        demod_chain_fourstep2(
+            re, im, hr, hi, cp, mod, nv, interpret=True, count_idx=idx
+        )
+    )
+    assert got.dtype == np.int32 and got.shape == (batch,)
+    np.testing.assert_array_equal(got, want)

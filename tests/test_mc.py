@@ -1,0 +1,129 @@
+"""Monte-Carlo link kernel (kernels/mc_pallas.py).
+
+The hardware PRNG has no interpret-mode implementation, so CPU tests
+pin the kernel's MATH via the ``rand_inputs`` injection mode against
+a jnp composition of the identical model (channel in frequency, noise
+in time, both transforms, genie-CSI MMSE, max-log hard decisions).
+Statistical validation of the in-kernel draws runs on hardware
+(the driver/queue scripts; docs/PERF.md).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdr_tpu.core.config import (
+    ChannelConfig,
+    ChannelModel,
+    LinkConfig,
+    Modulation,
+    OFDMConfig,
+)
+from sdr_tpu.kernels.mc_pallas import mc_count_pallas, supported
+from sdr_tpu.ops.modulation import _ints_to_bits, modulate
+
+
+def _cfg(model=ChannelModel.AWGN, mod=Modulation.QAM16, ebno=8.0, **kw):
+    ch = dict(model=model, ebno_db=ebno)
+    if model == ChannelModel.MULTIPATH:
+        ch["pdp"] = (1.0, 0.5, 0.25)
+    return LinkConfig(
+        modulation=mod,
+        ofdm=OFDMConfig(n_fft=256, cp_len=64),
+        channel=ChannelConfig(**ch),
+        n_symbols=8,
+        n_channels=4,
+        **kw,
+    )
+
+
+def _oracle_counts(cfg, idx, nr, ni, hr, hi):
+    """jnp twin of the kernel's model: freq channel → IDFT → time AWGN
+    → DFT → genie MMSE → max-log hard decisions vs idx."""
+    from sdr_tpu.ops.equalize import equalize_mmse
+    from sdr_tpu.ops.llr import llr_maxlog
+
+    mod = cfg.modulation
+    bps = mod.bits_per_symbol
+    N = cfg.ofdm.n_fft
+    nv = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps)
+    x = modulate(_ints_to_bits(idx, bps), mod)  # (B,S,N) complex
+    h = jax.lax.complex(hr, hi)
+    if cfg.channel.model in (ChannelModel.RAYLEIGH_FLAT, ChannelModel.MULTIPATH):
+        x = x * h
+        h_eq = h
+    else:
+        h_eq = jnp.ones_like(h)
+    xt = jnp.fft.ifft(x, axis=-1)  # 1/N inverse, reference convention
+    sigma = np.sqrt(nv / N / 2.0)
+    yt = xt
+    if cfg.channel.model is not ChannelModel.IDENTITY:
+        yt = yt + (nr + 1j * ni) * sigma
+    y = jnp.fft.fft(yt, axis=-1)
+    s, eff = equalize_mmse(y, h_eq, nv)
+    llr = llr_maxlog(s, mod, eff)
+    hard = (np.asarray(llr) < 0).astype(np.int8)
+    bits = np.asarray(_ints_to_bits(idx, bps))
+    return (hard != bits).sum(axis=(1, 2))
+
+
+@pytest.mark.parametrize(
+    "model", [ChannelModel.AWGN, ChannelModel.RAYLEIGH_FLAT,
+              ChannelModel.MULTIPATH, ChannelModel.IDENTITY]
+)
+def test_mc_inject_matches_jnp_model(rng, model):
+    cfg = _cfg(model=model, ebno=6.0)
+    assert supported(cfg)
+    B, S, N = cfg.n_channels, cfg.n_symbols, cfg.ofdm.n_fft
+    bps = cfg.modulation.bits_per_symbol
+    idx = jnp.asarray(rng.integers(0, 1 << bps, (B, S, N)), jnp.int32)
+    nr = jnp.asarray(rng.standard_normal((B, S, N)), jnp.float32)
+    ni = jnp.asarray(rng.standard_normal((B, S, N)), jnp.float32)
+    hr = jnp.asarray(rng.standard_normal((B, 1, N)), jnp.float32)
+    hi = jnp.asarray(rng.standard_normal((B, 1, N)), jnp.float32)
+    got = np.asarray(
+        mc_count_pallas(cfg, 0, interpret=True,
+                        rand_inputs=(idx, nr, ni, hr, hi))
+    )
+    want = _oracle_counts(cfg, idx, nr, ni, hr, hi)
+    assert got.shape == (B,) and got.dtype == np.int32
+    # bf16x3 matmul transforms vs XLA FFT can flip individual boundary
+    # decisions; counts must track closely.
+    assert np.abs(got - want).max() <= max(2, int(0.02 * want.max() + 1)), (
+        got, want,
+    )
+
+
+def test_mc_supported_gate():
+    assert supported(_cfg())
+    assert not supported(_cfg(model=ChannelModel.RAYLEIGH_TIME))
+    big = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(n_fft=1024, cp_len=256),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=8.0),
+        n_symbols=8, n_channels=4,
+    )
+    assert not supported(big)
+    from sdr_tpu.core.config import Equalizer
+
+    piloted = _cfg(pilot_spacing=8, equalizer=Equalizer.MMSE)
+    assert not supported(piloted)
+    with pytest.raises(ValueError):
+        mc_count_pallas(big, 0, interpret=True)
+
+
+def test_mc_identity_zero_errors(rng):
+    """IDENTITY channel, no noise → the loopback must be error-free
+    (the MC twin of the reference's exact byte round trip)."""
+    cfg = _cfg(model=ChannelModel.IDENTITY)
+    B, S, N = cfg.n_channels, cfg.n_symbols, cfg.ofdm.n_fft
+    bps = cfg.modulation.bits_per_symbol
+    idx = jnp.asarray(rng.integers(0, 1 << bps, (B, S, N)), jnp.int32)
+    z = jnp.zeros((B, S, N), jnp.float32)
+    h = jnp.zeros((B, 1, N), jnp.float32)
+    got = np.asarray(
+        mc_count_pallas(cfg, 0, interpret=True,
+                        rand_inputs=(idx, z, z, h, h))
+    )
+    np.testing.assert_array_equal(got, np.zeros(B, np.int32))
