@@ -96,6 +96,32 @@ def _cmd_bench(args) -> int:
             ),
         )
     key = jax.random.PRNGKey(args.seed)
+    if getattr(args, "mc", 0):
+        from sdr_tpu.kernels.mc_pallas import supported as mc_ok
+        from sdr_tpu.link.mc import make_mc_fn
+
+        if impaired or not mc_ok(case.cfg):
+            print(
+                "error: --mc needs an MC-supported config (single-matmul "
+                "n_fft, AWGN/flat/multipath channel, no pilots/impairments)",
+                file=sys.stderr,
+            )
+            return 2
+        errors, counted = make_mc_fn(case.cfg, iters=args.mc)(args.seed)
+        errors, counted = np.asarray(errors), np.asarray(counted)
+        print(
+            json.dumps(
+                {
+                    "case": case.name + "+mc",
+                    "path": "fused Monte-Carlo kernel (hardware PRNG)",
+                    "iters": args.mc,
+                    "bits": int(counted.sum()),
+                    "bit_errors": int(errors.sum()),
+                    "ber": float(errors.sum()) / float(counted.sum()),
+                }
+            )
+        )
+        return 0
     if getattr(args, "fast", False):
         if impaired or case.cfg.pilot_spacing:
             print("error: --fast is the full-grid throughput path "
@@ -375,6 +401,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--fast", action="store_true",
         help="run the fused-kernel throughput path (link.fast; sharded "
         "over all devices when the channel count divides)",
+    )
+    b.add_argument(
+        "--mc", type=int, default=0, metavar="ITERS",
+        help="run ITERS passes of the fully-fused Monte-Carlo kernel "
+        "(on-core hardware PRNG; statistical path, TPU only)",
     )
     b.set_defaults(fn=_cmd_bench)
 

@@ -222,3 +222,10 @@ def test_cli_config_file_round_trip(tmp_path, capsys):
     assert main(["bench", "--config-file", str(p)]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["bits"] == 4 * 8 * 128 * 4
+
+
+def test_cli_bench_mc_rejects_unsupported_config(capsys):
+    # config 0 is 64-subcarrier (below the fused kernel's 128-lane
+    # floor) — the MC gate must reject it with a clear error, not crash.
+    assert main(["bench", "--config", "0", "--mc", "2"]) == 2
+    assert "--mc needs" in capsys.readouterr().err
