@@ -218,6 +218,17 @@ def _cmd_sweep(args) -> int:
     from sdr_tpu.obs.sweep import ebno_sweep
 
     case = get_case(args.config)
+    engine = getattr(args, "engine", "pipeline")
+    if engine == "mc":
+        from sdr_tpu.kernels.mc_pallas import supported as mc_ok
+
+        if not mc_ok(case.cfg):
+            print(
+                "error: --engine mc needs an MC-supported config "
+                "(single-matmul n_fft, AWGN/flat/multipath, no pilots)",
+                file=sys.stderr,
+            )
+            return 2
     grid = (
         [float(x) for x in args.ebno_grid.split(",")]
         if args.ebno_grid
@@ -230,6 +241,8 @@ def _cmd_sweep(args) -> int:
         target_errors=args.target_errors,
         max_bits=args.max_bits,
         checkpoint_path=args.checkpoint,
+        engine=engine,
+        mc_iters=getattr(args, "mc_iters", 16),
         progress=lambda p: print(
             f"# ebno={p.ebno_db:5.1f} dB  ber={p.ber:.3e}  "
             f"({p.bit_errors}/{p.bits_counted})",
@@ -417,6 +430,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--checkpoint", default=None, help="JSON checkpoint path (resume)")
     s.add_argument("--plot", default=None, help="write a BER-curve figure (PNG/SVG path)")
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument(
+        "--engine", default="pipeline", choices=["pipeline", "mc"],
+        help="mc = fully-fused Monte-Carlo kernel (hardware PRNG, TPU "
+        "only; orders faster per bit on supported configs)",
+    )
+    s.add_argument("--mc-iters", type=int, default=16,
+                   help="MC kernel passes per sweep invocation")
     s.set_defaults(fn=_cmd_sweep)
 
     i = sub.add_parser("info", help="environment and inventory")

@@ -92,6 +92,8 @@ def ebno_sweep(
     max_bits: int = 20_000_000,
     checkpoint_path: Optional[str] = None,
     progress=None,
+    engine: str = "pipeline",
+    mc_iters: int = 16,
 ) -> SweepResult:
     """BER over an Eb/N0 grid with stop-at-target-errors accumulation.
 
@@ -100,8 +102,16 @@ def ebno_sweep(
     ``checkpoint_path`` exists and matches this sweep's config summary,
     completed points are loaded and the sweep resumes after them;
     every completed point rewrites the checkpoint atomically.
-    """
-    summary = _cfg_summary(cfg)
+
+    ``engine="mc"`` drives the fully-fused Monte-Carlo kernel
+    (link.mc — on-core hardware PRNG, TPU only, ``mc_iters`` kernel
+    passes per invocation) instead of the oracle pipeline: same
+    accumulation/termination/checkpoint logic, orders faster per bit.
+    Checkpoints record the engine, so pipeline and MC sweeps never
+    share state (their random streams differ)."""
+    if engine not in ("pipeline", "mc"):
+        raise ValueError(f"unknown sweep engine {engine!r}")
+    summary = _cfg_summary(cfg) + ("/mc" if engine == "mc" else "")
     done: dict[float, SweepPoint] = {}
     if checkpoint_path and os.path.exists(checkpoint_path):
         with open(checkpoint_path) as f:
@@ -133,15 +143,33 @@ def ebno_sweep(
         pt_cfg = dataclasses.replace(
             cfg, channel=dataclasses.replace(cfg.channel, ebno_db=ebno)
         )
-        fn = make_simulate_fn(pt_cfg)
+        if engine == "mc":
+            from sdr_tpu.link.mc import make_mc_fn
+
+            mc_fn = make_mc_fn(pt_cfg, iters=mc_iters)
+
+            def invoke(batch, _i=i, _fn=mc_fn):
+                # Deterministic, never-replayed seed per (point, batch).
+                e, c = _fn(np.int32((_i * 1_000_003 + batch) & 0x7FFFFFFF))
+                return int(np.asarray(e).sum()), int(np.asarray(c).sum())
+        else:
+            fn = make_simulate_fn(pt_cfg)
+            pt_key = jax.random.fold_in(key, i)
+
+            def invoke(batch, _fn=fn, _k=pt_key):
+                res = _fn(jax.random.fold_in(_k, batch))
+                return (
+                    int(np.asarray(res.bit_errors).sum()),
+                    int(np.asarray(res.bits_counted).sum()),
+                )
+
         errors = prev.bit_errors if prev else 0
         bits = prev.bits_counted if prev else 0
         batch = prev.batches if prev else 0
-        pt_key = jax.random.fold_in(key, i)
         while errors < target_errors and bits < max_bits:
-            res = fn(jax.random.fold_in(pt_key, batch))
-            errors += int(np.asarray(res.bit_errors).sum())
-            bits += int(np.asarray(res.bits_counted).sum())
+            e, c = invoke(batch)
+            errors += e
+            bits += c
             batch += 1
         pt = SweepPoint(
             ebno_db=ebno, bit_errors=errors, bits_counted=bits, batches=batch
