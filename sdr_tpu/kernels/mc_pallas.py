@@ -67,7 +67,9 @@ _SUPPORTED_MODELS = (
     ChannelModel.AWGN,
     ChannelModel.RAYLEIGH_FLAT,
     ChannelModel.MULTIPATH,
+    ChannelModel.RAYLEIGH_TIME,
 )
+_JAKES_PATHS = 16  # sum-of-sinusoids paths, matches ops.channel.jakes_gains
 
 
 def supported(cfg: LinkConfig) -> bool:
@@ -126,10 +128,14 @@ def mc_count_pallas(
 
     ``rand_inputs``: optional (idx, nr, ni, hr, hi) arrays replacing
     the in-kernel draws — idx (B,S,N) int32, nr/ni (B,S,N) float32
-    N(0,1) planes, hr/hi (B,1,N) float32 channel response (ignored for
-    AWGN/IDENTITY). This injection mode is interpret-compatible (the
-    hardware PRNG is not) and pins the kernel's math against the jnp
-    chain in tests.
+    N(0,1) planes, hr/hi float32 channel response (B,1,N), or (B,S,N)
+    for RAYLEIGH_TIME; ignored for AWGN/IDENTITY. This injection mode
+    is interpret-compatible (the hardware PRNG is not) and pins the
+    kernel's math against the jnp chain in tests.
+
+    RAYLEIGH_TIME draws the same sum-of-sinusoids Jakes state as
+    ops.channel.jakes_gains (16 paths, uniform angles/phases, one flat
+    gain per OFDM symbol at doppler_norm = fd·T_sym).
     """
     if not supported(cfg):
         raise ValueError(f"mc_count_pallas does not support this config: {cfg}")
@@ -165,6 +171,8 @@ def mc_count_pallas(
     )
     inject = rand_inputs is not None
     tbh = max(tb, 8)  # PRNG tile floor for the per-link channel draw
+    h_syms = n_syms if model == ChannelModel.RAYLEIGH_TIME else 1
+    doppler = float(cfg.channel.doppler_norm or 0.0)
 
     def kernel(seed_ref, *rest):
         if inject:
@@ -199,11 +207,33 @@ def mc_count_pallas(
             xi = (2 * bq - (L - 1)).astype(jnp.float32)
 
         # Channel realization (per link, genie CSI) in frequency.
-        if model not in (ChannelModel.RAYLEIGH_FLAT, ChannelModel.MULTIPATH):
+        if model in (ChannelModel.IDENTITY, ChannelModel.AWGN):
             hr = hi = None
         elif inject:
-            hr = hr_ref[:].reshape(tb, 1, n_fft)
-            hi = hi_ref[:].reshape(tb, 1, n_fft)
+            hr = hr_ref[:].reshape(tb, h_syms, n_fft)
+            hi = hi_ref[:].reshape(tb, h_syms, n_fft)
+        elif model == ChannelModel.RAYLEIGH_TIME:
+            # Jakes sum of sinusoids, per-symbol flat gains: the state
+            # (16 arrival angles + phases per link) draws once, gains
+            # at each symbol index follow deterministically — the same
+            # model (and statistics) as ops.channel.jakes_gains.
+            p = _JAKES_PATHS
+            two_pi = jnp.float32(2.0 * np.pi)
+            th = _uniform_01(pltpu.prng_random_bits((tbh, 128)))[:tb, :p] * two_pi
+            ph = _uniform_01(pltpu.prng_random_bits((tbh, 128)))[:tb, :p] * two_pi
+            w = two_pi * jnp.float32(doppler) * jnp.cos(th)  # (tb, P)
+            inv_sp = jnp.float32(1.0 / np.sqrt(p))
+            cols_r, cols_i = [], []
+            for s_i in range(n_syms):
+                ang = w * jnp.float32(s_i) + ph
+                cols_r.append(
+                    jnp.sum(jnp.cos(ang), axis=-1, keepdims=True) * inv_sp
+                )
+                cols_i.append(
+                    jnp.sum(jnp.sin(ang), axis=-1, keepdims=True) * inv_sp
+                )
+            hr = jnp.concatenate(cols_r, axis=-1)[:, :, None]  # (tb, S, 1)
+            hi = jnp.concatenate(cols_i, axis=-1)[:, :, None]
         elif model == ChannelModel.RAYLEIGH_FLAT:
             gr, gim = _gauss_pair(
                 pltpu.prng_random_bits((tbh, 128)),
@@ -281,9 +311,9 @@ def mc_count_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1, n_fft), lambda i: (i, 0, 0),
+            pl.BlockSpec((tb, h_syms, n_fft), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1, n_fft), lambda i: (i, 0, 0),
+            pl.BlockSpec((tb, h_syms, n_fft), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [

@@ -24,10 +24,13 @@ from sdr_tpu.kernels.mc_pallas import mc_count_pallas, supported
 from sdr_tpu.ops.modulation import _ints_to_bits, modulate
 
 
-def _cfg(model=ChannelModel.AWGN, mod=Modulation.QAM16, ebno=8.0, **kw):
+def _cfg(model=ChannelModel.AWGN, mod=Modulation.QAM16, ebno=8.0,
+         doppler_norm=None, **kw):
     ch = dict(model=model, ebno_db=ebno)
     if model == ChannelModel.MULTIPATH:
         ch["pdp"] = (1.0, 0.5, 0.25)
+    if doppler_norm is not None:
+        ch["doppler_norm"] = doppler_norm
     return LinkConfig(
         modulation=mod,
         ofdm=OFDMConfig(n_fft=256, cp_len=64),
@@ -50,7 +53,11 @@ def _oracle_counts(cfg, idx, nr, ni, hr, hi):
     nv = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps)
     x = modulate(_ints_to_bits(idx, bps), mod)  # (B,S,N) complex
     h = jax.lax.complex(hr, hi)
-    if cfg.channel.model in (ChannelModel.RAYLEIGH_FLAT, ChannelModel.MULTIPATH):
+    if cfg.channel.model in (
+        ChannelModel.RAYLEIGH_FLAT,
+        ChannelModel.MULTIPATH,
+        ChannelModel.RAYLEIGH_TIME,
+    ):
         x = x * h
         h_eq = h
     else:
@@ -70,18 +77,21 @@ def _oracle_counts(cfg, idx, nr, ni, hr, hi):
 
 @pytest.mark.parametrize(
     "model", [ChannelModel.AWGN, ChannelModel.RAYLEIGH_FLAT,
-              ChannelModel.MULTIPATH, ChannelModel.IDENTITY]
+              ChannelModel.MULTIPATH, ChannelModel.IDENTITY,
+              ChannelModel.RAYLEIGH_TIME]
 )
 def test_mc_inject_matches_jnp_model(rng, model):
-    cfg = _cfg(model=model, ebno=6.0)
+    kw = {"doppler_norm": 0.02} if model == ChannelModel.RAYLEIGH_TIME else {}
+    cfg = _cfg(model=model, ebno=6.0, **kw)
     assert supported(cfg)
     B, S, N = cfg.n_channels, cfg.n_symbols, cfg.ofdm.n_fft
+    h_syms = S if model == ChannelModel.RAYLEIGH_TIME else 1
     bps = cfg.modulation.bits_per_symbol
     idx = jnp.asarray(rng.integers(0, 1 << bps, (B, S, N)), jnp.int32)
     nr = jnp.asarray(rng.standard_normal((B, S, N)), jnp.float32)
     ni = jnp.asarray(rng.standard_normal((B, S, N)), jnp.float32)
-    hr = jnp.asarray(rng.standard_normal((B, 1, N)), jnp.float32)
-    hi = jnp.asarray(rng.standard_normal((B, 1, N)), jnp.float32)
+    hr = jnp.asarray(rng.standard_normal((B, h_syms, N)), jnp.float32)
+    hi = jnp.asarray(rng.standard_normal((B, h_syms, N)), jnp.float32)
     got = np.asarray(
         mc_count_pallas(cfg, 0, interpret=True,
                         rand_inputs=(idx, nr, ni, hr, hi))
@@ -97,7 +107,7 @@ def test_mc_inject_matches_jnp_model(rng, model):
 
 def test_mc_supported_gate():
     assert supported(_cfg())
-    assert not supported(_cfg(model=ChannelModel.RAYLEIGH_TIME))
+    assert supported(_cfg(model=ChannelModel.RAYLEIGH_TIME, doppler_norm=0.02))
     big = LinkConfig(
         modulation=Modulation.QAM16,
         ofdm=OFDMConfig(n_fft=1024, cp_len=256),
