@@ -87,11 +87,20 @@ def supported(cfg: LinkConfig) -> bool:
     )
 
 
+def _i32(bits):
+    """Reinterpret random bits as int32 (Mosaic has no uint32→f32 cast;
+    all downstream arithmetic stays in int32/f32)."""
+    if bits.dtype == jnp.int32:
+        return bits
+    return jax.lax.bitcast_convert_type(bits, jnp.int32)
+
+
 def _uniform_01(bits):
     """random bits → f32 uniform in (0, 1]: 24 mantissa-grade bits,
-    offset half an ulp so log() never sees 0. The uint32 view makes
-    the shift logical regardless of the primitive's signedness."""
-    u = bits.astype(jnp.uint32) >> 8
+    offset half an ulp so log() never sees 0. Logical shift keeps the
+    value non-negative, so the int32→f32 cast is exact."""
+    b = _i32(bits)
+    u = jax.lax.shift_right_logical(b, jnp.int32(8))
     return u.astype(jnp.float32) * jnp.float32(2.0**-24) + jnp.float32(2.0**-25)
 
 
@@ -186,10 +195,9 @@ def mc_count_pallas(
             idx = idx_ref[:].reshape(rows, n_fft)
         else:
             pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-            idx = (
-                pltpu.prng_random_bits((rows, n_fft)).astype(jnp.uint32)
-                & jnp.uint32((1 << bps) - 1)
-            ).astype(jnp.int32)
+            idx = _i32(pltpu.prng_random_bits((rows, n_fft))) & jnp.int32(
+                (1 << bps) - 1
+            )
 
         # TX: arithmetic Gray decode to raw PAM integers (bf16-exact;
         # the constellation norm is folded into the IDFT operand).
