@@ -22,7 +22,7 @@ def qfunc(x):
     return 0.5 * np.vectorize(math.erfc)(np.asarray(x, np.float64) / math.sqrt(2.0))
 
 
-def _pam_bit_error(L: int, k: int, arg_base: float) -> float:
+def _pam_bit_error(L: int, k: int, arg_base: float, q=qfunc) -> float:
     """Exact Gray L-PAM error probability of axis-bit position k (1-based).
 
     Cho & Yoon (2002): with a = (2i+1) * arg_base, arg_base being the
@@ -31,13 +31,17 @@ def _pam_bit_error(L: int, k: int, arg_base: float) -> float:
       P(k) = (1/L) * sum_{i=0}^{(1-2^-k)L - 1}
              (-1)^floor(i 2^(k-1)/L) * (2^(k-1) - floor(i 2^(k-1)/L + 1/2))
              * 2 Q((2i+1) * arg_base)
+
+    ``q`` substitutes a fading-averaged tail function (the terms are
+    linear in Q, so averaging over a fading distribution commutes with
+    the sum — how ber_rayleigh_exact reuses the same weights).
     """
     total = 0.0
     half = 1 << (k - 1)
     for i in range(int((1.0 - 2.0 ** (-k)) * L)):
         sign = -1.0 if ((i * half) // L) % 2 else 1.0
         weight = half - math.floor(i * half / L + 0.5)
-        total += sign * weight * 2.0 * float(qfunc((2 * i + 1) * arg_base))
+        total += sign * weight * 2.0 * float(q((2 * i + 1) * arg_base))
     return total / L
 
 
@@ -57,6 +61,32 @@ def ber_awgn_exact(mod: Modulation, ebno_db: float) -> float:
     per_axis_bits = [_pam_bit_error(L, k, arg_base) for k in range(1, m + 1)]
     # Square schemes: both axes identical; BPSK: single axis. Either
     # way the average over all bits equals the per-axis-bit average.
+    return float(np.mean(per_axis_bits))
+
+
+def _rayleigh_q(c):
+    """E_h[Q(c·|h|)] for |h|² ~ Exp(1) (unit-power Rayleigh fading):
+    the standard closed form ½(1 − c/√(2+c²))."""
+    c = np.asarray(c, np.float64)
+    return 0.5 * (1.0 - c / np.sqrt(2.0 + c * c))
+
+
+def ber_rayleigh_exact(mod: Modulation, ebno_db: float) -> float:
+    """Exact average BER over flat Rayleigh fading with genie one-tap
+    equalization (instantaneous γ_b = |h|²·γ̄_b, |h|² ~ Exp(1)).
+
+    The Cho–Yoon expansion is linear in Q, so averaging each term
+    analytically gives the exact fading BER with the same weights —
+    the validation reference for the RAYLEIGH_FLAT Monte-Carlo paths,
+    where empirical-vs-empirical comparisons are dominated by the
+    fade-realization variance at high Eb/N0."""
+    gamma_b = 10.0 ** (ebno_db / 10.0)
+    L = mod.levels_per_axis
+    m = mod.bits_per_axis
+    arg_base = mod.unit_energy_scale * math.sqrt(2.0 * mod.bits_per_symbol * gamma_b)
+    per_axis_bits = [
+        _pam_bit_error(L, k, arg_base, q=_rayleigh_q) for k in range(1, m + 1)
+    ]
     return float(np.mean(per_axis_bits))
 
 

@@ -92,3 +92,32 @@ def test_hard_decisions_bit_exact_vs_cpp_oracle(rng):
         ours = np.asarray(demodulate_hard(jnp.asarray(noisy, jnp.complex64), mod))
         oracle = native.qam_demap_hard(noisy, bps)
         np.testing.assert_array_equal(ours, oracle)
+
+
+def test_rayleigh_exact_matches_numerical_average():
+    """ber_rayleigh_exact == E_{|h|^2~Exp(1)}[ber_awgn_exact(γ·|h|²)]
+    by numerical integration, across schemes and Eb/N0."""
+    import numpy as np
+
+    from sdr_tpu.core.config import Modulation
+    from sdr_tpu.link.ber import ber_awgn_exact, ber_rayleigh_exact
+
+    # Gauss-Legendre over x = |h|^2 with the Exp(1) weight, split into
+    # segments to handle the integrand's dynamic range.
+    xs, ws = np.polynomial.legendre.leggauss(200)
+    for mod in (Modulation.QPSK, Modulation.QAM16, Modulation.QAM64):
+        for ebno in (0.0, 10.0, 20.0):
+            total = 0.0
+            for lo, hi in ((0.0, 1.0), (1.0, 5.0), (5.0, 40.0)):
+                x = 0.5 * (hi - lo) * xs + 0.5 * (hi + lo)
+                w = 0.5 * (hi - lo) * ws
+                g = 10.0 ** (ebno / 10.0) * x
+                vals = np.array([
+                    ber_awgn_exact(mod, 10.0 * np.log10(max(gi, 1e-12)))
+                    for gi in g
+                ])
+                total += float(np.sum(w * vals * np.exp(-x)))
+            exact = ber_rayleigh_exact(mod, ebno)
+            assert abs(total - exact) <= 2e-4 + 0.01 * exact, (
+                mod, ebno, total, exact,
+            )
