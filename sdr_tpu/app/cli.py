@@ -249,7 +249,13 @@ def _cmd_sweep(args) -> int:
             file=sys.stderr,
         ),
     )
-    theory = res.theory(case.cfg.modulation)
+    model = case.cfg.channel.model
+    theory = res.theory(case.cfg.modulation, model)
+    theory_key = (
+        "ber_theory_rayleigh"
+        if model.value.startswith("rayleigh")
+        else "ber_theory_awgn"
+    )
     print(
         json.dumps(
             {
@@ -257,7 +263,7 @@ def _cmd_sweep(args) -> int:
                 "config": res.config_summary,
                 "ebno_db": res.ebnos().tolist(),
                 "ber": res.bers().tolist(),
-                "ber_theory_awgn": theory.tolist(),
+                theory_key: theory.tolist(),
             }
         )
     )
@@ -266,7 +272,8 @@ def _cmd_sweep(args) -> int:
         # the sweep's computed data.
         from sdr_tpu.obs.plot import plot_sweep
 
-        plot_sweep(res, case.cfg.modulation, args.plot)
+        plot_sweep(res, case.cfg.modulation, args.plot,
+                   channel_model=model)
         print(f"# BER curve written to {args.plot}", file=sys.stderr)
     return 0
 

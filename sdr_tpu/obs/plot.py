@@ -91,12 +91,18 @@ def plot_ber_curves(
     return path
 
 
-def plot_sweep(result, mod, path: str, title: Optional[str] = None) -> str:
-    """Plot one ``obs.sweep.SweepResult`` against exact AWGN theory."""
+def plot_sweep(result, mod, path: str, title: Optional[str] = None,
+               channel_model=None) -> str:
+    """Plot one ``obs.sweep.SweepResult`` against the exact theory
+    curve for its channel (AWGN, or flat-Rayleigh for fading models)."""
     name = getattr(mod, "value", str(mod))
+    fading = channel_model is not None and getattr(
+        channel_model, "value", ""
+    ).startswith("rayleigh")
+    label = "Rayleigh theory" if fading else "AWGN theory"
     return plot_ber_curves(
         [(f"measured ({name})", result.ebnos(), result.bers())],
         path,
         title=title or f"BER vs Eb/N0 — {result.config_summary}",
-        theory=("AWGN theory", result.ebnos(), result.theory(mod)),
+        theory=(label, result.ebnos(), result.theory(mod, channel_model)),
     )

@@ -60,8 +60,19 @@ class SweepResult:
     def ebnos(self) -> np.ndarray:
         return np.array([p.ebno_db for p in self.points])
 
-    def theory(self, mod) -> np.ndarray:
-        return np.array([ber_awgn_exact(mod, e) for e in self.ebnos()])
+    def theory(self, mod, channel_model=None) -> np.ndarray:
+        """Exact reference curve: AWGN by default; flat Rayleigh when
+        the sweep's channel model is RAYLEIGH_FLAT (or Jakes, whose
+        per-symbol marginal is the same exponential fade)."""
+        from sdr_tpu.core.config import ChannelModel
+        from sdr_tpu.link.ber import ber_rayleigh_exact
+
+        fading = channel_model in (
+            ChannelModel.RAYLEIGH_FLAT,
+            ChannelModel.RAYLEIGH_TIME,
+        )
+        fn = ber_rayleigh_exact if fading else ber_awgn_exact
+        return np.array([fn(mod, e) for e in self.ebnos()])
 
 
 def _cfg_summary(cfg: LinkConfig) -> str:
