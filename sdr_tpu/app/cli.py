@@ -102,8 +102,8 @@ def _cmd_bench(args) -> int:
 
         if impaired or not mc_ok(case.cfg):
             print(
-                "error: --mc needs an MC-supported config (single-matmul "
-                "n_fft, AWGN/flat/multipath channel, no pilots/impairments)",
+                "error: --mc needs an MC-supported config (pow2 n_fft >= 128, "
+                "AWGN/Rayleigh/multipath/Jakes channel, no pilots/impairments)",
                 file=sys.stderr,
             )
             return 2
@@ -225,7 +225,7 @@ def _cmd_sweep(args) -> int:
         if not mc_ok(case.cfg):
             print(
                 "error: --engine mc needs an MC-supported config "
-                "(single-matmul n_fft, AWGN/flat/multipath, no pilots)",
+                "(pow2 n_fft >= 128, AWGN/Rayleigh/multipath/Jakes, no pilots)",
                 file=sys.stderr,
             )
             return 2

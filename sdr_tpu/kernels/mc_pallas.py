@@ -60,6 +60,14 @@ from sdr_tpu.kernels.demod_pallas import (
     count_errors_bits,
     equalize_llr_bits,
 )
+from sdr_tpu.kernels.fourstep_pallas import (
+    _fft_chunks,
+    _pick_n2,
+    _stage2_mats,
+    _twiddles,
+    permute_h,
+)
+from sdr_tpu.kernels.fourstep_tx_pallas import _stage1_mats, _tx_twiddles
 from sdr_tpu.kernels.tx_pallas import _gray_to_binary_vec, _idft_mats
 
 _SUPPORTED_MODELS = (
@@ -73,18 +81,41 @@ _JAKES_PATHS = 16  # sum-of-sinusoids paths, matches ops.channel.jakes_gains
 
 
 def supported(cfg: LinkConfig) -> bool:
-    """Single-matmul numerology, supported channel model, genie CSI."""
+    """Supported channel model + genie CSI + a kernel for the size:
+    the single-matmul MC kernel at n_fft ≤ 512, the four-step MC
+    kernel at n_fft ≥ 1024 (valid N1·N2 split)."""
     n_fft = cfg.ofdm.n_fft
-    return (
+    common = (
         cfg.channel.model in _SUPPORTED_MODELS
-        and 128 <= n_fft <= 512
-        and n_fft % 128 == 0
         and cfg.pilot_spacing == 0
         and cfg.channel.cfo_subcarriers == 0.0
         and cfg.channel.timing_offset == 0
         and (cfg.n_channels * cfg.n_symbols) % 8 == 0
-        and cfg.n_symbols <= _matmul.row_target(n_fft)
     )
+    if not common:
+        return False
+    if 128 <= n_fft <= 512 and n_fft % 128 == 0:
+        return cfg.n_symbols <= _matmul.row_target(n_fft)
+    if n_fft >= 1024 and n_fft & (n_fft - 1) == 0:
+        n2 = _pick_n2(n_fft, cfg.ofdm.cp_len)
+        return (
+            n2 is not None
+            and _pick_mc_tile(cfg.n_channels, cfg.n_symbols, n_fft) > 0
+        )
+    return False
+
+
+def _pick_mc_tile(batch: int, n_syms: int, n_fft: int) -> int:
+    """Wideband-MC batch tile: idx + two live chunk-list generations,
+    ~20 B per (row, subcarrier); keep the estimate within ~4 MB."""
+    best = 0
+    for tb in range(1, batch + 1):
+        if batch % tb:
+            continue
+        rows = tb * n_syms
+        if rows % 8 == 0 and rows * n_fft * 20 <= (4 << 20):
+            best = tb
+    return best
 
 
 def _i32(bits):
@@ -148,6 +179,8 @@ def mc_count_pallas(
     """
     if not supported(cfg):
         raise ValueError(f"mc_count_pallas does not support this config: {cfg}")
+    if cfg.ofdm.n_fft >= 1024:
+        return _mc_count_fourstep(cfg, seed, interpret, rand_inputs)
     mod = cfg.modulation
     model = cfg.channel.model
     batch, n_syms = cfg.n_channels, cfg.n_symbols
@@ -350,4 +383,291 @@ def mc_count_pallas(
     )(*operands)
     return jnp.sum(
         out.reshape(batch, n_fft), axis=-1, dtype=jnp.float32
+    ).astype(jnp.int32)
+
+
+def _digit_phase_rows(pdp, n_fft: int, n2: int):
+    """(rows_r, rows_i) (L, n_fft) float32: per-tap frequency-response
+    phase rows in the kernel's DIGIT-MAJOR subcarrier order, with
+    sqrt(pdp_l / Σpdp) · sqrt(1/2) folded in — so in-kernel
+    H = Σ_l (z0_l + i·z1_l) · row_l for standard-normal z draws."""
+    n1 = n_fft // n2
+    kappa = np.arange(n_fft)
+    k_true = (kappa // n2) + n1 * (kappa % n2)
+    p = np.asarray(pdp, np.float64)
+    p = p / p.sum()
+    ang = -2.0 * np.pi * np.outer(np.arange(len(p)), k_true) / n_fft
+    scale = np.sqrt(p * 0.5)[:, None]
+    return (
+        (np.cos(ang) * scale).astype(np.float32),
+        (np.sin(ang) * scale).astype(np.float32),
+    )
+
+
+def _mc_count_fourstep(cfg: LinkConfig, seed, interpret, rand_inputs):
+    """Wideband MC pass (n_fft ≥ 1024): the whole link through
+    four-step transforms in one kernel.
+
+    Everything is generated in the four-step's digit-major subcarrier
+    order (κ = k1·N2 + k2 carries true subcarrier k1 + N1·k2), so no
+    permutation exists anywhere in the hot path: the drawn indices ARE
+    the digit-order symbols, the TX four-step turns them into natural
+    time chunks, noise is added in time, the RX four-step lands back
+    on the same digit order, and the count compares in place. Only the
+    multipath frequency response needs digit-order awareness — its
+    per-tap phase rows are precomputed host-side in digit order
+    (_digit_phase_rows). Inject mode permutes the provided
+    natural-order idx/h with permute_h (error counts are permutation-
+    invariant, so the oracle comparison is exact).
+    """
+    mod = cfg.modulation
+    model = cfg.channel.model
+    batch, n_syms = cfg.n_channels, cfg.n_symbols
+    n_fft = cfg.ofdm.n_fft
+    bps = mod.bits_per_symbol
+    m = mod.bits_per_axis
+    L = mod.levels_per_axis
+    n2 = _pick_n2(n_fft, cfg.ofdm.cp_len)
+    n1 = n_fft // n2
+    nv = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps)
+    inv_nv = np.float32(1.0 / max(nv, 1e-12))
+    sigma_t = np.float32(np.sqrt(nv / n_fft / 2.0))
+    tb = _pick_mc_tile(batch, n_syms, n_fft)
+    rows = tb * n_syms
+    grid = (batch // tb,)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    mode = _matmul.mxu_mode()
+    n_w = _matmul.n_w_operands(mode)
+    w_tx = _matmul.prepare_w(
+        *_stage1_mats(n2, n_fft, mod.unit_energy_scale), mode
+    )
+    w_rx = _matmul.prepare_w(*_stage2_mats(n2), mode)
+    twt_r, twt_i = _tx_twiddles(n1, n2)
+    twr_r, twr_i = _twiddles(n1, n2)
+    mp_rows = (
+        _digit_phase_rows(cfg.channel.pdp, n_fft, n2)
+        if model == ChannelModel.MULTIPATH
+        else None
+    )
+    inject = rand_inputs is not None
+    tbh = max(tb, 8)
+    h_syms = n_syms if model == ChannelModel.RAYLEIGH_TIME else 1
+    doppler = float(cfg.channel.doppler_norm or 0.0)
+    fading = model not in (ChannelModel.IDENTITY, ChannelModel.AWGN)
+
+    def kernel(seed_ref, *rest):
+        if inject:
+            idx_ref, nr_ref, ni_ref, hr_ref, hi_ref = rest[:5]
+            rest = rest[5:]
+        tw_refs = rest[:4]
+        rest = rest[4:]
+        if mp_rows is not None:
+            mpr_ref, mpi_ref = rest[:2]
+            rest = rest[2:]
+        wtx_refs = rest[:n_w]
+        wrx_refs = rest[n_w : 2 * n_w]
+        out_ref = rest[2 * n_w]
+        twtr_ref, twti_ref, twrr_ref, twri_ref = tw_refs
+
+        if inject:
+            idx = idx_ref[:].reshape(rows, n_fft)
+        else:
+            pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+            idx = _i32(pltpu.prng_random_bits((rows, n_fft))) & jnp.int32(
+                (1 << bps) - 1
+            )
+
+        # Channel realization in (digit-order) frequency, genie CSI.
+        hr = hi = None
+        if not fading:
+            pass
+        elif inject:
+            hr = hr_ref[:].reshape(tb, h_syms, n_fft)
+            hi = hi_ref[:].reshape(tb, h_syms, n_fft)
+        elif model == ChannelModel.RAYLEIGH_FLAT:
+            z0, z1 = _gauss_pair(
+                pltpu.prng_random_bits((tbh, 128)),
+                pltpu.prng_random_bits((tbh, 128)),
+            )
+            s = jnp.float32(np.sqrt(0.5))
+            hr = jnp.broadcast_to((z0[:tb, :1] * s)[:, None, :], (tb, 1, n_fft))
+            hi = jnp.broadcast_to((z1[:tb, :1] * s)[:, None, :], (tb, 1, n_fft))
+        elif model == ChannelModel.RAYLEIGH_TIME:
+            p = _JAKES_PATHS
+            two_pi = jnp.float32(2.0 * np.pi)
+            th = _uniform_01(pltpu.prng_random_bits((tbh, 128)))[:tb, :p] * two_pi
+            ph = _uniform_01(pltpu.prng_random_bits((tbh, 128)))[:tb, :p] * two_pi
+            w = two_pi * jnp.float32(doppler) * jnp.cos(th)
+            inv_sp = jnp.float32(1.0 / np.sqrt(p))
+            cols_r, cols_i = [], []
+            for s_i in range(n_syms):
+                ang = w * jnp.float32(s_i) + ph
+                cols_r.append(jnp.sum(jnp.cos(ang), -1, keepdims=True) * inv_sp)
+                cols_i.append(jnp.sum(jnp.sin(ang), -1, keepdims=True) * inv_sp)
+            hr = jnp.concatenate(cols_r, -1)[:, :, None]  # (tb, S, 1)
+            hi = jnp.concatenate(cols_i, -1)[:, :, None]
+        else:  # MULTIPATH: H = Σ_l tap_l · digit-phase row_l
+            z0, z1 = _gauss_pair(
+                pltpu.prng_random_bits((tbh, 128)),
+                pltpu.prng_random_bits((tbh, 128)),
+            )
+            n_taps = mp_rows[0].shape[0]
+            hr_acc = hi_acc = None
+            for l in range(n_taps):
+                t_r = z0[:tb, l : l + 1]  # (tb, 1)
+                t_i = z1[:tb, l : l + 1]
+                row_r = mpr_ref[l : l + 1, :]  # (1, n_fft)
+                row_i = mpi_ref[l : l + 1, :]
+                hr_l = t_r * row_r - t_i * row_i
+                hi_l = t_r * row_i + t_i * row_r
+                hr_acc = hr_l if hr_acc is None else hr_acc + hr_l
+                hi_acc = hi_l if hi_acc is None else hi_acc + hi_l
+            hr = hr_acc[:, None, :]  # (tb, 1, n_fft)
+            hi = hi_acc[:, None, :]
+
+        def h_slice(k1):
+            """Genie channel for digit slice k1, (rows, n2) planar."""
+            if hr is None:
+                return (
+                    jnp.ones((rows, n2), jnp.float32),
+                    jnp.zeros((rows, n2), jnp.float32),
+                )
+            hr_s = hr if hr.shape[-1] == 1 else hr[:, :, k1 * n2 : (k1 + 1) * n2]
+            hi_s = hi if hi.shape[-1] == 1 else hi[:, :, k1 * n2 : (k1 + 1) * n2]
+            return (
+                jnp.broadcast_to(hr_s, (tb, n_syms, n2)).reshape(rows, n2),
+                jnp.broadcast_to(hi_s, (tb, n_syms, n2)).reshape(rows, n2),
+            )
+
+        # TX: per digit slice — Gray decode, channel multiply, stage-1
+        # inverse matmul, TX twiddle; then the chunk IFFT to time.
+        chunks = []
+        for k1 in range(n1):
+            g = idx[:, k1 * n2 : (k1 + 1) * n2]
+            if mod is Modulation.BPSK:
+                gi, gq = g, None
+            else:
+                gi = g >> m
+                gq = g & jnp.int32(L - 1)
+            bi = _gray_to_binary_vec(gi, m)
+            xr = (2 * bi - (L - 1)).astype(jnp.float32)
+            if gq is None:
+                xi = jnp.zeros_like(xr)
+            else:
+                bq = _gray_to_binary_vec(gq, m)
+                xi = (2 * bq - (L - 1)).astype(jnp.float32)
+            if fading and hr is not None:
+                hr_s, hi_s = h_slice(k1)
+                xr, xi = xr * hr_s - xi * hi_s, xr * hi_s + xi * hr_s
+                yr, yi = _matmul.complex_dot(xr, xi, wtx_refs, mode)
+            else:
+                yr, yi = _matmul.complex_dot_xbf16(
+                    xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16),
+                    wtx_refs, mode,
+                )
+            wr = twtr_ref[k1 : k1 + 1, :]
+            wi = twti_ref[k1 : k1 + 1, :]
+            chunks.append((yr * wr - yi * wi, yr * wi + yi * wr))
+
+        xt = _fft_chunks(chunks, inverse=True)  # natural time chunks
+
+        if model is not ChannelModel.IDENTITY:
+            noisy = []
+            for c in range(n1):
+                xr_c, xi_c = xt[c]
+                if inject:
+                    nr = nr_ref[:].reshape(rows, n_fft)[
+                        :, c * n2 : (c + 1) * n2
+                    ]
+                    ni = ni_ref[:].reshape(rows, n_fft)[
+                        :, c * n2 : (c + 1) * n2
+                    ]
+                else:
+                    nr, ni = _gauss_pair(
+                        pltpu.prng_random_bits((rows, n2)),
+                        pltpu.prng_random_bits((rows, n2)),
+                    )
+                noisy.append((xr_c + nr * sigma_t, xi_c + ni * sigma_t))
+            xt = noisy
+
+        # RX: chunk FFT, per-slice twiddle + stage-2 matmul, equalize,
+        # LLR, count — all in the same digit order the indices used.
+        g2 = _fft_chunks(xt)
+        err_acc = None
+        for k1 in range(n1):
+            gr, gim = g2[k1]
+            wr = twrr_ref[k1 : k1 + 1, :]
+            wi = twri_ref[k1 : k1 + 1, :]
+            tr = gr * wr - gim * wi
+            ti = gr * wi + gim * wr
+            yr, yi = _matmul.complex_dot(tr, ti, wrx_refs, mode)
+            hr_s, hi_s = h_slice(k1)
+            llr_bits = equalize_llr_bits(yr, yi, hr_s, hi_s, inv_nv, mod)
+            err = count_errors_bits(
+                llr_bits, idx[:, k1 * n2 : (k1 + 1) * n2], bps
+            )
+            err_acc = err if err_acc is None else err_acc + err
+        out_ref[0] = jnp.sum(err_acc.reshape(tb, n_syms, n2), axis=1)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    operands = [jnp.atleast_1d(jnp.asarray(seed, jnp.int32))]
+    if inject:
+        idx, nr, ni, hr_in, hi_in = rand_inputs
+        # Natural order in, digit order inside (counts are invariant).
+        idx_d = permute_h(idx.astype(jnp.int32), n_fft, n2)
+        hr_d = permute_h(hr_in.astype(jnp.float32), n_fft, n2)
+        hi_d = permute_h(hi_in.astype(jnp.float32), n_fft, n2)
+        in_specs += [
+            pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, h_syms, n_fft), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, h_syms, n_fft), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [
+            idx_d, nr.astype(jnp.float32), ni.astype(jnp.float32), hr_d, hi_d,
+        ]
+    tw_ops = [
+        jnp.asarray(twt_r), jnp.asarray(twt_i),
+        jnp.asarray(twr_r), jnp.asarray(twr_i),
+    ]
+    in_specs += [
+        pl.BlockSpec((n1, n2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for _ in tw_ops
+    ]
+    operands += tw_ops
+    if mp_rows is not None:
+        n_taps = mp_rows[0].shape[0]
+        in_specs += [
+            pl.BlockSpec((n_taps, n_fft), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in mp_rows
+        ]
+        operands += [jnp.asarray(r) for r in mp_rows]
+    in_specs += [
+        pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for _ in (*w_tx, *w_rx)
+    ]
+    operands += [*w_tx, *w_rx]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tb, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid[0], tb, n2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(*operands)
+    return jnp.sum(
+        out.reshape(batch, n2), axis=-1, dtype=jnp.float32
     ).astype(jnp.int32)

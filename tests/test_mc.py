@@ -108,19 +108,26 @@ def test_mc_inject_matches_jnp_model(rng, model):
 def test_mc_supported_gate():
     assert supported(_cfg())
     assert supported(_cfg(model=ChannelModel.RAYLEIGH_TIME, doppler_norm=0.02))
-    big = LinkConfig(
+    wide = LinkConfig(
         modulation=Modulation.QAM16,
         ofdm=OFDMConfig(n_fft=1024, cp_len=256),
         channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=8.0),
         n_symbols=8, n_channels=4,
     )
-    assert not supported(big)
+    assert supported(wide)  # four-step MC variant
+    small = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(n_fft=64, cp_len=16),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=8.0),
+        n_symbols=8, n_channels=4,
+    )
+    assert not supported(small)  # below the 128-lane kernel floor
     from sdr_tpu.core.config import Equalizer
 
     piloted = _cfg(pilot_spacing=8, equalizer=Equalizer.MMSE)
     assert not supported(piloted)
     with pytest.raises(ValueError):
-        mc_count_pallas(big, 0, interpret=True)
+        mc_count_pallas(small, 0, interpret=True)
 
 
 def test_mc_identity_zero_errors(rng):
@@ -137,3 +144,38 @@ def test_mc_identity_zero_errors(rng):
                         rand_inputs=(idx, z, z, h, h))
     )
     np.testing.assert_array_equal(got, np.zeros(B, np.int32))
+
+
+@pytest.mark.parametrize(
+    "model", [ChannelModel.AWGN, ChannelModel.MULTIPATH]
+)
+def test_mc_wideband_inject_matches_jnp_model(rng, model):
+    """Four-step MC variant (n_fft=1024) vs the jnp model, inject mode."""
+    kw = {}
+    ch = dict(model=model, ebno_db=6.0)
+    if model == ChannelModel.MULTIPATH:
+        ch["pdp"] = (1.0, 0.5, 0.25)
+    cfg = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(n_fft=1024, cp_len=256),
+        channel=ChannelConfig(**ch),
+        n_symbols=4,
+        n_channels=2,
+    )
+    assert supported(cfg)
+    B, S, N = cfg.n_channels, cfg.n_symbols, cfg.ofdm.n_fft
+    bps = cfg.modulation.bits_per_symbol
+    idx = jnp.asarray(rng.integers(0, 1 << bps, (B, S, N)), jnp.int32)
+    nr = jnp.asarray(rng.standard_normal((B, S, N)), jnp.float32)
+    ni = jnp.asarray(rng.standard_normal((B, S, N)), jnp.float32)
+    hr = jnp.asarray(rng.standard_normal((B, 1, N)), jnp.float32)
+    hi = jnp.asarray(rng.standard_normal((B, 1, N)), jnp.float32)
+    got = np.asarray(
+        mc_count_pallas(cfg, 0, interpret=True,
+                        rand_inputs=(idx, nr, ni, hr, hi))
+    )
+    want = _oracle_counts(cfg, idx, nr, ni, hr, hi)
+    assert got.shape == (B,) and got.dtype == np.int32
+    assert np.abs(got - want).max() <= max(2, int(0.02 * want.max() + 1)), (
+        got, want,
+    )
