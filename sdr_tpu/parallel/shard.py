@@ -198,3 +198,80 @@ def make_sharded_stream_fn(
         out_specs=(P("channel"), P("channel")),
     )
     return jax.jit(f)
+
+
+def make_sharded_mc_fn(cfg: LinkConfig, mesh: Mesh, iters: int = 1):
+    """Channel-batch data parallelism for the Monte-Carlo kernel.
+
+    Each device runs the fully-fused MC kernel (kernels/mc_pallas.py)
+    on its channel shard with a device-distinct seed offset; the only
+    communication is the concatenated per-channel count output. Unlike
+    the fast/stream paths the result is NOT layout-invariant — the MC
+    stream is keyed by (seed, device, block), so changing the mesh
+    changes the draws (statistics, not results, are the contract;
+    the inject mode IS layout-invariant and pins the composition in
+    tests/test_mc.py).
+    """
+    import dataclasses
+
+    from sdr_tpu.link.mc import mc_simulate
+
+    n_shards = mesh.shape["channel"]
+    if cfg.n_channels % n_shards != 0:
+        raise ValueError(
+            f"n_channels={cfg.n_channels} not divisible by "
+            f"channel-axis size {n_shards}"
+        )
+    local_cfg = dataclasses.replace(
+        cfg, n_channels=cfg.n_channels // n_shards
+    )
+
+    def local_fn(seed, rand_inputs=None):
+        me = lax.axis_index("channel")
+        local_seed = seed + me * jnp.int32(0x5BD1E995 & 0x7FFFFFFF)
+        return mc_simulate(
+            local_cfg, local_seed, iters=iters, rand_inputs=rand_inputs
+        )
+
+    f = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=(P("channel"), P("channel")),
+        check_vma=False,  # pallas_call, as in make_sharded_fast_fn
+    )
+    return jax.jit(f)
+
+
+def make_sharded_mc_inject_fn(cfg: LinkConfig, mesh: Mesh):
+    """Inject-mode twin of ``make_sharded_mc_fn`` for CPU-mesh tests:
+    the randomness arrives as sharded operands, so the sharded result
+    is bit-exact vs the unsharded inject run for any layout."""
+    import dataclasses
+
+    from sdr_tpu.link.mc import mc_simulate
+
+    n_shards = mesh.shape["channel"]
+    if cfg.n_channels % n_shards != 0:
+        raise ValueError(
+            f"n_channels={cfg.n_channels} not divisible by "
+            f"channel-axis size {n_shards}"
+        )
+    local_cfg = dataclasses.replace(
+        cfg, n_channels=cfg.n_channels // n_shards
+    )
+
+    def local_fn(idx, nr, ni, hr, hi):
+        return mc_simulate(
+            local_cfg, 0, iters=1, rand_inputs=(idx, nr, ni, hr, hi)
+        )
+
+    spec = P("channel")
+    f = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,  # pallas_call, as in make_sharded_fast_fn
+    )
+    return jax.jit(f)

@@ -31,12 +31,12 @@ def _cfg(model=ChannelModel.AWGN, mod=Modulation.QAM16, ebno=8.0,
         ch["pdp"] = (1.0, 0.5, 0.25)
     if doppler_norm is not None:
         ch["doppler_norm"] = doppler_norm
+    kw.setdefault("n_symbols", 8)
+    kw.setdefault("n_channels", 4)
     return LinkConfig(
         modulation=mod,
         ofdm=OFDMConfig(n_fft=256, cp_len=64),
         channel=ChannelConfig(**ch),
-        n_symbols=8,
-        n_channels=4,
         **kw,
     )
 
@@ -179,3 +179,27 @@ def test_mc_wideband_inject_matches_jnp_model(rng, model):
     assert np.abs(got - want).max() <= max(2, int(0.02 * want.max() + 1)), (
         got, want,
     )
+
+
+def test_mc_sharded_inject_bit_exact(rng):
+    """Sharded MC (channel DP) == unsharded, inject mode, on the
+    8-device CPU mesh — pins the shard_map composition."""
+    from sdr_tpu.parallel.mesh import make_link_mesh
+    from sdr_tpu.parallel.shard import make_sharded_mc_inject_fn
+
+    cfg = _cfg(model=ChannelModel.MULTIPATH, ebno=6.0, n_channels=8)
+    B, S, N = cfg.n_channels, cfg.n_symbols, cfg.ofdm.n_fft
+    bps = cfg.modulation.bits_per_symbol
+    idx = jnp.asarray(rng.integers(0, 1 << bps, (B, S, N)), jnp.int32)
+    nr = jnp.asarray(rng.standard_normal((B, S, N)), jnp.float32)
+    ni = jnp.asarray(rng.standard_normal((B, S, N)), jnp.float32)
+    hr = jnp.asarray(rng.standard_normal((B, 1, N)), jnp.float32)
+    hi = jnp.asarray(rng.standard_normal((B, 1, N)), jnp.float32)
+    e0 = np.asarray(
+        mc_count_pallas(cfg, 0, interpret=True,
+                        rand_inputs=(idx, nr, ni, hr, hi))
+    )
+    mesh = make_link_mesh(1, 8)
+    es, cs = make_sharded_mc_inject_fn(cfg, mesh)(idx, nr, ni, hr, hi)
+    np.testing.assert_array_equal(np.asarray(es), e0)
+    assert int(np.asarray(cs)[0]) == S * N * bps
