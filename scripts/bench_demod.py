@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -36,11 +38,16 @@ def main() -> None:
     ebno_db = float(os.environ.get("SDR_BENCH_EBNO", "12.0"))
     mod_name = os.environ.get("SDR_BENCH_MOD", "16qam")
     backend = os.environ.get("SDR_TPU_DEMOD_BACKEND", "auto")
+    # "llr" times the LLR-producing chain (the headline terminal);
+    # "count" times the BER-counting terminal (in-kernel hard-decision
+    # compare where the fused count kernels apply — no LLR plane or
+    # bit-order transpose in HBM).
+    terminal = os.environ.get("SDR_BENCH_TERMINAL", "llr")
     sym_len = n_fft + cp
 
     from sdr_tpu.core.config import Modulation
     from sdr_tpu.ops.channel import ebno_db_to_noise_var
-    from sdr_tpu.ops.demod import demod_chain, select_backend
+    from sdr_tpu.ops.demod import demod_chain, demod_count_chain, select_backend
 
     mod = Modulation(mod_name)
     nv = float(ebno_db_to_noise_var(ebno_db, mod.bits_per_symbol))
@@ -58,16 +65,28 @@ def main() -> None:
         hi = jax.random.normal(
             jax.random.fold_in(kh, 1), (batch, 1, n_fft), jnp.float32
         ) * np.float32(np.sqrt(0.5))
-        return re, im, hr, hi
+        idx = jax.random.randint(
+            jax.random.fold_in(kh, 2), (batch, n_syms, n_fft), 0,
+            1 << mod.bits_per_symbol, jnp.int32,
+        )
+        return re, im, hr, hi, idx
 
     @jax.jit
-    def run(re, im, hr, hi):
-        def body(_, acc):
-            llr_sum = demod_chain(
-                re, im, hr + acc * jnp.float32(1e-30), hi, cp, mod, nv,
-                reduce_sum=True, backend=None if backend == "auto" else backend,
-            )
-            return acc + llr_sum * jnp.float32(1e-12)
+    def run(re, im, hr, hi, idx):
+        if terminal == "count":
+            def body(_, acc):
+                err = demod_count_chain(
+                    re, im, hr + acc * jnp.float32(1e-30), hi, idx, cp,
+                    mod, nv, backend=None if backend == "auto" else backend,
+                )
+                return acc + jnp.sum(err).astype(jnp.float32) * jnp.float32(1e-12)
+        else:
+            def body(_, acc):
+                llr_sum = demod_chain(
+                    re, im, hr + acc * jnp.float32(1e-30), hi, cp, mod, nv,
+                    reduce_sum=True, backend=None if backend == "auto" else backend,
+                )
+                return acc + llr_sum * jnp.float32(1e-12)
 
         return lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
@@ -94,6 +113,7 @@ def main() -> None:
             {
                 "config": f"{mod.value}/{n_fft}sc/cp{cp}",
                 "backend": resolved,
+                "terminal": terminal,
                 "batch": batch,
                 "n_syms": n_syms,
                 "gs_per_s": samples / best / 1e9,

@@ -59,3 +59,36 @@ def probe_device(timeout_s: float = 30.0) -> HealthReport:
         latency_s=result.get("latency"),
         backend=result.get("backend"),
     )
+
+
+def hbm_bandwidth_gbps(
+    n_floats: int = 32 * 1024 * 1024, iters: int = 12
+) -> float:
+    """Sustained HBM read bandwidth in GB/s via the chained methodology.
+
+    Same probe bench.py gates its measurement windows on (docs/PERF.md
+    "Timing methodology"): all iterations inside one jitted fori_loop
+    with the carry folded into the input so nothing is hoistable, final
+    scalar fetched to host. Healthy axon v5e windows read 423-429;
+    degraded ones ~70-130. Counts read+write traffic (2x) like bench.py
+    so the numbers are directly comparable.
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def probe(x):
+        def body(_, acc):
+            y = x + acc * jnp.float32(1e-30)
+            return acc + jnp.sum(y[::65536], dtype=jnp.float32) * jnp.float32(1e-12)
+
+        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    xp = jax.random.normal(jax.random.PRNGKey(1), (n_floats,), jnp.float32)
+    _ = float(probe(xp))  # compile + one synced run
+    t0 = _time.perf_counter()
+    _ = float(probe(xp))
+    return iters * 2 * n_floats * 4 / (_time.perf_counter() - t0) / 1e9
