@@ -30,6 +30,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "docs", "hw_campaign.jsonl")
+# Prepend the repo but KEEP the inherited path — /root/.axon_site must
+# stay on PYTHONPATH or the axon TPU plugin fails to register.
+PYPATH = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 WB = {"SDR_BENCH_NFFT": "4096", "SDR_BENCH_CP": "512",
       "SDR_BENCH_BATCH": "256", "SDR_BENCH_SYMS": "8"}
@@ -43,6 +46,10 @@ CAMPAIGN = [
      {**HEAD, "SDR_TPU_MXU_PRECISION": "bf16x2"}),
     ("count_256_bf16x3", "bench_demod.py",
      {**HEAD, "SDR_BENCH_TERMINAL": "count"}),
+    ("headline_256_llr_bf16x3_B8192", "bench_demod.py",
+     {**HEAD, "SDR_BENCH_BATCH": "8192"}),
+    ("headline_256_llr_bf16x2_B8192", "bench_demod.py",
+     {**HEAD, "SDR_BENCH_BATCH": "8192", "SDR_TPU_MXU_PRECISION": "bf16x2"}),
     # Wideband (config-5 numerology) demod backend ladder.
     ("wb4096_hybrid", "bench_demod.py",
      {**WB, "SDR_TPU_DEMOD_BACKEND": "hybrid"}),
@@ -59,6 +66,8 @@ CAMPAIGN = [
     ("wb4096_fourstep2_bf16_B512", "bench_demod.py",
      {**WB, "SDR_BENCH_BATCH": "512", "SDR_TPU_DEMOD_BACKEND": "fourstep2",
       "SDR_TPU_FOURSTEP_STAGE": "bf16"}),
+    ("wb4096_hybrid_B512", "bench_demod.py",
+     {**WB, "SDR_BENCH_BATCH": "512", "SDR_TPU_DEMOD_BACKEND": "hybrid"}),
     ("wb4096_count_fourstep2_bf16", "bench_demod.py",
      {**WB, "SDR_BENCH_TERMINAL": "count",
       "SDR_TPU_DEMOD_BACKEND": "fourstep2",
@@ -89,7 +98,7 @@ def probe(timeout_s: float = 300.0) -> float:
              "from sdr_tpu.obs.health import hbm_bandwidth_gbps;"
              "print(hbm_bandwidth_gbps())"],
             capture_output=True, text=True, timeout=timeout_s,
-            cwd=REPO, env={**os.environ, "PYTHONPATH": REPO},
+            cwd=REPO, env={**os.environ, "PYTHONPATH": PYPATH},
         )
         return float(out.stdout.strip().splitlines()[-1])
     except Exception:
@@ -165,7 +174,7 @@ def main() -> None:
             run = subprocess.run(
                 [sys.executable, os.path.join(REPO, "scripts", script)],
                 capture_output=True, text=True, timeout=args.item_timeout,
-                cwd=REPO, env={**os.environ, **env, "PYTHONPATH": REPO},
+                cwd=REPO, env={**os.environ, **env, "PYTHONPATH": PYPATH},
             )
             result = last_json_line(run.stdout)
             err_tail = run.stderr.strip().splitlines()[-2:]

@@ -103,7 +103,8 @@ def _cmd_bench(args) -> int:
         if impaired or not mc_ok(case.cfg):
             print(
                 "error: --mc needs an MC-supported config (pow2 n_fft >= 128, "
-                "AWGN/Rayleigh/multipath/Jakes channel, no pilots/impairments)",
+                "AWGN/Rayleigh/Rician/multipath/Jakes channel, no "
+                "pilots/impairments)",
                 file=sys.stderr,
             )
             return 2
@@ -250,12 +251,14 @@ def _cmd_sweep(args) -> int:
         ),
     )
     model = case.cfg.channel.model
-    theory = res.theory(case.cfg.modulation, model)
-    theory_key = (
-        "ber_theory_rayleigh"
-        if model.value.startswith("rayleigh")
-        else "ber_theory_awgn"
-    )
+    kf = case.cfg.channel.k_factor
+    theory = res.theory(case.cfg.modulation, model, k_factor=kf)
+    if model.value.startswith("rayleigh"):
+        theory_key = "ber_theory_rayleigh"
+    elif model.value == "rician":
+        theory_key = "ber_theory_rician"
+    else:
+        theory_key = "ber_theory_awgn"
     print(
         json.dumps(
             {
@@ -273,7 +276,7 @@ def _cmd_sweep(args) -> int:
         from sdr_tpu.obs.plot import plot_sweep
 
         plot_sweep(res, case.cfg.modulation, args.plot,
-                   channel_model=model)
+                   channel_model=model, k_factor=kf)
         print(f"# BER curve written to {args.plot}", file=sys.stderr)
     return 0
 

@@ -115,6 +115,7 @@ class ChannelModel(enum.Enum):
     RAYLEIGH_FLAT = "rayleigh_flat"
     MULTIPATH = "multipath"  # tapped-delay-line, frequency selective
     RAYLEIGH_TIME = "rayleigh_time"  # Jakes Doppler, per-symbol block fading
+    RICIAN = "rician"  # flat fading with a LOS component (k_factor)
 
 
 class Equalizer(enum.Enum):
@@ -144,6 +145,10 @@ class ChannelConfig:
     # into RX, QFDemoWindow.cpp:213-218).
     cfo_subcarriers: float = 0.0
     timing_offset: int = 0
+    # RICIAN: linear K-factor — the LOS-to-diffuse power ratio. K=0
+    # degenerates to RAYLEIGH_FLAT statistics; K→∞ approaches AWGN with
+    # a random carrier phase. E|h|² = 1 at every K.
+    k_factor: float = 4.0
 
     def __post_init__(self) -> None:
         if len(self.pdp) < 1:
@@ -154,6 +159,8 @@ class ChannelConfig:
             raise ValueError(
                 f"doppler_norm must be in [0, 0.5), got {self.doppler_norm}"
             )
+        if self.model == ChannelModel.RICIAN and self.k_factor < 0:
+            raise ValueError(f"k_factor must be >= 0, got {self.k_factor}")
         if self.timing_offset < 0:
             raise ValueError(
                 f"timing_offset must be >= 0, got {self.timing_offset}"
@@ -252,6 +259,7 @@ def link_config_to_dict(cfg: LinkConfig) -> dict:
             "doppler_norm": cfg.channel.doppler_norm,
             "cfo_subcarriers": cfg.channel.cfo_subcarriers,
             "timing_offset": cfg.channel.timing_offset,
+            "k_factor": cfg.channel.k_factor,
         },
         "equalizer": cfg.equalizer.value,
         "n_symbols": cfg.n_symbols,
@@ -275,6 +283,7 @@ def link_config_from_dict(d: dict) -> LinkConfig:
             doppler_norm=ch.get("doppler_norm", 0.01),
             cfo_subcarriers=ch.get("cfo_subcarriers", 0.0),
             timing_offset=ch.get("timing_offset", 0),
+            k_factor=ch.get("k_factor", 4.0),
         ),
         equalizer=Equalizer(d.get("equalizer", "none")),
         n_symbols=d.get("n_symbols", 16),

@@ -76,6 +76,7 @@ _SUPPORTED_MODELS = (
     ChannelModel.RAYLEIGH_FLAT,
     ChannelModel.MULTIPATH,
     ChannelModel.RAYLEIGH_TIME,
+    ChannelModel.RICIAN,
 )
 _JAKES_PATHS = 16  # sum-of-sinusoids paths, matches ops.channel.jakes_gains
 
@@ -215,6 +216,7 @@ def mc_count_pallas(
     tbh = max(tb, 8)  # PRNG tile floor for the per-link channel draw
     h_syms = n_syms if model == ChannelModel.RAYLEIGH_TIME else 1
     doppler = float(cfg.channel.doppler_norm or 0.0)
+    k_factor = float(cfg.channel.k_factor)
 
     def kernel(seed_ref, *rest):
         if inject:
@@ -286,6 +288,26 @@ def mc_count_pallas(
             )
             hi = jnp.broadcast_to(
                 (gim[:tb, :1] * s)[:, None, :], (tb, 1, n_fft)
+            )
+        elif model == ChannelModel.RICIAN:
+            # LOS at a uniform random phase + diffuse CN, E|h|² = 1
+            # (same statistics as ops.channel.rician_flat).
+            gr, gim = _gauss_pair(
+                pltpu.prng_random_bits((tbh, 128)),
+                pltpu.prng_random_bits((tbh, 128)),
+            )
+            ph = _uniform_01(pltpu.prng_random_bits((tbh, 128)))[
+                :tb, :1
+            ] * jnp.float32(2.0 * np.pi)
+            a_los = jnp.float32(np.sqrt(k_factor / (k_factor + 1.0)))
+            s_dif = jnp.float32(np.sqrt(0.5 / (k_factor + 1.0)))
+            hr = jnp.broadcast_to(
+                (a_los * jnp.cos(ph) + gr[:tb, :1] * s_dif)[:, None, :],
+                (tb, 1, n_fft),
+            )
+            hi = jnp.broadcast_to(
+                (a_los * jnp.sin(ph) + gim[:tb, :1] * s_dif)[:, None, :],
+                (tb, 1, n_fft),
             )
         elif model == ChannelModel.MULTIPATH:
             tr_, ti_ = _gauss_pair(
@@ -455,6 +477,7 @@ def _mc_count_fourstep(cfg: LinkConfig, seed, interpret, rand_inputs):
     tbh = max(tb, 8)
     h_syms = n_syms if model == ChannelModel.RAYLEIGH_TIME else 1
     doppler = float(cfg.channel.doppler_norm or 0.0)
+    k_factor = float(cfg.channel.k_factor)
     fading = model not in (ChannelModel.IDENTITY, ChannelModel.AWGN)
 
     def kernel(seed_ref, *rest):
@@ -508,6 +531,24 @@ def _mc_count_fourstep(cfg: LinkConfig, seed, interpret, rand_inputs):
                 cols_i.append(jnp.sum(jnp.sin(ang), -1, keepdims=True) * inv_sp)
             hr = jnp.concatenate(cols_r, -1)[:, :, None]  # (tb, S, 1)
             hi = jnp.concatenate(cols_i, -1)[:, :, None]
+        elif model == ChannelModel.RICIAN:
+            z0, z1 = _gauss_pair(
+                pltpu.prng_random_bits((tbh, 128)),
+                pltpu.prng_random_bits((tbh, 128)),
+            )
+            ph = _uniform_01(pltpu.prng_random_bits((tbh, 128)))[
+                :tb, :1
+            ] * jnp.float32(2.0 * np.pi)
+            a_los = jnp.float32(np.sqrt(k_factor / (k_factor + 1.0)))
+            s_dif = jnp.float32(np.sqrt(0.5 / (k_factor + 1.0)))
+            hr = jnp.broadcast_to(
+                (a_los * jnp.cos(ph) + z0[:tb, :1] * s_dif)[:, None, :],
+                (tb, 1, n_fft),
+            )
+            hi = jnp.broadcast_to(
+                (a_los * jnp.sin(ph) + z1[:tb, :1] * s_dif)[:, None, :],
+                (tb, 1, n_fft),
+            )
         else:  # MULTIPATH: H = Σ_l tap_l · digit-phase row_l
             z0, z1 = _gauss_pair(
                 pltpu.prng_random_bits((tbh, 128)),

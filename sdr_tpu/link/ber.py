@@ -90,6 +90,41 @@ def ber_rayleigh_exact(mod: Modulation, ebno_db: float) -> float:
     return float(np.mean(per_axis_bits))
 
 
+def _rician_q(c, k_factor: float, n_nodes: int = 96):
+    """E_h[Q(c·|h|)] for flat Rician fading with E|h|² = 1.
+
+    MGF method: Q(x) = (1/π)∫₀^{π/2} exp(−x²/(2sin²θ))dθ (Craig), so
+    E[Q(c|h|)] = (1/π)∫₀^{π/2} M(−c²/(2sin²θ))dθ with the Rician power
+    MGF M(s) = (1+K)/(1+K−s) · exp(K·s/(1+K−s)). Gauss–Legendre
+    quadrature on θ — exact to well below test tolerances at 96 nodes
+    (the integrand is smooth and bounded). K = 0 reproduces the
+    Rayleigh closed form (_rayleigh_q), asserted in tests.
+    """
+    K = float(k_factor)
+    x, w = np.polynomial.legendre.leggauss(n_nodes)
+    theta = (x + 1.0) * (math.pi / 4.0)  # map [-1,1] → [0, π/2]
+    s2 = np.sin(theta) ** 2
+    c = np.asarray(c, np.float64)
+    s = -(c * c) / (2.0 * s2)
+    mgf = (1.0 + K) / (1.0 + K - s) * np.exp(K * s / (1.0 + K - s))
+    return float(np.sum(w * mgf) * (math.pi / 4.0) / math.pi)
+
+
+def ber_rician_exact(mod: Modulation, ebno_db: float, k_factor: float) -> float:
+    """Exact average BER over flat Rician fading with genie one-tap
+    equalization — Cho–Yoon weights with each Q term averaged over the
+    noncentral fade power via the MGF integral (_rician_q)."""
+    gamma_b = 10.0 ** (ebno_db / 10.0)
+    L = mod.levels_per_axis
+    m = mod.bits_per_axis
+    arg_base = mod.unit_energy_scale * math.sqrt(2.0 * mod.bits_per_symbol * gamma_b)
+    per_axis_bits = [
+        _pam_bit_error(L, k, arg_base, q=lambda c: _rician_q(c, k_factor))
+        for k in range(1, m + 1)
+    ]
+    return float(np.mean(per_axis_bits))
+
+
 def count_bit_errors(tx_bits, rx_bits) -> int:
     import jax.numpy as jnp
 

@@ -93,6 +93,10 @@ def _fade_state(cfg: LinkConfig, k_fade: jnp.ndarray):
     h = taps = None
     if model == ChannelModel.RAYLEIGH_FLAT:
         h = jax.vmap(lambda k: chan.rayleigh_flat(k, (1, 1)))(k_fade)  # (B,1,1)
+    elif model == ChannelModel.RICIAN:
+        h = jax.vmap(
+            lambda k: chan.rician_flat(k, (1, 1), cfg.channel.k_factor)
+        )(k_fade)  # (B,1,1)
     elif model == ChannelModel.MULTIPATH:
         taps = jax.vmap(lambda k: chan.multipath_taps(k, cfg.channel.pdp))(k_fade)
         h = chan.freq_response(taps, N)[:, None, :]  # (B,1,N)
@@ -135,7 +139,11 @@ def tx_channel_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
     if model == ChannelModel.MULTIPATH:
         stream = x.reshape(B, -1)
         x = chan.apply_multipath(stream, taps).reshape(x.shape)
-    elif model in (ChannelModel.RAYLEIGH_FLAT, ChannelModel.RAYLEIGH_TIME):
+    elif model in (
+        ChannelModel.RAYLEIGH_FLAT,
+        ChannelModel.RAYLEIGH_TIME,
+        ChannelModel.RICIAN,
+    ):
         x = x * h
     if model != ChannelModel.IDENTITY:
         x = jax.vmap(lambda k, xc: chan.awgn(k, xc, tvar))(k_noise, x)

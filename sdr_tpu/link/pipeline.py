@@ -90,6 +90,11 @@ def apply_channel(cfg: LinkConfig, key: jax.Array, tx: jnp.ndarray):
         rx = chan.awgn(k_noise, tx * h, tvar)
         return rx, h, nv
 
+    if model == ChannelModel.RICIAN:
+        h = chan.rician_flat(k_fade, (), cfg.channel.k_factor)
+        rx = chan.awgn(k_noise, tx * h, tvar)
+        return rx, h, nv
+
     if model == ChannelModel.RAYLEIGH_TIME:
         # Per-symbol Jakes gains: constant within a symbol (fd·T << 1),
         # correlated across the frame. h broadcasts (n_symbols, 1).
@@ -205,6 +210,8 @@ def _simulate_one_acquired(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
         stream = chan.apply_multipath(stream, taps)
     elif model == ChannelModel.RAYLEIGH_FLAT:
         stream = stream * chan.rayleigh_flat(k_fade, ())
+    elif model == ChannelModel.RICIAN:
+        stream = stream * chan.rician_flat(k_fade, (), cfg.channel.k_factor)
     stream = apply_cfo(stream, cfg.channel.cfo_subcarriers, n_fft)
     if model != ChannelModel.IDENTITY:
         stream = chan.awgn(k_noise, stream, chan.time_noise_var(nv, n_fft))

@@ -77,6 +77,9 @@ def _channel_taps(cfg: LinkConfig, root: jax.Array, c):
     if model == ChannelModel.RAYLEIGH_FLAT:
         h = chan.rayleigh_flat(kf, ())
         return None, h, None
+    if model == ChannelModel.RICIAN:
+        h = chan.rician_flat(kf, (), cfg.channel.k_factor)
+        return None, h, None
     if model == ChannelModel.RAYLEIGH_TIME:
         return None, None, chan.jakes_params(kf)
     return None, None, None
@@ -113,7 +116,7 @@ def _block_rx(
         h_freq = g[:, None]  # (spb, 1): flat per symbol for equalization
     elif model == ChannelModel.MULTIPATH:
         stream = chan.apply_multipath(stream, taps, history=halo)
-    elif model == ChannelModel.RAYLEIGH_FLAT:
+    elif model in (ChannelModel.RAYLEIGH_FLAT, ChannelModel.RICIAN):
         stream = stream * h_freq  # flat gain
     if model != ChannelModel.IDENTITY:
         stream = chan.awgn(knoise, stream, tvar)

@@ -92,17 +92,25 @@ def plot_ber_curves(
 
 
 def plot_sweep(result, mod, path: str, title: Optional[str] = None,
-               channel_model=None) -> str:
+               channel_model=None, k_factor: float = 4.0) -> str:
     """Plot one ``obs.sweep.SweepResult`` against the exact theory
-    curve for its channel (AWGN, or flat-Rayleigh for fading models)."""
+    curve for its channel (AWGN, flat-Rayleigh for Rayleigh/Jakes, or
+    the Rician MGF integral at ``k_factor``)."""
     name = getattr(mod, "value", str(mod))
-    fading = channel_model is not None and getattr(
-        channel_model, "value", ""
-    ).startswith("rayleigh")
-    label = "Rayleigh theory" if fading else "AWGN theory"
+    model_value = getattr(channel_model, "value", "")
+    if model_value.startswith("rayleigh"):
+        label = "Rayleigh theory"
+    elif model_value == "rician":
+        label = f"Rician theory (K={k_factor:g})"
+    else:
+        label = "AWGN theory"
     return plot_ber_curves(
         [(f"measured ({name})", result.ebnos(), result.bers())],
         path,
         title=title or f"BER vs Eb/N0 — {result.config_summary}",
-        theory=(label, result.ebnos(), result.theory(mod, channel_model)),
+        theory=(
+            label,
+            result.ebnos(),
+            result.theory(mod, channel_model, k_factor=k_factor),
+        ),
     )

@@ -60,18 +60,23 @@ class SweepResult:
     def ebnos(self) -> np.ndarray:
         return np.array([p.ebno_db for p in self.points])
 
-    def theory(self, mod, channel_model=None) -> np.ndarray:
+    def theory(self, mod, channel_model=None, k_factor: float = 4.0) -> np.ndarray:
         """Exact reference curve: AWGN by default; flat Rayleigh when
         the sweep's channel model is RAYLEIGH_FLAT (or Jakes, whose
-        per-symbol marginal is the same exponential fade)."""
+        per-symbol marginal is the same exponential fade); flat Rician
+        (MGF integral) for RICIAN at the given K-factor."""
         from sdr_tpu.core.config import ChannelModel
-        from sdr_tpu.link.ber import ber_rayleigh_exact
+        from sdr_tpu.link.ber import ber_rayleigh_exact, ber_rician_exact
 
-        fading = channel_model in (
+        if channel_model == ChannelModel.RICIAN:
+            fn = lambda m, e: ber_rician_exact(m, e, k_factor)  # noqa: E731
+        elif channel_model in (
             ChannelModel.RAYLEIGH_FLAT,
             ChannelModel.RAYLEIGH_TIME,
-        )
-        fn = ber_rayleigh_exact if fading else ber_awgn_exact
+        ):
+            fn = ber_rayleigh_exact
+        else:
+            fn = ber_awgn_exact
         return np.array([fn(mod, e) for e in self.ebnos()])
 
 

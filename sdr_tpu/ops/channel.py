@@ -60,6 +60,26 @@ def rayleigh_flat(key: jax.Array, shape) -> jnp.ndarray:
     return cgauss(key, shape, var=1.0)
 
 
+def rician_flat(key: jax.Array, shape, k_factor: float) -> jnp.ndarray:
+    """Flat Rician fading gains with linear K-factor, E|h|² = 1.
+
+    h = √(K/(K+1))·e^{jφ} + √(1/(K+1))·CN(0,1) with φ ~ U[0, 2π) per
+    draw (the LOS phase is unknown to a non-coherent deployment; BER
+    with genie or estimated CSI is phase-invariant, and a random phase
+    keeps |h| statistics exact). K = 0 reduces to ``rayleigh_flat``'s
+    distribution; K → ∞ approaches a pure phase rotation.
+    """
+    k_los, k_dif = jax.random.split(key)
+    K = jnp.float32(k_factor)
+    phase = jax.random.uniform(
+        k_los, shape, jnp.float32, 0.0, 2.0 * math.pi
+    )
+    los = jnp.sqrt(K / (K + 1.0)) * jax.lax.complex(
+        jnp.cos(phase), jnp.sin(phase)
+    )
+    return los + cgauss(k_dif, shape, var=1.0 / (K + 1.0))
+
+
 def jakes_params(
     key: jax.Array, n_paths: int = 16, batch_shape=()
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

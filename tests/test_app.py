@@ -217,6 +217,17 @@ def test_cli_config_file_round_trip(tmp_path, capsys):
         n_channels=4,
     )
     assert link_config_from_dict(link_config_to_dict(cfg)) == cfg
+    from sdr_tpu.core.config import ChannelConfig, ChannelModel, Equalizer
+
+    rician = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(128, 32),
+        channel=ChannelConfig(
+            model=ChannelModel.RICIAN, ebno_db=9.0, k_factor=7.5
+        ),
+        equalizer=Equalizer.MMSE,
+    )
+    assert link_config_from_dict(link_config_to_dict(rician)) == rician
     p = tmp_path / "cfg.json"
     p.write_text(json.dumps(link_config_to_dict(cfg)))
     assert main(["bench", "--config-file", str(p)]) == 0

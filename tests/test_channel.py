@@ -94,6 +94,43 @@ def test_rayleigh_flat_unit_power():
     assert abs(float(jnp.mean(jnp.abs(h) ** 2)) - 1.0) < 0.02
 
 
+def test_rician_flat_moments():
+    """E|h|² = 1 and Var|h|² = (2K+1)/(K+1)² — the Rician power law."""
+    for K in (0.0, 4.0, 10.0):
+        h = chan.rician_flat(jax.random.PRNGKey(7), (200_000,), K)
+        p = np.abs(np.asarray(h)) ** 2
+        assert abs(p.mean() - 1.0) < 0.02, K
+        want_var = (2 * K + 1) / (K + 1) ** 2
+        assert abs(p.var() - want_var) < 0.05 * max(want_var, 0.1), K
+    # E[h] = 0: the LOS phase is uniform per draw.
+    h = chan.rician_flat(jax.random.PRNGKey(8), (200_000,), 10.0)
+    assert abs(complex(np.asarray(h).mean())) < 0.01
+
+
+def test_rician_theory_limits():
+    """K=0 reproduces the Rayleigh closed form; K→∞ approaches AWGN."""
+    from sdr_tpu.core.config import Modulation
+    from sdr_tpu.link.ber import (
+        ber_awgn_exact,
+        ber_rayleigh_exact,
+        ber_rician_exact,
+    )
+
+    for mod in (Modulation.QPSK, Modulation.QAM16, Modulation.QAM64):
+        for ebno in (0.0, 8.0, 16.0):
+            r0 = ber_rician_exact(mod, ebno, 0.0)
+            assert abs(r0 - ber_rayleigh_exact(mod, ebno)) < 1e-9 * max(
+                r0, 1e-12
+            )
+    a = ber_awgn_exact(Modulation.QAM16, 8.0)
+    assert abs(ber_rician_exact(Modulation.QAM16, 8.0, 1e4) - a) < 0.01 * a
+    # Monotone improvement with K at fixed Eb/N0.
+    vals = [
+        ber_rician_exact(Modulation.QAM16, 12.0, K) for K in (0, 1, 4, 10)
+    ]
+    assert all(x > y for x, y in zip(vals, vals[1:]))
+
+
 def test_freq_response_matches_fft():
     taps = jnp.asarray(np.array([1.0, 0.5j, -0.25], np.complex64))
     h = np.asarray(chan.freq_response(taps, 64))

@@ -35,6 +35,25 @@ def test_fast_awgn_ber_matches_theory(mod):
     assert 0.85 * th < ber < 1.15 * th  # ~65k+ bits, loose statistical gate
 
 
+def test_fast_rician_ber_matches_theory():
+    from sdr_tpu.link.ber import ber_rician_exact
+
+    cfg = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(n_fft=128, cp_len=16),
+        channel=ChannelConfig(
+            model=ChannelModel.RICIAN, ebno_db=8.0, k_factor=4.0
+        ),
+        equalizer=Equalizer.MMSE,
+        n_symbols=4,
+        n_channels=2048,  # fades are the statistical unit, not bits
+    )
+    errors, counted = make_fast_fn(cfg, backend="jnp")(jax.random.PRNGKey(0))
+    ber = _ber(errors, counted)
+    th = ber_rician_exact(Modulation.QAM16, 8.0, 4.0)
+    assert 0.88 * th < ber < 1.12 * th
+
+
 def test_fast_identity_is_error_free():
     cfg = LinkConfig(
         modulation=Modulation.QAM64,

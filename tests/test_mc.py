@@ -57,6 +57,7 @@ def _oracle_counts(cfg, idx, nr, ni, hr, hi):
         ChannelModel.RAYLEIGH_FLAT,
         ChannelModel.MULTIPATH,
         ChannelModel.RAYLEIGH_TIME,
+        ChannelModel.RICIAN,
     ):
         x = x * h
         h_eq = h
@@ -78,7 +79,7 @@ def _oracle_counts(cfg, idx, nr, ni, hr, hi):
 @pytest.mark.parametrize(
     "model", [ChannelModel.AWGN, ChannelModel.RAYLEIGH_FLAT,
               ChannelModel.MULTIPATH, ChannelModel.IDENTITY,
-              ChannelModel.RAYLEIGH_TIME]
+              ChannelModel.RAYLEIGH_TIME, ChannelModel.RICIAN]
 )
 def test_mc_inject_matches_jnp_model(rng, model):
     kw = {"doppler_norm": 0.02} if model == ChannelModel.RAYLEIGH_TIME else {}

@@ -82,14 +82,17 @@ def test_sharded_stream_bit_exact_multipath(tshape):
     np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(ref_cnt))
 
 
-@pytest.mark.parametrize("model", [ChannelModel.AWGN, ChannelModel.RAYLEIGH_FLAT])
+@pytest.mark.parametrize(
+    "model",
+    [ChannelModel.AWGN, ChannelModel.RAYLEIGH_FLAT, ChannelModel.RICIAN],
+)
 def test_sharded_stream_bit_exact_other_channels(model):
     mesh = make_link_mesh(4, 2)
     cfg = LinkConfig(
         modulation=Modulation.QPSK,
         ofdm=OFDMConfig(64, 16),
         channel=ChannelConfig(model=model, ebno_db=6.0),
-        equalizer=Equalizer.ZF if model == ChannelModel.RAYLEIGH_FLAT else Equalizer.NONE,
+        equalizer=Equalizer.NONE if model == ChannelModel.AWGN else Equalizer.ZF,
         n_symbols=8,
         n_channels=8,
     )
