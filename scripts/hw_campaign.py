@@ -123,7 +123,10 @@ def record(rec: dict) -> None:
     print(json.dumps(rec), flush=True)
 
 
-def load_done() -> set:
+def load_done(min_bw: float) -> set:
+    """Items already measured in a window that satisfies the CURRENT
+    bandwidth gate (recomputed from the stored probes, so a permissive
+    pass never marks items done for a later, stricter one)."""
     done = set()
     if os.path.exists(LOG):
         with open(LOG) as f:
@@ -132,7 +135,12 @@ def load_done() -> set:
                     rec = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if rec.get("healthy") and rec.get("result") is not None:
+                ok = (
+                    rec.get("result") is not None
+                    and rec.get("bw_pre", -1) >= min_bw
+                    and rec.get("bw_post", -1) >= min_bw
+                )
+                if ok:
                     done.add(rec.get("name"))
     return done
 
@@ -153,7 +161,7 @@ def main() -> None:
     attempts: dict = {}
 
     while time.monotonic() < deadline:
-        done = load_done()
+        done = load_done(args.min_bw)
         pending = [
             it for it in CAMPAIGN
             if it[0] not in done

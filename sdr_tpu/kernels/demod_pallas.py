@@ -36,6 +36,7 @@ subcarrier, m I-axis bits (MSB first) then m Q-axis bits.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -194,6 +195,23 @@ def count_errors_bits(llr_bits, idx, bps: int):
     return err
 
 
+def _demod_split(rows: int) -> int:
+    """Software-pipelining factor for the fused kernel (env knob).
+
+    SDR_TPU_DEMOD_SPLIT=k > 1 processes the row block in k chunks with
+    chunk c+1's MXU matmul emitted BETWEEN chunk c's matmul and its VPU
+    equalize/LLR tail, so the scheduler can overlap the two units —
+    the cross-block MXU/VPU overlap docs/PERF.md identifies as the
+    residual at the ~20 GS/s plateau. Numerically exact vs split=1
+    (the matmul and the tail are row-independent). Falls back to 1
+    when the chunking would break sublane alignment.
+    """
+    k = int(os.environ.get("SDR_TPU_DEMOD_SPLIT", "1"))
+    if k <= 1 or rows % k or (rows // k) % 8:
+        return 1
+    return k
+
+
 def _make_kernel(
     tb: int, n_syms: int, sym_len: int, cp_len: int, mod: Modulation,
     noise_var: float, reduce_sum: bool, count: bool = False
@@ -206,6 +224,8 @@ def _make_kernel(
 
     mode = _matmul.mxu_mode()
     n_w = _matmul.n_w_operands(mode)
+    split = _demod_split(rows)
+    rows_c = rows // split
 
     def kernel(re_ref, im_ref, hr_ref, hi_ref, *rest):
         if count:
@@ -217,30 +237,54 @@ def _make_kernel(
         xr = re_ref[:].reshape(rows, sym_len)[:, cp_len:]
         xi = im_ref[:].reshape(rows, sym_len)[:, cp_len:]
 
-        # DFT on the MXU: Gauss 3-matmul complex product at the mode's
-        # multi-pass bf16 precision (default bf16x3 — BER-identical to
-        # f32; single-pass bf16 drifts LLRs ~4% and fails the 0.1 dB
-        # bound). See kernels/_matmul.py.
-        yr, yi = _matmul.complex_dot(xr, xi, w_refs, mode)
-
         # Channel response, broadcast over symbols: (tb,1,N) or the
         # per-symbol fading plane (tb,S,N) → (rows,N).
         hr = jnp.broadcast_to(hr_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
         hi = jnp.broadcast_to(hi_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
-        llr_bits = equalize_llr_bits(yr, yi, hr, hi, inv_nv, mod)
+        idx = idx_ref[:].reshape(rows, n_fft) if count else None
+
+        def tail(c, y):
+            """VPU leg for row chunk c: equalize + max-log LLR (+count)."""
+            yr, yi = y
+            sl = slice(c * rows_c, (c + 1) * rows_c)
+            llr_bits = equalize_llr_bits(
+                yr, yi, hr[sl], hi[sl], inv_nv, mod
+            )
+            if count:
+                return count_errors_bits(llr_bits, idx[sl], bps)
+            if reduce_sum:
+                total = jnp.float32(0.0)
+                for b_llr in llr_bits:
+                    total = total + jnp.sum(b_llr, dtype=jnp.float32)
+                return total
+            return jnp.concatenate(llr_bits, axis=-1)
+
+        # DFT on the MXU: Gauss 3-matmul complex product at the mode's
+        # multi-pass bf16 precision (default bf16x3 — BER-identical to
+        # f32; single-pass bf16 drifts LLRs ~4% and fails the 0.1 dB
+        # bound). See kernels/_matmul.py. With split > 1 the chunks are
+        # software-pipelined: matmul(c+1) is emitted before tail(c).
+        outs = [None] * split
+        prev = None
+        for c in range(split):
+            sl = slice(c * rows_c, (c + 1) * rows_c)
+            y = _matmul.complex_dot(xr[sl], xi[sl], w_refs, mode)
+            if prev is not None:
+                outs[c - 1] = tail(c - 1, prev)
+            prev = y
+        outs[split - 1] = tail(split - 1, prev)
 
         if count:
-            idx = idx_ref[:].reshape(rows, n_fft)
-            err = count_errors_bits(llr_bits, idx, bps)
+            err = jnp.concatenate(outs, axis=0) if split > 1 else outs[0]
             # Per-CHANNEL partial counts: fold the symbol axis in-kernel,
             # keep the lane axis for the (tiny) XLA sum outside. The
             # write is tb·N floats per block — ~1000x less HBM than the
             # LLR plane + restore transpose this path replaces.
             out_ref[0] = jnp.sum(err.reshape(tb, n_syms, n_fft), axis=1)
         elif reduce_sum:
-            total = jnp.float32(0.0)
-            for b_llr in llr_bits:
-                total = total + jnp.sum(b_llr, dtype=jnp.float32)
+            total = outs[0]
+            for t in outs[1:]:
+                total = total + t
             # One (8,128) VMEM tile per grid block (SMEM scalar outputs
             # don't tile across grids); caller reads [:, 0, 0].
             out_ref[0] = jnp.broadcast_to(total, (8, 128))
@@ -248,7 +292,11 @@ def _make_kernel(
             # Bit-major lane concat (Mosaic cannot lower the per-
             # subcarrier interleave reshape); the caller transposes to
             # the public (..., subcarrier-major) bit order.
-            out_ref[:] = jnp.concatenate(llr_bits, axis=-1)
+            if split == 1:
+                out_ref[:] = outs[0]
+            else:
+                for c in range(split):
+                    out_ref[c * rows_c : (c + 1) * rows_c] = outs[c]
 
     return kernel
 

@@ -49,6 +49,34 @@ def test_pallas_matches_jnp(rng, mod, n_fft, cp):
     )
 
 
+@pytest.mark.parametrize("split", [2, 4])
+def test_pallas_split_pipelining_bit_exact(rng, split, monkeypatch):
+    """SDR_TPU_DEMOD_SPLIT software pipelining is numerically a no-op:
+    the matmul and the VPU tail are row-independent, so chunked
+    processing must match split=1 bit-for-bit in every output mode."""
+    from sdr_tpu.kernels.demod_pallas import demod_count_pallas
+
+    batch, n_syms, n_fft, cp = 8, 8, 256, 64
+    mod = Modulation.QAM16
+    nv = float(ebno_db_to_noise_var(10.0, mod.bits_per_symbol))
+    re, im, hr, hi = _inputs(rng, batch, n_syms, n_fft + cp, n_fft)
+    idx = jnp.asarray(
+        rng.integers(0, 1 << mod.bits_per_symbol, (batch, n_syms, n_fft)),
+        jnp.int32,
+    )
+    ref_llr = demod_chain_pallas(re, im, hr, hi, cp, mod, nv, interpret=True)
+    ref_cnt = demod_count_pallas(
+        re, im, hr, hi, idx, cp, mod, nv, interpret=True
+    )
+    monkeypatch.setenv("SDR_TPU_DEMOD_SPLIT", str(split))
+    got_llr = demod_chain_pallas(re, im, hr, hi, cp, mod, nv, interpret=True)
+    got_cnt = demod_count_pallas(
+        re, im, hr, hi, idx, cp, mod, nv, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_llr), np.asarray(ref_llr))
+    np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(ref_cnt))
+
+
 def test_pallas_per_symbol_h_matches_jnp(rng):
     """Per-symbol (time-varying) channel plane through the fused kernel."""
     mod, n_fft, cp = Modulation.QAM16, 256, 64
