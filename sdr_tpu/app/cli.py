@@ -152,17 +152,29 @@ def _cmd_bench(args) -> int:
         )
         return 0
     if args.coded:
-        from sdr_tpu.link.coded import make_coded_fn
-
         rate = getattr(args, "rate", "1/2")
-        errors, counted = make_coded_fn(case.cfg, rate=rate)(key)
+        if getattr(args, "code", "conv") == "ldpc":
+            from sdr_tpu.link.coded import make_ldpc_fn
+
+            errors, counted = make_ldpc_fn(
+                case.cfg, rate=rate, iters=args.ldpc_iters
+            )(key)
+            code_desc = (
+                f"QC-LDPC nb=24 Z=128 rate {rate}, offset min-sum "
+                f"x{args.ldpc_iters} + interleaver"
+            )
+        else:
+            from sdr_tpu.link.coded import make_coded_fn
+
+            errors, counted = make_coded_fn(case.cfg, rate=rate)(key)
+            code_desc = f"conv K=7 (171,133) rate {rate} + interleaver"
         errors = np.asarray(errors)
         counted = np.asarray(counted)
         print(
             json.dumps(
                 {
                     "case": case.name + "+fec",
-                    "code": f"conv K=7 (171,133) rate {rate} + interleaver",
+                    "code": code_desc,
                     "info_bits": int(counted.sum()),
                     "bit_errors": int(errors.sum()),
                     "ber": float(errors.sum()) / float(counted.sum()),
@@ -419,6 +431,15 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument(
         "--rate", default="1/2", choices=["1/2", "2/3", "3/4"],
         help="FEC code rate via 802.11a puncturing (with --coded)",
+    )
+    b.add_argument(
+        "--code", default="conv", choices=["conv", "ldpc"],
+        help="FEC family for --coded: convolutional+Viterbi or "
+             "QC-LDPC+min-sum (rates via --rate on either)",
+    )
+    b.add_argument(
+        "--ldpc-iters", type=int, default=25,
+        help="min-sum iterations for --code ldpc",
     )
     b.add_argument(
         "--fast", action="store_true",

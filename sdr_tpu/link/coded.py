@@ -1,10 +1,13 @@
-"""Coded link: conv-encode → interleave → OFDM link → LLR → Viterbi.
+"""Coded link: FEC → interleave → OFDM link → LLR → soft decode.
 
-The end-to-end consumer of the soft demapper: information bits are
-convolutionally encoded (ops.fec), bit-interleaved across the frame
-(ops.interleave), carried over the full OFDM link (link.pipeline's TX /
-channel / RX stages), and the deinterleaved LLRs drive the soft-input
-Viterbi decoder. BER is counted on INFORMATION bits.
+The end-to-end consumer of the soft demapper, with two code families:
+convolutional K=7 (171,133) with 802.11a puncturing and the soft-input
+Viterbi decoder (``simulate_coded``), and the QC-LDPC family with the
+min-sum decoder (``simulate_ldpc``, ops/ldpc.py). Either way the bits
+are bit-interleaved across the frame (ops.interleave), carried over
+the full OFDM link (link.pipeline's TX / channel / RX stages), and the
+deinterleaved LLRs drive the decoder. BER is counted on INFORMATION
+bits.
 
 Frame fit: the coded+tail bit count must fill the frame exactly, so the
 information payload per channel is derived from the config:
@@ -102,4 +105,81 @@ def make_coded_fn(
 ):
     return jax.jit(
         functools.partial(simulate_coded, cfg, polys=polys, K=K, rate=rate)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LDPC-coded link (ops/ldpc.py): modern block FEC on the same chain.
+
+_LDPC_MB = {"1/2": 12, "2/3": 8, "3/4": 6}  # nb=24 base, rate=(nb-mb)/nb
+
+
+def ldpc_code_for(rate: str = "1/2", z: int = 128):
+    """The framework's stock QC-LDPC code family (nb=24, Z=128)."""
+    from sdr_tpu.ops.ldpc import make_qc_ldpc
+
+    if rate not in _LDPC_MB:
+        raise ValueError(f"LDPC rate must be one of {sorted(_LDPC_MB)}")
+    return make_qc_ldpc(nb=24, mb=_LDPC_MB[rate], z=z)
+
+
+def ldpc_codewords_per_channel(cfg: LinkConfig, code) -> int:
+    """Whole codewords per frame (the remainder of the frame is zero
+    padding — known bits the receiver never counts)."""
+    frame_bits = cfg.n_symbols * cfg.bits_per_ofdm_symbol
+    n_cw = frame_bits // code.n
+    if n_cw < 1:
+        raise ValueError(
+            f"frame of {frame_bits} bits cannot fit an n={code.n} codeword"
+        )
+    return n_cw
+
+
+def _ldpc_one(cfg: LinkConfig, key: jax.Array, code, n_cw: int, iters: int):
+    from sdr_tpu.ops.ldpc import ldpc_decode, ldpc_encode
+
+    frame_bits = cfg.n_symbols * cfg.bits_per_ofdm_symbol
+    sent = n_cw * code.n
+
+    kbits = prng.role_key(key, prng.ROLE_PAYLOAD)
+    info = jax.random.bernoulli(kbits, 0.5, (n_cw, code.k)).astype(jnp.int8)
+    cw = ldpc_encode(code, info).reshape(-1)
+    # Same whole-frame interleave convention as the convolutional path:
+    # pad to the frame, permute the frame, depermute at RX.
+    frame = interleave(jnp.zeros((frame_bits,), jnp.int8).at[:sent].set(cw))
+    tx = tx_chain(cfg, frame.reshape(cfg.n_symbols, cfg.bits_per_ofdm_symbol))
+    rx, h_freq, nv = apply_channel(cfg, key, tx)
+    llrs, _ = rx_chain(cfg, rx, h_freq, nv)
+    llr_cw = deinterleave(llrs.reshape(-1)[:frame_bits])[:sent]
+    decoded = ldpc_decode(code, llr_cw.reshape(n_cw, code.n), iters=iters)
+    errors = jnp.sum(
+        (decoded[:, : code.k] != info).astype(jnp.int32)
+    )
+    return errors, jnp.int32(n_cw * code.k)
+
+
+def simulate_ldpc(
+    cfg: LinkConfig,
+    key: jax.Array,
+    rate: str = "1/2",
+    iters: int = 25,
+    z: int = 128,
+):
+    """LDPC-coded link over cfg.n_channels; returns (errors, counted)
+    per channel, counting INFORMATION bits (systematic prefix)."""
+    code = ldpc_code_for(rate, z)
+    n_cw = ldpc_codewords_per_channel(cfg, code)
+    ch_keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(
+        jnp.arange(cfg.n_channels)
+    )
+    return jax.vmap(
+        functools.partial(_ldpc_one, cfg, code=code, n_cw=n_cw, iters=iters)
+    )(ch_keys)
+
+
+def make_ldpc_fn(
+    cfg: LinkConfig, rate: str = "1/2", iters: int = 25, z: int = 128
+):
+    return jax.jit(
+        functools.partial(simulate_ldpc, cfg, rate=rate, iters=iters, z=z)
     )

@@ -1,0 +1,119 @@
+"""QC-LDPC construction, encode/decode, and the coded-link path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdr_tpu.core.config import (
+    ChannelConfig,
+    ChannelModel,
+    Equalizer,
+    LinkConfig,
+    Modulation,
+    OFDMConfig,
+)
+from sdr_tpu.ops.ldpc import (
+    _has_4cycle,
+    ldpc_decode,
+    ldpc_encode,
+    ldpc_syndrome,
+    make_qc_ldpc,
+)
+
+
+@pytest.mark.parametrize("mb,rate", [(12, 0.5), (8, 2 / 3), (6, 0.75)])
+def test_construction(mb, rate):
+    code = make_qc_ldpc(nb=24, mb=mb, z=128)
+    assert code.n == 24 * 128 and abs(code.rate - rate) < 1e-9
+    base = np.array(code.base)
+    assert not _has_4cycle(base, code.z)
+    # Information columns have weight 3; bidiagonal parity part.
+    kb = code.kb
+    assert ((base[:, :kb] >= 0).sum(axis=0) == 3).all()
+    for c in range(mb):
+        assert base[c, kb + c] == 0
+        if c + 1 < mb:
+            assert base[c + 1, kb + c] == 0
+
+
+def test_encode_valid_and_systematic(rng):
+    code = make_qc_ldpc()
+    info = jnp.asarray(rng.integers(0, 2, (4, code.k)), jnp.int8)
+    cw = ldpc_encode(code, info)
+    assert cw.shape == (4, code.n)
+    np.testing.assert_array_equal(np.asarray(cw)[:, : code.k], np.asarray(info))
+    assert int(np.asarray(ldpc_syndrome(code, cw)).max()) == 0
+
+
+def test_decode_clean_is_exact(rng):
+    code = make_qc_ldpc()
+    info = jnp.asarray(rng.integers(0, 2, (2, code.k)), jnp.int8)
+    cw = ldpc_encode(code, info)
+    llr = jnp.asarray(10.0 * (1.0 - 2.0 * np.asarray(cw, np.float32)))
+    dec = ldpc_decode(code, llr, iters=5)
+    np.testing.assert_array_equal(np.asarray(dec), np.asarray(cw))
+
+
+def test_decode_corrects_bpsk_awgn(rng):
+    """Waterfall sanity: raw BER ~9% at 3 dB decodes to zero errors
+    (measured margin: zero from 2.5 dB up on 49k-bit batches)."""
+    code = make_qc_ldpc()
+    info = jnp.asarray(rng.integers(0, 2, (16, code.k)), jnp.int8)
+    cw = ldpc_encode(code, info)
+    esno = 10 ** (3.0 / 10.0) * code.rate
+    sigma = np.sqrt(1.0 / (2.0 * esno))
+    x = 1.0 - 2.0 * np.asarray(cw, np.float32)
+    y = x + rng.standard_normal(x.shape).astype(np.float32) * sigma
+    llr = jnp.asarray(2.0 * y / sigma**2)
+    raw = float(((np.asarray(llr) < 0) != np.asarray(cw)).mean())
+    assert raw > 0.05  # the channel really is noisy
+    dec = np.asarray(jax.jit(lambda l: ldpc_decode(code, l, iters=30))(llr))
+    assert (dec[:, : code.k] == np.asarray(info)).all()
+
+
+def _link_cfg(ebno=4.0):
+    return LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(n_fft=128, cp_len=16),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=ebno),
+        equalizer=Equalizer.NONE,
+        n_symbols=16,
+        n_channels=8,
+    )
+
+
+def test_ldpc_link_beats_uncoded():
+    from sdr_tpu.link.coded import make_ldpc_fn
+    from sdr_tpu.link.pipeline import make_simulate_fn
+
+    cfg = _link_cfg(4.0)
+    err, cnt = make_ldpc_fn(cfg)(jax.random.PRNGKey(0))
+    assert int(np.asarray(err).sum()) == 0  # 408 uncoded errors here
+    assert int(np.asarray(cnt).sum()) == 8 * 1536
+    res = make_simulate_fn(cfg)(jax.random.PRNGKey(0))
+    assert int(np.asarray(res.bit_errors).sum()) > 100
+
+
+@pytest.mark.parametrize("rate", ["2/3", "3/4"])
+def test_ldpc_link_higher_rates(rate):
+    from sdr_tpu.link.coded import make_ldpc_fn
+
+    err, cnt = make_ldpc_fn(_link_cfg(5.0), rate=rate)(jax.random.PRNGKey(1))
+    assert int(np.asarray(err).sum()) == 0
+    assert int(np.asarray(cnt).sum()) > 0
+
+
+def test_cli_bench_ldpc(capsys):
+    import json
+
+    from sdr_tpu.app.cli import main
+
+    rc = main([
+        "bench", "--config", "0", "--coded", "--code", "ldpc",
+        "--ldpc-iters", "15",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert "QC-LDPC" in out["code"]
+    assert out["ber"] < 1e-3
