@@ -124,7 +124,16 @@ class _Deadline(Exception):
 
 
 def main() -> None:
-    batch = int(os.environ.get("SDR_BENCH_BATCH", "4096"))
+    # Round-2c defaults from the measured batch/precision scan
+    # (docs/hw_campaign.jsonl): batch 8192 amortizes the fixed
+    # per-iteration cost (23→28 GS/s vs 4096), and bf16x2 wins the
+    # same-window A/B at this batch on three repeats (25.9-28.2 vs
+    # 22.9-23.8 for bf16x3) while passing the hardware BER gate
+    # (error counts move -0.4%, noise level — docs/PERF.md). Both are
+    # env-overridable; bf16x3 remains the LIBRARY default (BER
+    # bit-identical to f32).
+    os.environ.setdefault("SDR_TPU_MXU_PRECISION", "bf16x2")
+    batch = int(os.environ.get("SDR_BENCH_BATCH", "8192"))
     n_syms = int(os.environ.get("SDR_BENCH_SYMS", "64"))
     iters = int(os.environ.get("SDR_BENCH_ITERS", "12"))
     reps = int(os.environ.get("SDR_BENCH_REPS", "3"))
@@ -204,7 +213,8 @@ def main() -> None:
         f"# batch={batch} syms={n_syms} iters={iters} best={best * 1e3:.2f}ms "
         f"({best / iters * 1e3:.3f}ms/iter) backend={jax.default_backend()} "
         f"fft={os.environ.get('SDR_TPU_FFT_BACKEND', 'auto')} "
-        f"demod={os.environ.get('SDR_TPU_DEMOD_BACKEND', 'auto')}",
+        f"demod={os.environ.get('SDR_TPU_DEMOD_BACKEND', 'auto')} "
+        f"mxu={os.environ.get('SDR_TPU_MXU_PRECISION', 'bf16x3')}",
         file=sys.stderr,
     )
 

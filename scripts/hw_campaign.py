@@ -56,7 +56,8 @@ CAMPAIGN = [
     ("wb4096_fourstep", "bench_demod.py",
      {**WB, "SDR_TPU_DEMOD_BACKEND": "fourstep"}),
     ("wb4096_fourstep2_f32", "bench_demod.py",
-     {**WB, "SDR_TPU_DEMOD_BACKEND": "fourstep2"}),
+     {**WB, "SDR_TPU_DEMOD_BACKEND": "fourstep2",
+      "SDR_TPU_FOURSTEP_STAGE": "f32"}),
     ("wb4096_fourstep2_bf16", "bench_demod.py",
      {**WB, "SDR_TPU_DEMOD_BACKEND": "fourstep2",
       "SDR_TPU_FOURSTEP_STAGE": "bf16"}),
@@ -72,6 +73,56 @@ CAMPAIGN = [
      {**WB, "SDR_BENCH_TERMINAL": "count",
       "SDR_TPU_DEMOD_BACKEND": "fourstep2",
       "SDR_TPU_FOURSTEP_STAGE": "bf16"}),
+    # Repeats for the unstable headline orderings + batch scaling.
+    ("headline_256_llr_bf16x3_B8192_r2", "bench_demod.py",
+     {**HEAD, "SDR_BENCH_BATCH": "8192"}),
+    ("headline_256_llr_bf16x2_B8192_r2", "bench_demod.py",
+     {**HEAD, "SDR_BENCH_BATCH": "8192", "SDR_TPU_MXU_PRECISION": "bf16x2"}),
+    ("headline_256_llr_bf16x3_B8192_r3", "bench_demod.py",
+     {**HEAD, "SDR_BENCH_BATCH": "8192"}),
+    ("headline_256_llr_bf16x2_B8192_r3", "bench_demod.py",
+     {**HEAD, "SDR_BENCH_BATCH": "8192", "SDR_TPU_MXU_PRECISION": "bf16x2"}),
+    ("wb4096_fourstep2_bf16_B1024", "bench_demod.py",
+     {**WB, "SDR_BENCH_BATCH": "1024", "SDR_TPU_DEMOD_BACKEND": "fourstep2",
+      "SDR_TPU_FOURSTEP_STAGE": "bf16"}),
+    ("wb4096_hybrid_B1024", "bench_demod.py",
+     {**WB, "SDR_BENCH_BATCH": "1024", "SDR_TPU_DEMOD_BACKEND": "hybrid"}),
+    ("wb4096_fourstep2_bf16_B512_r2", "bench_demod.py",
+     {**WB, "SDR_BENCH_BATCH": "512", "SDR_TPU_DEMOD_BACKEND": "fourstep2",
+      "SDR_TPU_FOURSTEP_STAGE": "bf16"}),
+    ("wb4096_fourstep2_bf16_B1024_r2", "bench_demod.py",
+     {**WB, "SDR_BENCH_BATCH": "1024", "SDR_TPU_DEMOD_BACKEND": "fourstep2",
+      "SDR_TPU_FOURSTEP_STAGE": "bf16"}),
+    ("wb4096_hybrid_B1024_r2", "bench_demod.py",
+     {**WB, "SDR_BENCH_BATCH": "1024", "SDR_TPU_DEMOD_BACKEND": "hybrid"}),
+    ("wb4096_fourstep2_bf16_B2048", "bench_demod.py",
+     {**WB, "SDR_BENCH_BATCH": "2048", "SDR_TPU_DEMOD_BACKEND": "fourstep2",
+      "SDR_TPU_FOURSTEP_STAGE": "bf16"}),
+    ("wb4096_hybrid_B2048", "bench_demod.py",
+     {**WB, "SDR_BENCH_BATCH": "2048", "SDR_TPU_DEMOD_BACKEND": "hybrid"}),
+    ("headline_256_llr_bf16x2_B16384", "bench_demod.py",
+     {**HEAD, "SDR_BENCH_BATCH": "16384",
+      "SDR_TPU_MXU_PRECISION": "bf16x2"}),
+    # Pass 4: batch asymptote + adjacent-pair wideband crossover repeats.
+    ("headline_256_llr_bf16x2_B32768", "bench_demod.py",
+     {**HEAD, "SDR_BENCH_BATCH": "32768",
+      "SDR_TPU_MXU_PRECISION": "bf16x2"}),
+    ("headline_256_llr_bf16x3_B16384", "bench_demod.py",
+     {**HEAD, "SDR_BENCH_BATCH": "16384"}),
+    ("wb4096_fourstep2_bf16_B2048_r2", "bench_demod.py",
+     {**WB, "SDR_BENCH_BATCH": "2048", "SDR_TPU_DEMOD_BACKEND": "fourstep2",
+      "SDR_TPU_FOURSTEP_STAGE": "bf16"}),
+    ("wb4096_hybrid_B2048_r2", "bench_demod.py",
+     {**WB, "SDR_BENCH_BATCH": "2048", "SDR_TPU_DEMOD_BACKEND": "hybrid"}),
+    ("wb4096_fourstep2_bf16_B2048_r3", "bench_demod.py",
+     {**WB, "SDR_BENCH_BATCH": "2048", "SDR_TPU_DEMOD_BACKEND": "fourstep2",
+      "SDR_TPU_FOURSTEP_STAGE": "bf16"}),
+    ("wb4096_hybrid_B2048_r3", "bench_demod.py",
+     {**WB, "SDR_BENCH_BATCH": "2048", "SDR_TPU_DEMOD_BACKEND": "hybrid"}),
+    ("wb4096_link_mc_r2", "bench_link.py",
+     {"SDR_BENCH_NFFT": "4096", "SDR_BENCH_CP": "512",
+      "SDR_BENCH_CHANNELS": "64", "SDR_BENCH_SYMS": "8",
+      "SDR_BENCH_ITERS": "8", "SDR_BENCH_ENGINE": "mc"}),
     # End-to-end simulation engines (N-only accounting).
     ("link256_fast", "bench_link.py",
      {"SDR_BENCH_CHANNELS": "512", "SDR_BENCH_SYMS": "64",

@@ -34,9 +34,10 @@ def _tx(cfg: LinkConfig, idx: jnp.ndarray, backend: str):
     """(B,S,N) indices → planar (re, im) (B,S,sym_len).
 
     The wideband kernel variant is selectable via
-    ``SDR_TPU_TX_WIDEBAND=fourstep|fourstep2`` (default fourstep; the
-    split variant stages through HBM for full-row MXU tiles — A/B
-    on-device, same recipe as the demod backends)."""
+    ``SDR_TPU_TX_WIDEBAND=fourstep|fourstep2`` (default fourstep2
+    since round 2c: the HBM-staged variant with the bf16 stage won
+    every same-window hardware A/B — 1.86 vs 1.05 GS/s,
+    docs/PERF.md round 2b)."""
     import os
 
     from sdr_tpu.kernels.fourstep_tx_pallas import (
@@ -56,7 +57,7 @@ def _tx(cfg: LinkConfig, idx: jnp.ndarray, backend: str):
     )
     if want and small_ok:
         return tx_chain_pallas(idx, cfg.ofdm.cp_len, cfg.modulation)
-    wide_variant = os.environ.get("SDR_TPU_TX_WIDEBAND", "fourstep")
+    wide_variant = os.environ.get("SDR_TPU_TX_WIDEBAND", "fourstep2")
     if (
         want
         and wide_variant == "fourstep2"

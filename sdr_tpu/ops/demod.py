@@ -56,6 +56,7 @@ def select_backend(re_shape, hr_shape, cp_len: int, mod, platform: str) -> str:
     """
     from sdr_tpu.kernels.demod_pallas import supported as _pl_ok
     from sdr_tpu.kernels.fourstep_pallas import supported as _fs_ok
+    from sdr_tpu.kernels.fourstep_split_pallas import supported as _fs2_ok
     from sdr_tpu.kernels.llr_pallas import supported as _llr_ok
 
     if platform == "cpu" or len(re_shape) != 3:
@@ -69,6 +70,11 @@ def select_backend(re_shape, hr_shape, cp_len: int, mod, platform: str) -> str:
         return "jnp"
     if _pl_ok(re_shape, cp_len, mod):
         return "pallas"
+    # Wideband: the HBM-staged split four-step wins every same-window
+    # hardware A/B over both the single-kernel four-step and the XLA-
+    # FFT hybrid (docs/hw_campaign.jsonl, docs/PERF.md round 2b/2c).
+    if _fs2_ok(re_shape, cp_len, mod, h_syms=hr_shape[1]):
+        return "fourstep2"
     if _fs_ok(re_shape, cp_len, mod, h_syms=hr_shape[1]):
         return "fourstep"
     if _llr_ok((re_shape[0], re_shape[1], re_shape[2] - cp_len), mod):

@@ -275,3 +275,67 @@ def make_sharded_mc_inject_fn(cfg: LinkConfig, mesh: Mesh):
         check_vma=False,  # pallas_call, as in make_sharded_fast_fn
     )
     return jax.jit(f)
+
+
+def make_sharded_coded_fn(
+    cfg: LinkConfig,
+    mesh: Mesh,
+    code: str = "conv",
+    rate: str = "1/2",
+    ldpc_iters: int = 25,
+):
+    """Channel-batch data parallelism for the CODED links (conv/LDPC).
+
+    Each device runs the per-channel coded chain (link.coded) on its
+    channel shard. Both coded paths key every draw by the GLOBAL
+    channel index (fold_in(key, c)), so each device reconstructing its
+    own global ids makes the result bit-exact vs the unsharded
+    ``simulate_coded`` / ``simulate_ldpc`` for any channel layout —
+    the same invariant as the uncoded DP paths. Decoding (Viterbi /
+    min-sum) runs entirely device-local: the only communication is the
+    sharded count output.
+    """
+    import functools
+
+    from sdr_tpu.link import coded as _coded
+
+    if code == "conv":
+        n_info = _coded.info_bits_per_channel(cfg, rate=rate)
+        one = functools.partial(
+            _coded._coded_one, cfg, n_info=n_info,
+            polys=_coded.DEFAULT_POLYS, K=_coded.DEFAULT_K, rate=rate,
+        )
+    elif code == "ldpc":
+        ldpc = _coded.ldpc_code_for(rate)
+        n_cw = _coded.ldpc_codewords_per_channel(cfg, ldpc)
+        one = functools.partial(
+            _coded._ldpc_one, cfg, code=ldpc, n_cw=n_cw, iters=ldpc_iters
+        )
+    else:
+        raise ValueError(f"code must be 'conv' or 'ldpc', got {code!r}")
+
+    # Like the fast path, the coded chain has no time-axis structure:
+    # every device is a DP worker over the flattened mesh.
+    n_shards = mesh.shape["time"] * mesh.shape["channel"]
+    if cfg.n_channels % n_shards != 0:
+        raise ValueError(
+            f"n_channels={cfg.n_channels} not divisible by "
+            f"device count {n_shards}"
+        )
+    local = cfg.n_channels // n_shards
+    cdev = mesh.shape["channel"]
+
+    def local_fn(key):
+        me = lax.axis_index("time") * cdev + lax.axis_index("channel")
+        ch_ids = me * local + jnp.arange(local)
+        ch_keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(ch_ids)
+        return jax.vmap(one)(ch_keys)
+
+    f = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=(P(("time", "channel")), P(("time", "channel"))),
+        check_vma=False,
+    )
+    return jax.jit(f)

@@ -154,13 +154,15 @@ def test_select_backend_rules():
     h_full = (512, 1, 256)
     h_big = (64, 1, 4096)
     assert select_backend(full, h_full, 64, mod, "tpu") == "pallas"
-    assert select_backend(big, h_big, 512, mod, "tpu") == "fourstep"
+    # Wideband auto prefers the HBM-staged split four-step (round 2c —
+    # it won every same-window hardware A/B; docs/hw_campaign.jsonl).
+    assert select_backend(big, h_big, 512, mod, "tpu") == "fourstep2"
     assert select_backend(oddcp, h_big, 100, mod, "tpu") == "hybrid"
     # CPU always composes.
     assert select_backend(full, h_full, 64, mod, "cpu") == "jnp"
     # Per-symbol h (time-varying fading) stays on the fused kernels.
     assert select_backend(full, (512, 64, 256), 64, mod, "tpu") == "pallas"
-    assert select_backend(big, (64, 8, 4096), 512, mod, "tpu") == "fourstep"
+    assert select_backend(big, (64, 8, 4096), 512, mod, "tpu") == "fourstep2"
     # Other broadcastable h layouts fall back rather than crashing.
     assert select_backend(full, (512, 2, 256), 64, mod, "tpu") == "jnp"
     assert select_backend(full, (1, 1, 256), 64, mod, "tpu") == "jnp"

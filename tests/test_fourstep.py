@@ -200,9 +200,22 @@ def test_auto_dispatch_never_claims_infeasible_shapes():
 
     shape, h, cp = (1, 80, 1280), (1, 1, 1024), 256
     b = select_backend(shape, h, cp, Modulation.QAM64, "tpu")
-    assert b in ("hybrid", "jnp")
+    assert b in ("fourstep2", "hybrid", "jnp")
+    if b == "fourstep2":
+        # The split kernel's gate admits it — the non-reduce call must
+        # actually run (the original regression: claimed-but-raising).
+        from sdr_tpu.kernels.fourstep_split_pallas import (
+            demod_chain_fourstep2,
+        )
+
+        rng = np.random.default_rng(0)
+        re, im, hr, hi = _inputs(rng, 1, 80, 1280, 1024)
+        demod_chain_fourstep2(
+            re, im, hr, hi, cp, Modulation.QAM64, 0.1, interpret=True
+        )
     if supported(shape, cp, Modulation.QAM64):
-        # If the gate ever admits it again, the non-reduce path must work.
+        # If the single-kernel gate ever admits it again, the
+        # non-reduce path must work.
         rng = np.random.default_rng(0)
         re, im, hr, hi = _inputs(rng, 1, 80, 1280, 1024)
         demod_chain_fourstep(
@@ -252,10 +265,13 @@ def test_fourstep_split_bf16_stage(rng, monkeypatch):
 
 
 @pytest.mark.parametrize("h_syms_is_S", [False, True])
-def test_fourstep_split_matches_jnp(rng, h_syms_is_S):
-    """Two-phase four-step (HBM-staged) parity vs jnp, both h layouts."""
+def test_fourstep_split_matches_jnp(rng, h_syms_is_S, monkeypatch):
+    """Two-phase four-step (HBM-staged) parity vs jnp, both h layouts.
+    Pinned to the f32 stage — the bf16 default's looser tolerance has
+    its own test (test_fourstep_split_bf16_stage)."""
     from sdr_tpu.kernels.fourstep_split_pallas import demod_chain_fourstep2
 
+    monkeypatch.setenv("SDR_TPU_FOURSTEP_STAGE", "f32")
     mod, n_fft, cp = Modulation.QAM16, 1024, 256
     batch, n_syms = 2, 4
     nv = float(ebno_db_to_noise_var(10.0, mod.bits_per_symbol))

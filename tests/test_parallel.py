@@ -266,3 +266,32 @@ def test_sharded_fast_jnp_backend_bit_exact():
     e_sh, _ = make_sharded_fast_fn(cfg, mesh, backend="jnp")(key)
     e_ref, _ = jax.jit(lambda k: fast_simulate(cfg, k, backend="jnp"))(key)
     np.testing.assert_array_equal(np.asarray(e_sh), np.asarray(e_ref))
+
+
+@pytest.mark.parametrize("code", ["conv", "ldpc"])
+def test_sharded_coded_bit_exact(code):
+    """Coded-link channel DP (conv/Viterbi and LDPC/min-sum decode
+    entirely device-local): bit-exact vs the unsharded coded link."""
+    from sdr_tpu.link.coded import make_coded_fn, make_ldpc_fn
+    from sdr_tpu.parallel import make_sharded_coded_fn
+
+    cfg = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(128, 16),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=3.0),
+        equalizer=Equalizer.NONE,
+        n_symbols=16,
+        n_channels=8,
+    )
+    key = jax.random.PRNGKey(9)
+    mesh = make_link_mesh(2, 2, devices=jax.devices()[:4])
+    if code == "conv":
+        ref_err, ref_cnt = make_coded_fn(cfg)(key)
+        got_err, got_cnt = make_sharded_coded_fn(cfg, mesh, code="conv")(key)
+    else:
+        ref_err, ref_cnt = make_ldpc_fn(cfg, iters=10)(key)
+        got_err, got_cnt = make_sharded_coded_fn(
+            cfg, mesh, code="ldpc", ldpc_iters=10
+        )(key)
+    np.testing.assert_array_equal(np.asarray(got_err), np.asarray(ref_err))
+    np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(ref_cnt))
