@@ -123,6 +123,8 @@ CAMPAIGN = [
      {"SDR_BENCH_NFFT": "4096", "SDR_BENCH_CP": "512",
       "SDR_BENCH_CHANNELS": "64", "SDR_BENCH_SYMS": "8",
       "SDR_BENCH_ITERS": "8", "SDR_BENCH_ENGINE": "mc"}),
+    ("ldpc_decode_r12", "bench_ldpc.py", {}),
+    ("ldpc_decode_r34", "bench_ldpc.py", {"SDR_BENCH_LDPC_RATE": "3/4"}),
     # End-to-end simulation engines (N-only accounting).
     ("link256_fast", "bench_link.py",
      {"SDR_BENCH_CHANNELS": "512", "SDR_BENCH_SYMS": "64",
