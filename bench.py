@@ -125,15 +125,15 @@ class _Deadline(Exception):
 
 def main() -> None:
     # Round-2c defaults from the measured batch/precision scan
-    # (docs/hw_campaign.jsonl): batch 8192 amortizes the fixed
-    # per-iteration cost (23→28 GS/s vs 4096), and bf16x2 wins the
-    # same-window A/B at this batch on three repeats (25.9-28.2 vs
-    # 22.9-23.8 for bf16x3) while passing the hardware BER gate
-    # (error counts move -0.4%, noise level — docs/PERF.md). Both are
-    # env-overridable; bf16x3 remains the LIBRARY default (BER
-    # bit-identical to f32).
+    # (docs/hw_campaign.jsonl): bf16x2 wins the same-window A/B at
+    # batch >= 8192 on every repeat (25.9-28.2 vs 22.9-23.8 at 8192)
+    # while passing the hardware BER gate (error counts move -0.4%,
+    # noise level — docs/PERF.md), and batch amortization keeps paying
+    # to 32768 (28 → 34.6 @16384 → 40.1 @32768 GS/s; ~10.7 GB working
+    # set, well inside the 16 GB HBM). Both are env-overridable;
+    # bf16x3 remains the LIBRARY default (BER bit-identical to f32).
     os.environ.setdefault("SDR_TPU_MXU_PRECISION", "bf16x2")
-    batch = int(os.environ.get("SDR_BENCH_BATCH", "8192"))
+    batch = int(os.environ.get("SDR_BENCH_BATCH", "32768"))
     n_syms = int(os.environ.get("SDR_BENCH_SYMS", "64"))
     iters = int(os.environ.get("SDR_BENCH_ITERS", "12"))
     reps = int(os.environ.get("SDR_BENCH_REPS", "3"))
