@@ -180,6 +180,7 @@ def ldpc_decode(
     llr: jnp.ndarray,
     iters: int = 25,
     offset: float = 0.5,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Flooding offset min-sum over (..., n) channel LLRs → (..., n)
     hard bits (int8). Positive LLR = bit 0 (demapper convention).
@@ -190,10 +191,25 @@ def ldpc_decode(
     then emits each edge's self-excluded min with the offset applied.
     The iteration loop is a ``lax.fori_loop`` with the stacked edge
     messages as carry — fixed trip count, jit-static structure.
+
+    ``backend="auto"`` routes 2-D sublane-aligned batches on TPU to the
+    fused VMEM-resident kernel (kernels/ldpc_pallas.py — bit-identical,
+    measured 1.8× at 2048 codewords: the fori_loop carry here
+    round-trips HBM every iteration); anything else decodes in jnp.
     """
     z, nb, mb = code.z, code.nb, code.mb
     if llr.shape[-1] != code.n:
         raise ValueError(f"llr length {llr.shape[-1]} != n={code.n}")
+    if backend in ("auto", "pallas") and llr.ndim == 2:
+        from sdr_tpu.kernels.ldpc_pallas import (
+            ldpc_decode_pallas,
+            supported as _pl_ok,
+        )
+
+        if _pl_ok(code, llr.shape[0]) and (
+            backend == "pallas" or jax.default_backend() == "tpu"
+        ):
+            return ldpc_decode_pallas(code, llr, iters=iters, offset=offset)
     ch = llr.reshape(llr.shape[:-1] + (nb, z)).astype(jnp.float32)
     edges = [(i, j, s) for i in range(mb) for j, s in code.row_edges(i)]
     e_by_row = [

@@ -117,3 +117,22 @@ def test_cli_bench_ldpc(capsys):
     out = json.loads(capsys.readouterr().out)
     assert "QC-LDPC" in out["code"]
     assert out["ber"] < 1e-3
+
+
+def test_pallas_decoder_bit_identical(rng):
+    """The fused VMEM-resident decoder (kernels/ldpc_pallas.py) must
+    match the jnp decoder bit-for-bit — same math, same op order."""
+    from sdr_tpu.kernels.ldpc_pallas import ldpc_decode_pallas, supported
+
+    code = make_qc_ldpc()
+    assert supported(code, 8)
+    info = jnp.asarray(rng.integers(0, 2, (8, code.k)), jnp.int8)
+    cw = ldpc_encode(code, info)
+    esno = 10 ** (2.0 / 10.0) * code.rate
+    sigma = np.sqrt(1.0 / (2.0 * esno))
+    x = 1.0 - 2.0 * np.asarray(cw, np.float32)
+    y = x + rng.standard_normal(x.shape).astype(np.float32) * sigma
+    llr = jnp.asarray(2.0 * y / sigma**2)
+    ref = np.asarray(ldpc_decode(code, llr, iters=15))
+    got = np.asarray(ldpc_decode_pallas(code, llr, iters=15, interpret=True))
+    np.testing.assert_array_equal(got, ref)
