@@ -242,6 +242,15 @@ def _cmd_sweep(args) -> int:
                 file=sys.stderr,
             )
             return 2
+    if engine == "fast" and (
+        case.cfg.pilot_spacing or case.cfg.channel.impaired
+    ):
+        print(
+            "error: --engine fast needs a full-grid config "
+            "(no pilots or timing/CFO impairments)",
+            file=sys.stderr,
+        )
+        return 2
     grid = (
         [float(x) for x in args.ebno_grid.split(",")]
         if args.ebno_grid
@@ -462,9 +471,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--plot", default=None, help="write a BER-curve figure (PNG/SVG path)")
     s.add_argument("--seed", type=int, default=0)
     s.add_argument(
-        "--engine", default="pipeline", choices=["pipeline", "mc"],
-        help="mc = fully-fused Monte-Carlo kernel (hardware PRNG, TPU "
-        "only; orders faster per bit on supported configs)",
+        "--engine", default="pipeline", choices=["pipeline", "fast", "mc"],
+        help="fast = fused-kernel link (full-grid configs, "
+        "jax.random stream); mc = fully-fused Monte-Carlo kernel "
+        "(hardware PRNG, TPU only; orders faster per bit)",
     )
     s.add_argument("--mc-iters", type=int, default=16,
                    help="MC kernel passes per sweep invocation")

@@ -119,15 +119,23 @@ def ebno_sweep(
     completed points are loaded and the sweep resumes after them;
     every completed point rewrites the checkpoint atomically.
 
+    ``engine="fast"`` drives link.fast (the fused-kernel throughput
+    path — full-grid configs only, no pilots/impairments) with the
+    same jax.random stream discipline as the pipeline oracle;
     ``engine="mc"`` drives the fully-fused Monte-Carlo kernel
     (link.mc — on-core hardware PRNG, TPU only, ``mc_iters`` kernel
-    passes per invocation) instead of the oracle pipeline: same
-    accumulation/termination/checkpoint logic, orders faster per bit.
-    Checkpoints record the engine, so pipeline and MC sweeps never
-    share state (their random streams differ)."""
-    if engine not in ("pipeline", "mc"):
+    passes per invocation). Same accumulation/termination/checkpoint
+    logic either way, orders faster per bit. Checkpoints record the
+    engine, so sweeps from different engines never share state (their
+    random streams differ)."""
+    if engine not in ("pipeline", "fast", "mc"):
         raise ValueError(f"unknown sweep engine {engine!r}")
-    summary = _cfg_summary(cfg) + ("/mc" if engine == "mc" else "")
+    if engine == "fast" and (cfg.pilot_spacing or cfg.channel.impaired):
+        raise ValueError(
+            "engine='fast' needs a full-grid config (no pilots or "
+            "timing/CFO impairments — use engine='pipeline')"
+        )
+    summary = _cfg_summary(cfg) + {"pipeline": "", "fast": "/fast", "mc": "/mc"}[engine]
     done: dict[float, SweepPoint] = {}
     if checkpoint_path and os.path.exists(checkpoint_path):
         with open(checkpoint_path) as f:
@@ -167,6 +175,15 @@ def ebno_sweep(
             def invoke(batch, _i=i, _fn=mc_fn):
                 # Deterministic, never-replayed seed per (point, batch).
                 e, c = _fn(np.int32((_i * 1_000_003 + batch) & 0x7FFFFFFF))
+                return int(np.asarray(e).sum()), int(np.asarray(c).sum())
+        elif engine == "fast":
+            from sdr_tpu.link.fast import make_fast_fn
+
+            ffn = make_fast_fn(pt_cfg)
+            pt_key = jax.random.fold_in(key, i)
+
+            def invoke(batch, _fn=ffn, _k=pt_key):
+                e, c = _fn(jax.random.fold_in(_k, batch))
                 return int(np.asarray(e).sum()), int(np.asarray(c).sum())
         else:
             fn = make_simulate_fn(pt_cfg)

@@ -201,3 +201,35 @@ def test_tune_demod_reports_backends():
     # the staged-variant spec must time (CPU runs it via interpret-free
     # jnp fallback or the kernel gate errors cleanly) and must restore env
     assert "SDR_TPU_FOURSTEP_STAGE" not in os.environ
+
+
+def test_sweep_fast_engine(tmp_path):
+    """engine='fast' (fused-kernel link) hits the same statistics and
+    keeps its checkpoint namespace separate from the pipeline's."""
+    cfg = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=4.0),
+        n_symbols=8,
+        n_channels=4,
+    )
+    ck = str(tmp_path / "ck.json")
+    res = ebno_sweep(
+        cfg, [4.0], jax.random.PRNGKey(0), target_errors=40,
+        max_bits=10**6, engine="fast", checkpoint_path=ck,
+    )
+    pt = res.points[0]
+    th = res.theory(Modulation.QPSK)[0]
+    assert 0.5 * th < pt.ber < 2.0 * th
+    assert res.config_summary.endswith("/fast")
+    # Pilot/impaired configs are rejected up front.
+    import dataclasses
+    import pytest as _pytest
+
+    from sdr_tpu.core.config import Equalizer
+
+    bad = dataclasses.replace(
+        cfg, pilot_spacing=8, equalizer=Equalizer.MMSE
+    )
+    with _pytest.raises(ValueError, match="full-grid"):
+        ebno_sweep(bad, [4.0], jax.random.PRNGKey(0), engine="fast")
