@@ -72,6 +72,48 @@ def _cmd_bench(args) -> int:
             file=sys.stderr,
         )
         return 2
+    pn = getattr(args, "phase_noise", 0.0)
+    iq_gain = getattr(args, "iq_gain", 1.0)
+    iq_phase = getattr(args, "iq_phase", 0.0)
+    front_end = bool(pn) or iq_gain != 1.0 or iq_phase != 0.0
+    if front_end:
+        if impaired:
+            print(
+                "error: --phase-noise/--iq-gain/--iq-phase cannot be "
+                "combined with --cfo/--timing-offset (mixer tracking and "
+                "blind acquisition are separate front-end modes for now)",
+                file=sys.stderr,
+            )
+            return 2
+        import dataclasses
+
+        from sdr_tpu.core.config import Equalizer as _Eq
+
+        # Mixer impairments force pilot estimation (the LO's random
+        # common phase and the compensator's residual direct gain are
+        # unknowable to genie CSI) — same promotion as acquisition.
+        tag = ("+pn" if pn else "") + (
+            "+iq" if iq_gain != 1.0 or iq_phase != 0.0 else ""
+        )
+        case = dataclasses.replace(
+            case,
+            name=case.name + tag,
+            cfg=dataclasses.replace(
+                case.cfg,
+                channel=dataclasses.replace(
+                    case.cfg.channel,
+                    phase_noise_std=pn,
+                    iq_gain=iq_gain,
+                    iq_phase_rad=iq_phase,
+                ),
+                pilot_spacing=case.cfg.pilot_spacing or 8,
+                equalizer=(
+                    case.cfg.equalizer
+                    if case.cfg.equalizer != _Eq.NONE
+                    else _Eq.MMSE
+                ),
+            ),
+        )
     if impaired:
         import dataclasses
 
@@ -387,11 +429,13 @@ def _cmd_info(args) -> int:
         "modulations": [m.value for m in Modulation],
         "demod_backends": ["jnp", "pallas (n_fft<=512)",
                            "fourstep (n_fft>=1024)", "hybrid"],
-        "channels": ["identity", "awgn", "rayleigh_flat", "multipath",
-                     "rayleigh_time (Jakes)"],
+        "channels": ["identity", "awgn", "rayleigh_flat", "rician (K-factor)",
+                     "multipath", "rayleigh_time (Jakes)",
+                     "rx LO phase noise (Wiener walk)"],
         "receiver": ["ZF/MMSE equalizers", "max-log LLR",
                      "comb pilots (LS / per-symbol / phase-tracked)",
-                     "blind acquisition (S&C + integer CFO + fine timing)"],
+                     "blind acquisition (S&C + integer CFO + fine timing)",
+                     "blind I/Q-image cancellation (properization)"],
         "fec": ["conv K=7 (171,133)", "rates 1/2, 2/3, 3/4 (802.11a "
                 "puncturing)", "soft Viterbi", "block interleaver"],
         "parallelism": ["channel DP", "time-block SP (ppermute halos)",
@@ -432,6 +476,20 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument(
         "--timing-offset", type=int, default=0,
         help="unknown frame delay in samples (enables blind acquisition)",
+    )
+    b.add_argument(
+        "--phase-noise", type=float, default=0.0, metavar="STD",
+        help="RX-LO Wiener phase noise, per-sample increment std in rad "
+        "(enables comb pilots with per-symbol phase tracking)",
+    )
+    b.add_argument(
+        "--iq-gain", type=float, default=1.0, metavar="G",
+        help="RX I/Q amplitude mismatch ratio (1 = matched; enables the "
+        "blind properization compensator + comb pilots)",
+    )
+    b.add_argument(
+        "--iq-phase", type=float, default=0.0, metavar="RAD",
+        help="RX I/Q phase skew in radians (0 = matched)",
     )
     b.add_argument(
         "--coded", action="store_true",

@@ -149,6 +149,19 @@ class ChannelConfig:
     # degenerates to RAYLEIGH_FLAT statistics; K→∞ approaches AWGN with
     # a random carrier phase. E|h|² = 1 at every K.
     k_factor: float = 4.0
+    # RX-LO phase noise: per-sample Wiener phase increment std in
+    # radians (0 = ideal oscillator). Nonzero values require
+    # pilot_spacing — the random common phase is unknowable to genie
+    # CSI; the per-symbol tracked LS estimator corrects it.
+    phase_noise_std: float = 0.0
+    # RX I/Q mismatch: Q-branch amplitude ratio (1 = matched) and phase
+    # skew in radians (0 = matched). Nonzero mismatch images the mirror
+    # subcarrier into every tone; the receiver runs the blind
+    # properization compensator (ops.channel.iq_compensate) and the
+    # pilot LS estimate absorbs the residual direct gain — so
+    # pilot_spacing is required (validated in LinkConfig).
+    iq_gain: float = 1.0
+    iq_phase_rad: float = 0.0
 
     def __post_init__(self) -> None:
         if len(self.pdp) < 1:
@@ -161,9 +174,23 @@ class ChannelConfig:
             )
         if self.model == ChannelModel.RICIAN and self.k_factor < 0:
             raise ValueError(f"k_factor must be >= 0, got {self.k_factor}")
+        if not 0.0 <= self.phase_noise_std <= 0.1:
+            # Above ~0.1 rad/sample the intra-symbol ICI dominates and
+            # no common-phase correction is meaningful.
+            raise ValueError(
+                f"phase_noise_std must be in [0, 0.1], got {self.phase_noise_std}"
+            )
         if self.timing_offset < 0:
             raise ValueError(
                 f"timing_offset must be >= 0, got {self.timing_offset}"
+            )
+        if not 0.5 <= self.iq_gain <= 2.0:
+            raise ValueError(
+                f"iq_gain must be in [0.5, 2.0], got {self.iq_gain}"
+            )
+        if abs(self.iq_phase_rad) > 0.5:
+            raise ValueError(
+                f"|iq_phase_rad| must be <= 0.5, got {self.iq_phase_rad}"
             )
         if abs(self.cfo_subcarriers) > 4.99:
             # Fractional estimator covers +-1; the even-integer search
@@ -175,6 +202,10 @@ class ChannelConfig:
     @property
     def impaired(self) -> bool:
         return bool(self.cfo_subcarriers) or bool(self.timing_offset)
+
+    @property
+    def iq_imbalanced(self) -> bool:
+        return self.iq_gain != 1.0 or self.iq_phase_rad != 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -212,6 +243,33 @@ class LinkConfig:
                 )
         if self.n_symbols < 1 or self.n_channels < 1:
             raise ValueError("n_symbols and n_channels must be >= 1")
+        if self.channel.phase_noise_std:
+            if not self.pilot_spacing:
+                raise ValueError(
+                    "phase_noise_std > 0 needs pilot_spacing > 0: the "
+                    "oscillator's random common phase is unknowable to "
+                    "genie CSI — the tracked pilot estimator corrects it"
+                )
+            if self.channel.impaired:
+                raise NotImplementedError(
+                    "phase noise + timing/CFO acquisition is not "
+                    "supported in one link yet (the acquisition path "
+                    "applies its own front-end chain)"
+                )
+        if self.channel.iq_imbalanced:
+            if not self.pilot_spacing:
+                raise ValueError(
+                    "I/Q imbalance needs pilot_spacing > 0: the blind "
+                    "compensator leaves a residual complex direct gain "
+                    "that only the pilot LS estimate can absorb — genie "
+                    "CSI has no access to the mixer"
+                )
+            if self.channel.impaired:
+                raise NotImplementedError(
+                    "I/Q imbalance + timing/CFO acquisition is not "
+                    "supported in one link yet (the acquisition path "
+                    "applies its own front-end chain)"
+                )
         if self.channel.impaired:
             if not self.pilot_spacing:
                 raise ValueError(
@@ -260,6 +318,9 @@ def link_config_to_dict(cfg: LinkConfig) -> dict:
             "cfo_subcarriers": cfg.channel.cfo_subcarriers,
             "timing_offset": cfg.channel.timing_offset,
             "k_factor": cfg.channel.k_factor,
+            "phase_noise_std": cfg.channel.phase_noise_std,
+            "iq_gain": cfg.channel.iq_gain,
+            "iq_phase_rad": cfg.channel.iq_phase_rad,
         },
         "equalizer": cfg.equalizer.value,
         "n_symbols": cfg.n_symbols,
@@ -284,6 +345,9 @@ def link_config_from_dict(d: dict) -> LinkConfig:
             cfo_subcarriers=ch.get("cfo_subcarriers", 0.0),
             timing_offset=ch.get("timing_offset", 0),
             k_factor=ch.get("k_factor", 4.0),
+            phase_noise_std=ch.get("phase_noise_std", 0.0),
+            iq_gain=ch.get("iq_gain", 1.0),
+            iq_phase_rad=ch.get("iq_phase_rad", 0.0),
         ),
         equalizer=Equalizer(d.get("equalizer", "none")),
         n_symbols=d.get("n_symbols", 16),

@@ -24,6 +24,7 @@ ROLE_PAYLOAD = 0x0B175  # source bits
 ROLE_NOISE = 0x4015E  # AWGN draws
 ROLE_FADING = 0xFAD1E  # channel tap draws
 ROLE_MISC = 0x3E71A
+ROLE_PHASE = 0x9A5E0  # RX-LO Wiener phase-noise walk
 
 
 def role_key(root: jax.Array, role: int) -> jax.Array:

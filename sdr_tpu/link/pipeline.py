@@ -72,7 +72,30 @@ def apply_channel(cfg: LinkConfig, key: jax.Array, tx: jnp.ndarray):
     h_freq is the per-subcarrier response (broadcastable against the
     post-FFT grid) or None for non-fading channels; noise_var is the
     per-subcarrier complex noise variance (scalar).
+
+    With ``cfg.channel.phase_noise_std`` the received stream is rotated
+    by a Wiener LO phase walk (ops.channel.wiener_phase) AFTER the
+    propagation channel — the rotation of the already-added circularly-
+    symmetric noise is statistically identity, so post-noise rotation
+    is exact. Config validation guarantees pilots are present to track
+    the resulting common phase.
     """
+    rx, h_freq, nv = _apply_channel_model(cfg, key, tx)
+    std = cfg.channel.phase_noise_std
+    if std:
+        k_pn = prng.role_key(key, prng.ROLE_PHASE)
+        ph = chan.wiener_phase(k_pn, rx.size, std)
+        rx = (rx.reshape(-1) * ph).reshape(rx.shape)
+    if cfg.channel.iq_imbalanced:
+        # The mixer is the LAST analog stage: it images the faded
+        # signal, the noise, and the LO rotation alike.
+        rx = chan.apply_iq_imbalance(
+            rx, cfg.channel.iq_gain, cfg.channel.iq_phase_rad
+        )
+    return rx, h_freq, nv
+
+
+def _apply_channel_model(cfg: LinkConfig, key: jax.Array, tx: jnp.ndarray):
     model = cfg.channel.model
     nv = chan.ebno_db_to_noise_var(cfg.channel.ebno_db, cfg.modulation.bits_per_symbol)
     k_noise = prng.role_key(key, prng.ROLE_NOISE)
@@ -129,6 +152,12 @@ def rx_chain(
     comb pilots (ops.pilots.estimate_ls_comb) instead of using the
     genie ``h_freq``, and only data subcarriers are demapped.
     """
+    if cfg.channel.iq_imbalanced:
+        # Blind image cancellation on the raw stream (before the FFT).
+        # Moments come from consecutive-symbol differences so the
+        # frame-periodic deterministic pilot component cannot bias the
+        # pseudo-variance (see ops.channel.iq_compensate).
+        rx_samples = chan.iq_compensate(rx_samples, diff_axis=-2)
     y = ofdm_rx(rx_samples, cfg.ofdm.cp_len)  # (..., n_symbols, n_fft)
     nv = jnp.maximum(jnp.asarray(noise_var, jnp.float32), 1e-12)
 
@@ -139,12 +168,13 @@ def rx_chain(
             extract_data,
         )
 
-        if cfg.channel.impaired:
+        if cfg.channel.impaired or cfg.channel.phase_noise_std:
             # Blind acquisition leaves a residual CFO (1e-2-scale
-            # subcarriers) that rotates the constellation a little more
-            # each symbol. The tracked estimator follows that common
-            # phase per symbol while keeping the frame's full noise
-            # averaging on the channel shape.
+            # subcarriers), and LO phase noise a Wiener walk — either
+            # way the constellation rotates a little more each symbol.
+            # The tracked estimator follows that common phase per
+            # symbol while keeping the frame's full noise averaging on
+            # the channel shape.
             h_est = estimate_ls_comb_tracked(y, cfg.pilot_spacing)
         else:
             # Time-varying fading must be estimated per symbol; frame

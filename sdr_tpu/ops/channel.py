@@ -60,6 +60,94 @@ def rayleigh_flat(key: jax.Array, shape) -> jnp.ndarray:
     return cgauss(key, shape, var=1.0)
 
 
+def wiener_phase(key: jax.Array, n: int, std: float) -> jnp.ndarray:
+    """RX-LO phase-noise rotation e^{jθ[n]}, θ a Wiener walk.
+
+    θ[n] = Σ_{k≤n} N(0, std²) — the standard free-running-oscillator
+    model; ``std`` is the per-sample phase increment in radians
+    (variance grows linearly in time, so the common phase drifts
+    across OFDM symbols while staying nearly constant within one for
+    std·√sym_len ≪ 1 — the regime the per-symbol tracked pilot
+    estimator corrects). Returns (n,) complex64 unit-magnitude.
+    """
+    dth = jax.random.normal(key, (n,), jnp.float32) * jnp.float32(std)
+    theta = jnp.cumsum(dth)
+    return jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+
+
+def iq_imbalance_coeffs(gain: float, phase_rad: float):
+    """Widely-linear mixer coefficients (μ, ν) for y = μ·x + ν·x*.
+
+    The standard complex-baseband model of an I/Q demodulator whose Q
+    branch has amplitude ratio ``gain`` and phase skew ``phase_rad``
+    relative to I: μ = (1 + g·e^{jφ})/2, ν = (1 − g·e^{jφ})/2. Matched
+    hardware (g=1, φ=0) gives μ=1, ν=0; the image-rejection ratio is
+    IRR = |μ|²/|ν|². Returns python complex (trace-time constants).
+    """
+    ge = gain * complex(math.cos(phase_rad), math.sin(phase_rad))
+    return (1.0 + ge) / 2.0, (1.0 - ge) / 2.0
+
+
+def apply_iq_imbalance(
+    x: jnp.ndarray, gain: float, phase_rad: float
+) -> jnp.ndarray:
+    """RX front-end I/Q mismatch: y = μ·x + ν·conj(x).
+
+    Applied AFTER noise (antenna/LNA noise passes through the same
+    imperfect mixer), so the blind compensator sees — and corrects —
+    the imaged noise too. In OFDM this leaks a scaled conjugate of the
+    mirror subcarrier into every tone (the image interference that
+    bounds uncompensated BER).
+    """
+    mu, nu = iq_imbalance_coeffs(gain, phase_rad)
+    return x * jnp.complex64(mu) + jnp.conj(x) * jnp.complex64(nu)
+
+
+def iq_compensate(
+    r: jnp.ndarray, diff_axis: int | None = None
+) -> jnp.ndarray:
+    """Blind I/Q-image cancellation by exact properization.
+
+    A proper (circularly-symmetric) signal has E[s²] = 0; the imbalance
+    y = μs + νs* makes the pseudo-variance c = E[y²] = 2μν·E[|s|²]
+    nonzero. Choosing w as the minimal-|w| root of the properization
+    quadratic  c̄·w² − 2p·w + c = 0  (p = E[|y|²]) gives exactly
+    w = ν/μ*, so z = y − w·y* = ((|μ|²−|ν|²)/μ*)·s — the image is
+    removed EXACTLY in the infinite-sample limit, independent of the
+    propagation channel, SNR, CFO or LO phase (all preserve
+    properness). Finite frames leave a residual image of order
+    1/√n_samples; the leftover complex direct gain is absorbed by the
+    pilot LS estimate (LinkConfig validation requires pilots).
+
+    ``diff_axis`` handles DETERMINISTIC signal components, which bias
+    the sample pseudo-variance (the comb pilots all carry the same
+    point P, so their time-domain component contributes ΣP²-type terms
+    that do not average out — measured: a biased w is worse than no
+    compensation at all). With an OFDM symbol axis given, the moments
+    are estimated on consecutive-symbol DIFFERENCES: the frame-periodic
+    deterministic part cancels exactly (static channel), while the
+    data/noise parts stay proper with the same ν/μ* solution — the
+    imbalance coefficients survive the differencing untouched because
+    conj distributes over it.
+    """
+    if diff_axis is None:
+        m = r
+    else:
+        n = r.shape[diff_axis]
+        if n < 2:
+            raise ValueError("diff_axis needs >= 2 symbols to difference")
+        hi = jax.lax.slice_in_dim(r, 1, n, axis=diff_axis)
+        lo = jax.lax.slice_in_dim(r, 0, n - 1, axis=diff_axis)
+        m = (hi - lo) * jnp.float32(2 ** -0.5)
+    c = jnp.mean(m * m)  # pseudo-variance E[y²]
+    p = jnp.mean(jnp.abs(m) ** 2).astype(jnp.float32)
+    disc = jnp.sqrt(jnp.maximum(p * p - jnp.abs(c) ** 2, 0.0))
+    # Minimal-|w| root; guard the matched-hardware case (c = 0 → w = 0).
+    denom = jnp.where(jnp.abs(c) > 0, jnp.conj(c), jnp.complex64(1.0))
+    w = jnp.where(jnp.abs(c) > 0, (p - disc) / denom, jnp.complex64(0.0))
+    return r - w * jnp.conj(r)
+
+
 def rician_flat(key: jax.Array, shape, k_factor: float) -> jnp.ndarray:
     """Flat Rician fading gains with linear K-factor, E|h|² = 1.
 
