@@ -137,6 +137,17 @@ def _cmd_bench(args) -> int:
                 ),
             ),
         )
+    if getattr(args, "estimator", None):
+        import dataclasses
+
+        from sdr_tpu.core.config import ChannelEstimator
+
+        case = dataclasses.replace(
+            case,
+            cfg=dataclasses.replace(
+                case.cfg, estimator=ChannelEstimator(args.estimator)
+            ),
+        )
     key = jax.random.PRNGKey(args.seed)
     if getattr(args, "mc", 0):
         from sdr_tpu.kernels.mc_pallas import supported as mc_ok
@@ -490,6 +501,11 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument(
         "--iq-phase", type=float, default=0.0, metavar="RAD",
         help="RX I/Q phase skew in radians (0 = matched)",
+    )
+    b.add_argument(
+        "--estimator", default=None, choices=["ls", "dft"],
+        help="pilot channel-estimation backend (dft = CP-subspace "
+        "denoising; only meaningful with a pilot config)",
     )
     b.add_argument(
         "--coded", action="store_true",

@@ -124,6 +124,20 @@ class Equalizer(enum.Enum):
     MMSE = "mmse"
 
 
+class ChannelEstimator(enum.Enum):
+    """Pilot-based channel-estimation backend (with pilot_spacing > 0).
+
+    LS: per-pilot least squares + linear interpolation across
+    subcarriers. DFT: LS at the pilots projected onto the CP-bounded
+    impulse-response subspace (ops.pilots.estimate_dft_comb) — one
+    matmul; discards the estimation noise outside the delay spread and
+    interpolates exactly for any in-CP channel.
+    """
+
+    LS = "ls"
+    DFT = "dft"
+
+
 @dataclasses.dataclass(frozen=True)
 class ChannelConfig:
     model: ChannelModel = ChannelModel.AWGN
@@ -223,6 +237,8 @@ class LinkConfig:
     # Comb-pilot spacing for LS channel estimation (ops.pilots); 0 =
     # perfect CSI at the receiver (the pure-simulation default).
     pilot_spacing: int = 0
+    # Estimation backend when pilot_spacing > 0 (ignored otherwise).
+    estimator: ChannelEstimator = ChannelEstimator.LS
 
     def __post_init__(self) -> None:
         if self.pilot_spacing:
@@ -323,6 +339,7 @@ def link_config_to_dict(cfg: LinkConfig) -> dict:
             "iq_phase_rad": cfg.channel.iq_phase_rad,
         },
         "equalizer": cfg.equalizer.value,
+        "estimator": cfg.estimator.value,
         "n_symbols": cfg.n_symbols,
         "n_channels": cfg.n_channels,
         "pilot_spacing": cfg.pilot_spacing,
@@ -350,6 +367,7 @@ def link_config_from_dict(d: dict) -> LinkConfig:
             iq_phase_rad=ch.get("iq_phase_rad", 0.0),
         ),
         equalizer=Equalizer(d.get("equalizer", "none")),
+        estimator=ChannelEstimator(d.get("estimator", "ls")),
         n_symbols=d.get("n_symbols", 16),
         n_channels=d.get("n_channels", 1),
         pilot_spacing=d.get("pilot_spacing", 0),

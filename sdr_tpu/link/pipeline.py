@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from sdr_tpu.core import prng
-from sdr_tpu.core.config import ChannelModel, Equalizer, LinkConfig
+from sdr_tpu.core.config import (
+    ChannelEstimator,
+    ChannelModel,
+    Equalizer,
+    LinkConfig,
+)
 from sdr_tpu.ops import channel as chan
 from sdr_tpu.ops import equalize as eq
 from sdr_tpu.ops.llr import llr_maxlog, llr_to_hard_bits
@@ -163,11 +168,22 @@ def rx_chain(
 
     if cfg.pilot_spacing:
         from sdr_tpu.ops.pilots import (
+            dft_n_taps,
+            estimate_dft_comb,
             estimate_ls_comb,
             estimate_ls_comb_tracked,
             extract_data,
         )
 
+        if cfg.estimator == ChannelEstimator.DFT:
+            base = functools.partial(
+                estimate_dft_comb,
+                n_taps=dft_n_taps(
+                    cfg.ofdm.n_fft, cfg.ofdm.cp_len, cfg.pilot_spacing
+                ),
+            )
+        else:
+            base = estimate_ls_comb
         if cfg.channel.impaired or cfg.channel.phase_noise_std:
             # Blind acquisition leaves a residual CFO (1e-2-scale
             # subcarriers), and LO phase noise a Wiener walk — either
@@ -175,12 +191,12 @@ def rx_chain(
             # The tracked estimator follows that common phase per
             # symbol while keeping the frame's full noise averaging on
             # the channel shape.
-            h_est = estimate_ls_comb_tracked(y, cfg.pilot_spacing)
+            h_est = estimate_ls_comb_tracked(y, cfg.pilot_spacing, base=base)
         else:
             # Time-varying fading must be estimated per symbol; frame
             # averaging is only valid for the frame-static models.
             per_symbol = cfg.channel.model == ChannelModel.RAYLEIGH_TIME
-            h_est = estimate_ls_comb(y, cfg.pilot_spacing, per_symbol=per_symbol)
+            h_est = base(y, cfg.pilot_spacing, per_symbol=per_symbol)
         if cfg.equalizer == Equalizer.ZF:
             s, eff_var = eq.equalize_zf(y, h_est, nv)
         else:

@@ -71,7 +71,63 @@ def extract_data(grid: jnp.ndarray, spacing: int) -> jnp.ndarray:
     return grid[..., jnp.asarray(data_indices(n_fft, spacing), jnp.int32)]
 
 
-def estimate_ls_comb_tracked(y: jnp.ndarray, spacing: int) -> jnp.ndarray:
+@functools.lru_cache(maxsize=None)
+def _dft_projection(n_fft: int, spacing: int, n_taps: int):
+    """(n_pilots, n_fft) matrix projecting pilot LS samples onto the
+    n_taps-tap impulse-response subspace, evaluated on the full grid.
+
+    ĥ_full = h_pilots @ W, W = (IDFT_{n_pil} rows < n_taps) @ DFT rows.
+    One complex matmul — the MXU-native form of transform-domain
+    channel-estimate denoising.
+    """
+    pil = np.asarray(pilot_indices(n_fft, spacing), np.float64)
+    n_pil = len(pil)
+    l = np.arange(n_taps)[None, :]  # (1, n_taps)
+    # IDFT over the pilot comb: pilots sit at k = p·spacing, so the
+    # steering phase is e^{+j2π·(p·spacing)·l/n_fft} / n_pil.
+    E = np.exp(2j * np.pi * pil[:, None] * l / n_fft) / n_pil  # (n_pil, L)
+    k = np.arange(n_fft)[None, :]
+    D = np.exp(-2j * np.pi * l.T * k / n_fft)  # (n_taps, n_fft)
+    return jnp.asarray((E @ D).astype(np.complex64))
+
+
+def dft_n_taps(n_fft: int, cp_len: int, spacing: int) -> int:
+    """Denoising tap budget: the CP bounds the legal delay spread
+    (cp_len+1 taps); the comb's alias-free span bounds what n_pilots
+    samples can resolve."""
+    return min(cp_len + 1, len(pilot_indices(n_fft, spacing)))
+
+
+def estimate_dft_comb(
+    y: jnp.ndarray,
+    spacing: int,
+    n_taps: int,
+    per_symbol: bool = False,
+) -> jnp.ndarray:
+    """Transform-domain denoised channel estimate from comb pilots.
+
+    LS at the pilots, then a single (n_pil, n_fft) matmul that inverts
+    to the impulse response, keeps only the first ``n_taps`` taps (the
+    CP guarantees the true channel lives there — ofdm.hpp:21's
+    ISI-free contract is exactly this bound), and re-evaluates on the
+    full grid. Noise outside the tap subspace is discarded: the
+    estimation error drops by ~n_taps/n_pilots vs per-pilot LS, and
+    the interpolation is exact for ANY channel within the delay
+    spread (linear interpolation is not).
+    """
+    n_fft = y.shape[-1]
+    pidx = jnp.asarray(pilot_indices(n_fft, spacing), jnp.int32)
+    if per_symbol:
+        y_p = y[..., pidx]
+    else:
+        y_p = jnp.mean(y[..., pidx], axis=-2, keepdims=True)
+    h_p = y_p / jnp.asarray(PILOT_VALUE, y.dtype)
+    return h_p @ _dft_projection(n_fft, spacing, n_taps)
+
+
+def estimate_ls_comb_tracked(
+    y: jnp.ndarray, spacing: int, base=None
+) -> jnp.ndarray:
     """Frame-averaged LS estimate + per-symbol common-phase tracking.
 
     The receiver for residual carrier offset: after blind acquisition a
@@ -90,7 +146,14 @@ def estimate_ls_comb_tracked(y: jnp.ndarray, spacing: int) -> jnp.ndarray:
     Assumes the channel is static over the frame up to the common
     rotation (frame-static models + front-end CFO); use
     ``per_symbol=True`` for genuinely time-varying fading.
+
+    ``base`` is the frame-averaged shape estimator run on the derotated
+    grid (default: estimate_ls_comb; pass a denoising estimator like
+    estimate_dft_comb via functools.partial to compose tracking with
+    transform-domain denoising).
     """
+    if base is None:
+        base = estimate_ls_comb
     pidx = jnp.asarray(pilot_indices(y.shape[-1], spacing), jnp.int32)
     yp = y[..., pidx]  # (..., n_syms, n_pilots)
     d = jnp.sum(yp[..., 1:, :] * jnp.conj(yp[..., :-1, :]), axis=-1)
@@ -99,7 +162,7 @@ def estimate_ls_comb_tracked(y: jnp.ndarray, spacing: int) -> jnp.ndarray:
         [jnp.zeros_like(dphi[..., :1]), jnp.cumsum(dphi, axis=-1)], axis=-1
     )  # (..., n_syms)
     rot = jnp.exp(jax.lax.complex(jnp.zeros_like(phi), -phi))[..., None]
-    h_avg = estimate_ls_comb(y * rot, spacing)  # (..., 1, n_fft)
+    h_avg = base(y * rot, spacing)  # (..., 1, n_fft)
     return h_avg * jnp.conj(rot)
 
 
