@@ -38,6 +38,49 @@ def _cmd_demo(args) -> int:
     return 0
 
 
+def _apply_mimo_flag(case, args):
+    """Apply --mimo/--ntx/--nrx to a benchmark case (bench and sweep).
+
+    Per-scheme antenna defaults; non-fading cases switch to flat
+    Rayleigh (a MIMO channel needs an (n_rx, n_tx) matrix) and a NONE
+    equalizer becomes MMSE (spatial mux needs a linear detector)."""
+    if not getattr(args, "mimo", None):
+        return case
+    import dataclasses
+
+    from sdr_tpu.core.config import (
+        ChannelModel as _CM,
+        Equalizer as _Eq2,
+        MIMOConfig,
+        MIMOScheme,
+    )
+
+    scheme = MIMOScheme(args.mimo)
+    n_tx = args.ntx if args.ntx else (1 if scheme == MIMOScheme.MRC else 2)
+    n_rx = args.nrx if args.nrx else (
+        2 if scheme == MIMOScheme.MRC
+        else n_tx if scheme == MIMOScheme.SPATIAL_MUX
+        else 1
+    )
+    ch = case.cfg.channel
+    if ch.model in (_CM.AWGN, _CM.IDENTITY):
+        ch = dataclasses.replace(ch, model=_CM.RAYLEIGH_FLAT)
+    return dataclasses.replace(
+        case,
+        name=case.name + f"+{scheme.value}{n_tx}x{n_rx}",
+        cfg=dataclasses.replace(
+            case.cfg,
+            channel=ch,
+            mimo=MIMOConfig(scheme=scheme, n_tx=n_tx, n_rx=n_rx),
+            equalizer=(
+                case.cfg.equalizer
+                if case.cfg.equalizer != _Eq2.NONE
+                else _Eq2.MMSE
+            ),
+        ),
+    )
+
+
 def _cmd_bench(args) -> int:
     import jax
 
@@ -148,6 +191,7 @@ def _cmd_bench(args) -> int:
                 case.cfg, estimator=ChannelEstimator(args.estimator)
             ),
         )
+    case = _apply_mimo_flag(case, args)
     key = jax.random.PRNGKey(args.seed)
     if getattr(args, "mc", 0):
         from sdr_tpu.kernels.mc_pallas import supported as mc_ok
@@ -273,6 +317,21 @@ def _cmd_bench(args) -> int:
         out["ber_theory_awgn"] = ber_awgn_exact(
             case.cfg.modulation, case.cfg.channel.ebno_db
         )
+    if (
+        case.cfg.mimo is not None
+        and case.cfg.channel.model == ChannelModel.RAYLEIGH_FLAT
+    ):
+        from sdr_tpu.core.config import MIMOScheme
+        from sdr_tpu.link.ber import ber_alamouti_exact, ber_mrc_exact
+
+        if case.cfg.mimo.scheme == MIMOScheme.ALAMOUTI:
+            out["ber_theory_alamouti"] = ber_alamouti_exact(
+                case.cfg.modulation, case.cfg.channel.ebno_db, case.cfg.mimo.n_rx
+            )
+        elif case.cfg.mimo.scheme == MIMOScheme.MRC:
+            out["ber_theory_mrc"] = ber_mrc_exact(
+                case.cfg.modulation, case.cfg.channel.ebno_db, case.cfg.mimo.n_rx
+            )
     print(json.dumps(out))
     return 0
 
@@ -284,6 +343,7 @@ def _cmd_sweep(args) -> int:
     from sdr_tpu.obs.sweep import ebno_sweep
 
     case = get_case(args.config)
+    case = _apply_mimo_flag(case, args)
     engine = getattr(args, "engine", "pipeline")
     if engine == "mc":
         from sdr_tpu.kernels.mc_pallas import supported as mc_ok
@@ -296,11 +356,13 @@ def _cmd_sweep(args) -> int:
             )
             return 2
     if engine == "fast" and (
-        case.cfg.pilot_spacing or case.cfg.channel.impaired
+        case.cfg.pilot_spacing
+        or case.cfg.channel.impaired
+        or case.cfg.mimo is not None
     ):
         print(
-            "error: --engine fast needs a full-grid config "
-            "(no pilots or timing/CFO impairments)",
+            "error: --engine fast needs a full-grid SISO config "
+            "(no pilots, timing/CFO impairments, or MIMO)",
             file=sys.stderr,
         )
         return 2
@@ -326,8 +388,17 @@ def _cmd_sweep(args) -> int:
     )
     model = case.cfg.channel.model
     kf = case.cfg.channel.k_factor
-    theory = res.theory(case.cfg.modulation, model, k_factor=kf)
-    if model.value.startswith("rayleigh"):
+    theory = res.theory(
+        case.cfg.modulation, model, k_factor=kf, mimo=case.cfg.mimo
+    )
+    from sdr_tpu.core.config import ChannelModel as _CM2, MIMOScheme as _MS
+
+    if case.cfg.mimo is not None and case.cfg.mimo.scheme in (
+        _MS.ALAMOUTI,
+        _MS.MRC,
+    ) and model == _CM2.RAYLEIGH_FLAT:
+        theory_key = f"ber_theory_{case.cfg.mimo.scheme.value}"
+    elif model.value.startswith("rayleigh"):
         theory_key = "ber_theory_rayleigh"
     elif model.value == "rician":
         theory_key = "ber_theory_rician"
@@ -350,7 +421,7 @@ def _cmd_sweep(args) -> int:
         from sdr_tpu.obs.plot import plot_sweep
 
         plot_sweep(res, case.cfg.modulation, args.plot,
-                   channel_model=model, k_factor=kf)
+                   channel_model=model, k_factor=kf, mimo=case.cfg.mimo)
         print(f"# BER curve written to {args.plot}", file=sys.stderr)
     return 0
 
@@ -508,6 +579,20 @@ def build_parser() -> argparse.ArgumentParser:
         "denoising; only meaningful with a pilot config)",
     )
     b.add_argument(
+        "--mimo", default=None, choices=["alamouti", "mrc", "mux"],
+        help="multi-antenna mode (ops.mimo): Alamouti 2-TX STBC, "
+        "receive MRC, or spatial multiplexing with linear ZF/MMSE; "
+        "non-fading cases switch to flat Rayleigh (genie CSI)",
+    )
+    b.add_argument(
+        "--ntx", type=int, default=0, metavar="N",
+        help="TX antennas (default: per-scheme — 2 STBC/mux, 1 MRC)",
+    )
+    b.add_argument(
+        "--nrx", type=int, default=0, metavar="N",
+        help="RX antennas (default: per-scheme — 1 STBC, 2 MRC, ntx mux)",
+    )
+    b.add_argument(
         "--coded", action="store_true",
         help="run the FEC-coded link (conv K=7 + soft Viterbi) over the case",
     )
@@ -550,6 +635,13 @@ def build_parser() -> argparse.ArgumentParser:
         "jax.random stream); mc = fully-fused Monte-Carlo kernel "
         "(hardware PRNG, TPU only; orders faster per bit)",
     )
+    s.add_argument(
+        "--mimo", default=None, choices=["alamouti", "mrc", "mux"],
+        help="multi-antenna sweep (exact diversity theory overlay for "
+        "alamouti/mrc over flat Rayleigh)",
+    )
+    s.add_argument("--ntx", type=int, default=0, metavar="N")
+    s.add_argument("--nrx", type=int, default=0, metavar="N")
     s.add_argument("--mc-iters", type=int, default=16,
                    help="MC kernel passes per sweep invocation")
     s.set_defaults(fn=_cmd_sweep)

@@ -138,6 +138,59 @@ class ChannelEstimator(enum.Enum):
     DFT = "dft"
 
 
+class MIMOScheme(enum.Enum):
+    """Multi-antenna processing scheme (ops.mimo).
+
+    ALAMOUTI: 2-TX space-time block code (G2) — transmit diversity at
+    SISO rate; n_rx combining branches. MRC: 1-TX receive diversity
+    (maximum-ratio combining). SPATIAL_MUX: n_tx independent streams
+    detected with linear ZF/MMSE (the LinkConfig equalizer selects) —
+    n_tx× the SISO rate.
+    """
+
+    ALAMOUTI = "alamouti"
+    MRC = "mrc"
+    SPATIAL_MUX = "mux"
+
+
+@dataclasses.dataclass(frozen=True)
+class MIMOConfig:
+    """Antenna configuration. The reference is strictly SISO
+    (ofdm.hpp:13-54 processes one stream); this is new TPU-framework
+    capability — antenna axes are ordinary batch axes in the array
+    program."""
+
+    scheme: MIMOScheme = MIMOScheme.ALAMOUTI
+    n_tx: int = 2
+    n_rx: int = 1
+
+    def __post_init__(self) -> None:
+        if not (1 <= self.n_tx <= 8 and 1 <= self.n_rx <= 8):
+            raise ValueError(
+                f"n_tx/n_rx must be in [1, 8], got {self.n_tx}x{self.n_rx}"
+            )
+        if self.scheme == MIMOScheme.ALAMOUTI and self.n_tx != 2:
+            raise ValueError("Alamouti (G2) requires exactly n_tx=2")
+        if self.scheme == MIMOScheme.MRC:
+            if self.n_tx != 1:
+                raise ValueError("MRC is receive-only diversity: n_tx must be 1")
+            if self.n_rx < 2:
+                raise ValueError("MRC needs n_rx >= 2 (n_rx=1 is SISO)")
+        if self.scheme == MIMOScheme.SPATIAL_MUX:
+            if self.n_tx < 2:
+                raise ValueError("spatial multiplexing needs n_tx >= 2")
+            if self.n_rx < self.n_tx:
+                raise ValueError(
+                    "linear spatial-mux detection needs n_rx >= n_tx, got "
+                    f"{self.n_rx} < {self.n_tx}"
+                )
+
+    @property
+    def n_streams(self) -> int:
+        """Independent data streams per subcarrier use."""
+        return self.n_tx if self.scheme == MIMOScheme.SPATIAL_MUX else 1
+
+
 @dataclasses.dataclass(frozen=True)
 class ChannelConfig:
     model: ChannelModel = ChannelModel.AWGN
@@ -239,6 +292,8 @@ class LinkConfig:
     pilot_spacing: int = 0
     # Estimation backend when pilot_spacing > 0 (ignored otherwise).
     estimator: ChannelEstimator = ChannelEstimator.LS
+    # Multi-antenna configuration; None = SISO (the reference's mode).
+    mimo: MIMOConfig | None = None
 
     def __post_init__(self) -> None:
         if self.pilot_spacing:
@@ -298,6 +353,50 @@ class LinkConfig:
                     "acquisition mode + RAYLEIGH_TIME is not supported "
                     "(per-symbol gains are defined on the aligned frame)"
                 )
+        if self.mimo is not None:
+            if self.channel.model not in (
+                ChannelModel.RAYLEIGH_FLAT,
+                ChannelModel.RICIAN,
+                ChannelModel.MULTIPATH,
+            ):
+                raise ValueError(
+                    "MIMO needs a fading channel defining the (n_rx, n_tx) "
+                    "matrix: RAYLEIGH_FLAT, RICIAN, or MULTIPATH — got "
+                    f"{self.channel.model.value}"
+                )
+            if self.pilot_spacing:
+                raise NotImplementedError(
+                    "MIMO channel estimation (per-TX-antenna orthogonal "
+                    "pilots) is not built yet; MIMO runs with genie CSI — "
+                    "set pilot_spacing=0"
+                )
+            if (
+                self.channel.impaired
+                or self.channel.phase_noise_std
+                or self.channel.iq_imbalanced
+            ):
+                raise NotImplementedError(
+                    "MIMO + front-end impairments (CFO/timing/phase noise/"
+                    "I/Q imbalance) is not supported in one link yet"
+                )
+            if self.mimo.scheme == MIMOScheme.ALAMOUTI and self.n_symbols % 2:
+                raise ValueError(
+                    "Alamouti codes symbol PAIRS: n_symbols must be even, "
+                    f"got {self.n_symbols}"
+                )
+            if (
+                self.mimo.scheme == MIMOScheme.SPATIAL_MUX
+                and self.equalizer == Equalizer.NONE
+            ):
+                raise ValueError(
+                    "spatial multiplexing needs a linear detector: set "
+                    "equalizer to ZF or MMSE"
+                )
+
+    @property
+    def n_streams(self) -> int:
+        """Independent spatial streams (1 for SISO/diversity schemes)."""
+        return 1 if self.mimo is None else self.mimo.n_streams
 
     @property
     def n_data_subcarriers(self) -> int:
@@ -310,7 +409,12 @@ class LinkConfig:
 
     @property
     def bits_per_ofdm_symbol(self) -> int:
-        return self.n_data_subcarriers * self.modulation.bits_per_symbol
+        """Payload bits per OFDM symbol PERIOD (all spatial streams)."""
+        return (
+            self.n_data_subcarriers
+            * self.modulation.bits_per_symbol
+            * self.n_streams
+        )
 
     @property
     def bits_total(self) -> int:
@@ -343,6 +447,15 @@ def link_config_to_dict(cfg: LinkConfig) -> dict:
         "n_symbols": cfg.n_symbols,
         "n_channels": cfg.n_channels,
         "pilot_spacing": cfg.pilot_spacing,
+        "mimo": (
+            None
+            if cfg.mimo is None
+            else {
+                "scheme": cfg.mimo.scheme.value,
+                "n_tx": cfg.mimo.n_tx,
+                "n_rx": cfg.mimo.n_rx,
+            }
+        ),
     }
 
 
@@ -351,6 +464,16 @@ def link_config_from_dict(d: dict) -> LinkConfig:
     exactly as for programmatic construction (the trace-time analog of
     the reference's runtime guards)."""
     ch = d.get("channel", {})
+    mm = d.get("mimo")
+    mimo = (
+        None
+        if mm is None
+        else MIMOConfig(
+            scheme=MIMOScheme(mm.get("scheme", "alamouti")),
+            n_tx=mm.get("n_tx", 2),
+            n_rx=mm.get("n_rx", 1),
+        )
+    )
     return LinkConfig(
         modulation=Modulation(d.get("modulation", "qpsk")),
         ofdm=OFDMConfig(**d.get("ofdm", {})),
@@ -371,4 +494,5 @@ def link_config_from_dict(d: dict) -> LinkConfig:
         n_symbols=d.get("n_symbols", 16),
         n_channels=d.get("n_channels", 1),
         pilot_spacing=d.get("pilot_spacing", 0),
+        mimo=mimo,
     )

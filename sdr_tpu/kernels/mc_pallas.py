@@ -89,6 +89,7 @@ def supported(cfg: LinkConfig) -> bool:
     common = (
         cfg.channel.model in _SUPPORTED_MODELS
         and cfg.pilot_spacing == 0
+        and cfg.mimo is None
         and cfg.channel.cfo_subcarriers == 0.0
         and cfg.channel.timing_offset == 0
         and (cfg.n_channels * cfg.n_symbols) % 8 == 0

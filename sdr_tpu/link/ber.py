@@ -125,6 +125,57 @@ def ber_rician_exact(mod: Modulation, ebno_db: float, k_factor: float) -> float:
     return float(np.mean(per_axis_bits))
 
 
+def _mrc_q(c, branches: int, branch_scale: float = 1.0, n_nodes: int = 96):
+    """E_g[Q(c·√(a·g))] for g = Σ_L |h_i|², h_i ~ CN(0,1) i.i.d.
+    (L-branch Rayleigh MRC; g ~ Gamma(L, 1)), a = ``branch_scale``.
+
+    Craig + MGF: M_g(s) = (1−s)^{−L}, so the average is
+    (1/π)∫₀^{π/2} (1 + a·c²/(2sin²θ))^{−L} dθ — Gauss–Legendre on θ,
+    same machinery as the Rician average (_rician_q). L = 1, a = 1
+    reproduces the flat-Rayleigh closed form (_rayleigh_q), asserted
+    in tests/test_mimo.py.
+    """
+    x, w = np.polynomial.legendre.leggauss(n_nodes)
+    theta = (x + 1.0) * (math.pi / 4.0)
+    s2 = np.sin(theta) ** 2
+    c = np.asarray(c, np.float64)
+    integ = (1.0 + branch_scale * c * c / (2.0 * s2)) ** (-float(branches))
+    return float(np.sum(w * integ) * (math.pi / 4.0) / math.pi)
+
+
+def _diversity_exact(
+    mod: Modulation, ebno_db: float, branches: int, branch_scale: float
+) -> float:
+    gamma_b = 10.0 ** (ebno_db / 10.0)
+    L = mod.levels_per_axis
+    m = mod.bits_per_axis
+    arg_base = mod.unit_energy_scale * math.sqrt(2.0 * mod.bits_per_symbol * gamma_b)
+    per_axis_bits = [
+        _pam_bit_error(
+            L, k, arg_base, q=lambda c: _mrc_q(c, branches, branch_scale)
+        )
+        for k in range(1, m + 1)
+    ]
+    return float(np.mean(per_axis_bits))
+
+
+def ber_mrc_exact(mod: Modulation, ebno_db: float, n_rx: int) -> float:
+    """Exact average BER for 1×n_rx receive MRC over i.i.d. flat
+    Rayleigh branches with genie CSI: post-combining SNR is the sum of
+    the branch SNRs (g ~ Gamma(n_rx, 1) fade power at full per-branch
+    average SNR). n_rx = 1 reproduces ber_rayleigh_exact."""
+    return _diversity_exact(mod, ebno_db, n_rx, 1.0)
+
+
+def ber_alamouti_exact(mod: Modulation, ebno_db: float, n_rx: int = 1) -> float:
+    """Exact average BER for Alamouti 2×n_rx over i.i.d. flat Rayleigh
+    with genie CSI: the combiner output SNR is g·γ̄/2 with
+    g ~ Gamma(2·n_rx, 1) — 2·n_rx MRC branches at HALF per-branch
+    average SNR (the TX power split across two antennas). The
+    validation anchor for ops.mimo.alamouti_combine."""
+    return _diversity_exact(mod, ebno_db, 2 * n_rx, 0.5)
+
+
 def count_bit_errors(tx_bits, rx_bits) -> int:
     import jax.numpy as jnp
 

@@ -42,6 +42,11 @@ def info_bits_per_channel(
 ) -> int:
     """Largest info payload whose terminated, punctured codeword fits
     one frame (``rate``: "1/2", "2/3" or "3/4" — the 802.11a family)."""
+    if cfg.mimo is not None:
+        raise NotImplementedError(
+            "the coded link is SISO; MIMO links run uncoded in "
+            "link.pipeline.simulate (set mimo=None here)"
+        )
     frame_bits = cfg.n_symbols * cfg.bits_per_ofdm_symbol
     R = len(polys)
     # Upper bound from the average punctured rate, then trim exactly.
@@ -126,6 +131,11 @@ def ldpc_code_for(rate: str = "1/2", z: int = 128):
 def ldpc_codewords_per_channel(cfg: LinkConfig, code) -> int:
     """Whole codewords per frame (the remainder of the frame is zero
     padding — known bits the receiver never counts)."""
+    if cfg.mimo is not None:
+        raise NotImplementedError(
+            "the coded link is SISO; MIMO links run uncoded in "
+            "link.pipeline.simulate (set mimo=None here)"
+        )
     frame_bits = cfg.n_symbols * cfg.bits_per_ofdm_symbol
     n_cw = frame_bits // code.n
     if n_cw < 1:

@@ -216,6 +216,11 @@ def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto"):
             "fast_simulate is the full-grid throughput path; pilot-based "
             "estimation lives in link.pipeline.simulate (pilot_spacing=0 here)"
         )
+    if cfg.mimo is not None:
+        raise NotImplementedError(
+            "fast_simulate is SISO; MIMO links run in "
+            "link.pipeline.simulate (set mimo=None here)"
+        )
     return fast_core(cfg, key, jnp.arange(cfg.n_channels), backend)
 
 

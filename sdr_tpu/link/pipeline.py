@@ -272,8 +272,86 @@ def _simulate_one_acquired(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
     return errors, counted, (llrs if want_llrs else None)
 
 
+def _simulate_one_mimo(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
+    """One channel's multi-antenna link (cfg.mimo set, genie CSI).
+
+    Antenna axes are leading array axes: the TX grid is
+    (n_tx, n_symbols, n_fft), the channel a per-link (n_rx, n_tx)
+    matrix (flat models) or per-pair FIR taps (MULTIPATH, giving an
+    (n_rx, n_tx, n_fft) frequency response), and the RX grid
+    (n_rx, n_symbols, n_fft) — everything batches through the same
+    ofdm_tx/ofdm_rx used by SISO (ofdm.hpp:13-54 semantics). Detection
+    is ops.mimo (Alamouti combiner / MRC / linear ZF-MMSE). Noise is
+    calibrated against the TOTAL bits per subcarrier use, so Eb/N0 is
+    an info-bit quantity comparable with SISO curves.
+    """
+    from sdr_tpu.ops import mimo as mo
+    from sdr_tpu.core.config import MIMOScheme
+
+    mc = cfg.mimo
+    n_fft, cp = cfg.ofdm.n_fft, cfg.ofdm.cp_len
+    bps = cfg.modulation.bits_per_symbol
+    bits = jax.random.bernoulli(
+        prng.role_key(key, prng.ROLE_PAYLOAD),
+        0.5,
+        (mc.n_streams, cfg.n_symbols, n_fft * bps),
+    ).astype(jnp.int8)
+    points = modulate(bits, cfg.modulation)  # (streams, S, N)
+    if mc.scheme == MIMOScheme.ALAMOUTI:
+        ant = mo.alamouti_encode(points[0])  # (2, S, N)
+    elif mc.scheme == MIMOScheme.MRC:
+        ant = points  # (1, S, N)
+    else:
+        ant = mo.mux_encode(points)  # (n_tx, S, N)
+    tx = ofdm_tx(ant, cp)  # (n_tx, S, sym_len)
+
+    nv = chan.ebno_db_to_noise_var(
+        cfg.channel.ebno_db, bps * mc.n_streams
+    )
+    k_noise = prng.role_key(key, prng.ROLE_NOISE)
+    k_fade = prng.role_key(key, prng.ROLE_FADING)
+    if cfg.channel.model == ChannelModel.MULTIPATH:
+        taps = chan.multipath_taps(
+            k_fade, cfg.channel.pdp, batch_shape=(mc.n_rx, mc.n_tx)
+        )  # (n_rx, n_tx, L) — i.i.d. PDP per antenna pair
+        stream = tx.reshape(mc.n_tx, -1)[None]  # (1, n_tx, total)
+        rx_t = jnp.sum(chan.apply_multipath(stream, taps), axis=1)
+        h = chan.freq_response(taps, n_fft)  # (n_rx, n_tx, n_fft)
+    else:
+        if cfg.channel.model == ChannelModel.RAYLEIGH_FLAT:
+            H = chan.rayleigh_flat(k_fade, (mc.n_rx, mc.n_tx))
+        else:
+            H = chan.rician_flat(
+                k_fade, (mc.n_rx, mc.n_tx), cfg.channel.k_factor
+            )
+        rx_t = jnp.einsum("rt,tsn->rsn", H, tx).reshape(mc.n_rx, -1)
+        h = H[..., None]  # flat: (n_rx, n_tx, 1) broadcasts over n_fft
+    rx_t = chan.awgn(k_noise, rx_t, chan.time_noise_var(nv, n_fft))
+    y = ofdm_rx(
+        rx_t.reshape(mc.n_rx, cfg.n_symbols, cfg.ofdm.symbol_len), cp
+    )  # (n_rx, S, N)
+
+    nvf = jnp.maximum(jnp.asarray(nv, jnp.float32), 1e-12)
+    if mc.scheme == MIMOScheme.ALAMOUTI:
+        s, eff_var = mo.alamouti_combine(y, h, nvf)
+    elif mc.scheme == MIMOScheme.MRC:
+        s, eff_var = mo.mrc_combine(y, h, nvf)
+    elif cfg.equalizer == Equalizer.ZF:
+        s, eff_var = mo.mux_detect_zf(y, h, nvf)
+    else:
+        s, eff_var = mo.mux_detect_mmse(y, h, nvf)
+    llrs = llr_maxlog(s, cfg.modulation, eff_var)
+    hard = llr_to_hard_bits(llrs)
+    target = bits[0] if mc.n_streams == 1 else bits
+    errors = jnp.sum((hard != target).astype(jnp.int32))
+    counted = jnp.int32(bits.size)
+    return errors, counted, (llrs if want_llrs else None)
+
+
 def _simulate_one(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
     """One channel's link, keyed; returns (errors, counted, llrs|None)."""
+    if cfg.mimo is not None:
+        return _simulate_one_mimo(cfg, key, want_llrs)
     if cfg.channel.impaired:
         return _simulate_one_acquired(cfg, key, want_llrs)
     bits = generate_bits(cfg, prng.role_key(key, prng.ROLE_PAYLOAD))

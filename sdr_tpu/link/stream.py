@@ -43,6 +43,11 @@ def _check_blocking(cfg: LinkConfig, n_blocks: int) -> int:
             "the blocked-stream path simulates full-grid links; pilot-based "
             "estimation lives in link.pipeline.simulate (pilot_spacing=0 here)"
         )
+    if cfg.mimo is not None:
+        raise NotImplementedError(
+            "the blocked-stream path is SISO; MIMO links run in "
+            "link.pipeline.simulate (set mimo=None here)"
+        )
     if cfg.n_symbols % n_blocks != 0:
         raise ValueError(
             f"n_symbols={cfg.n_symbols} not divisible by n_blocks={n_blocks}"

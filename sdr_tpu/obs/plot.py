@@ -92,13 +92,17 @@ def plot_ber_curves(
 
 
 def plot_sweep(result, mod, path: str, title: Optional[str] = None,
-               channel_model=None, k_factor: float = 4.0) -> str:
+               channel_model=None, k_factor: float = 4.0, mimo=None) -> str:
     """Plot one ``obs.sweep.SweepResult`` against the exact theory
-    curve for its channel (AWGN, flat-Rayleigh for Rayleigh/Jakes, or
-    the Rician MGF integral at ``k_factor``)."""
+    curve for its channel (AWGN, flat-Rayleigh for Rayleigh/Jakes, the
+    Rician MGF integral at ``k_factor``, or the exact diversity curve
+    for Alamouti/MRC MIMO)."""
     name = getattr(mod, "value", str(mod))
     model_value = getattr(channel_model, "value", "")
-    if model_value.startswith("rayleigh"):
+    scheme_value = getattr(getattr(mimo, "scheme", None), "value", "")
+    if scheme_value in ("alamouti", "mrc") and model_value == "rayleigh_flat":
+        label = f"{scheme_value} {mimo.n_tx}x{mimo.n_rx} theory"
+    elif model_value.startswith("rayleigh"):
         label = "Rayleigh theory"
     elif model_value == "rician":
         label = f"Rician theory (K={k_factor:g})"
@@ -111,6 +115,6 @@ def plot_sweep(result, mod, path: str, title: Optional[str] = None,
         theory=(
             label,
             result.ebnos(),
-            result.theory(mod, channel_model, k_factor=k_factor),
+            result.theory(mod, channel_model, k_factor=k_factor, mimo=mimo),
         ),
     )

@@ -60,15 +60,36 @@ class SweepResult:
     def ebnos(self) -> np.ndarray:
         return np.array([p.ebno_db for p in self.points])
 
-    def theory(self, mod, channel_model=None, k_factor: float = 4.0) -> np.ndarray:
+    def theory(
+        self, mod, channel_model=None, k_factor: float = 4.0, mimo=None
+    ) -> np.ndarray:
         """Exact reference curve: AWGN by default; flat Rayleigh when
         the sweep's channel model is RAYLEIGH_FLAT (or Jakes, whose
         per-symbol marginal is the same exponential fade); flat Rician
-        (MGF integral) for RICIAN at the given K-factor."""
-        from sdr_tpu.core.config import ChannelModel
-        from sdr_tpu.link.ber import ber_rayleigh_exact, ber_rician_exact
+        (MGF integral) for RICIAN at the given K-factor; the exact
+        diversity curves (ber_alamouti_exact / ber_mrc_exact) for
+        Alamouti/MRC MIMO over flat Rayleigh (spatial mux has no simple
+        closed form — it falls through to the channel-model curve)."""
+        from sdr_tpu.core.config import ChannelModel, MIMOScheme
+        from sdr_tpu.link.ber import (
+            ber_alamouti_exact,
+            ber_mrc_exact,
+            ber_rayleigh_exact,
+            ber_rician_exact,
+        )
 
-        if channel_model == ChannelModel.RICIAN:
+        if (
+            mimo is not None
+            and channel_model == ChannelModel.RAYLEIGH_FLAT
+            and mimo.scheme in (MIMOScheme.ALAMOUTI, MIMOScheme.MRC)
+        ):
+            base = (
+                ber_alamouti_exact
+                if mimo.scheme == MIMOScheme.ALAMOUTI
+                else ber_mrc_exact
+            )
+            fn = lambda m, e: base(m, e, mimo.n_rx)  # noqa: E731
+        elif channel_model == ChannelModel.RICIAN:
             fn = lambda m, e: ber_rician_exact(m, e, k_factor)  # noqa: E731
         elif channel_model in (
             ChannelModel.RAYLEIGH_FLAT,
