@@ -65,13 +65,23 @@ def _apply_mimo_flag(case, args):
     ch = case.cfg.channel
     if ch.model in (_CM.AWGN, _CM.IDENTITY):
         ch = dataclasses.replace(ch, model=_CM.RAYLEIGH_FLAT)
+    csi = getattr(args, "csi", "genie")
+    detector = getattr(args, "detector", "linear")
+    tag = f"+{scheme.value}{n_tx}x{n_rx}"
+    if csi != "genie":
+        tag += f"+{csi}"
+    if detector != "linear":
+        tag += f"+{detector}"
     return dataclasses.replace(
         case,
-        name=case.name + f"+{scheme.value}{n_tx}x{n_rx}",
+        name=case.name + tag,
         cfg=dataclasses.replace(
             case.cfg,
             channel=ch,
-            mimo=MIMOConfig(scheme=scheme, n_tx=n_tx, n_rx=n_rx),
+            mimo=MIMOConfig(
+                scheme=scheme, n_tx=n_tx, n_rx=n_rx,
+                csi=csi, detector=detector,
+            ),
             equalizer=(
                 case.cfg.equalizer
                 if case.cfg.equalizer != _Eq2.NONE
@@ -593,6 +603,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="RX antennas (default: per-scheme — 1 STBC, 2 MRC, ntx mux)",
     )
     b.add_argument(
+        "--csi", default="genie", choices=["genie", "preamble"],
+        help="MIMO receiver CSI: perfect, or estimated from n_tx "
+        "time-orthogonal pilot symbols (LS; --estimator dft denoises)",
+    )
+    b.add_argument(
+        "--detector", default="linear", choices=["linear", "ml"],
+        help="spatial-mux detector: linear (ZF/MMSE per the case "
+        "equalizer) or max-log joint ML (optimal, full diversity)",
+    )
+    b.add_argument(
         "--coded", action="store_true",
         help="run the FEC-coded link (conv K=7 + soft Viterbi) over the case",
     )
@@ -642,6 +662,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     s.add_argument("--ntx", type=int, default=0, metavar="N")
     s.add_argument("--nrx", type=int, default=0, metavar="N")
+    s.add_argument("--csi", default="genie", choices=["genie", "preamble"])
+    s.add_argument("--detector", default="linear", choices=["linear", "ml"])
     s.add_argument("--mc-iters", type=int, default=16,
                    help="MC kernel passes per sweep invocation")
     s.set_defaults(fn=_cmd_sweep)

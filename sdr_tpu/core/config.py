@@ -163,11 +163,30 @@ class MIMOConfig:
     scheme: MIMOScheme = MIMOScheme.ALAMOUTI
     n_tx: int = 2
     n_rx: int = 1
+    # CSI at the receiver: "genie" (perfect, the simulation baseline) or
+    # "preamble" (n_tx time-orthogonal full-grid pilot symbols prepended
+    # to the frame; per-pair LS, denoised per LinkConfig.estimator).
+    csi: str = "genie"
+    # SPATIAL_MUX detector: "linear" (the LinkConfig equalizer picks
+    # ZF/MMSE) or "ml" (max-log joint search — optimal, full diversity;
+    # candidate budget caps modulation at 64-QAM for n_tx=2).
+    detector: str = "linear"
 
     def __post_init__(self) -> None:
         if not (1 <= self.n_tx <= 8 and 1 <= self.n_rx <= 8):
             raise ValueError(
                 f"n_tx/n_rx must be in [1, 8], got {self.n_tx}x{self.n_rx}"
+            )
+        if self.csi not in ("genie", "preamble"):
+            raise ValueError(f"csi must be 'genie' or 'preamble', got {self.csi!r}")
+        if self.detector not in ("linear", "ml"):
+            raise ValueError(
+                f"detector must be 'linear' or 'ml', got {self.detector!r}"
+            )
+        if self.detector == "ml" and self.scheme != MIMOScheme.SPATIAL_MUX:
+            raise ValueError(
+                "detector='ml' applies to spatial multiplexing only; "
+                "Alamouti/MRC combining is already ML for those schemes"
             )
         if self.scheme == MIMOScheme.ALAMOUTI and self.n_tx != 2:
             raise ValueError("Alamouti (G2) requires exactly n_tx=2")
@@ -365,11 +384,19 @@ class LinkConfig:
                     f"{self.channel.model.value}"
                 )
             if self.pilot_spacing:
-                raise NotImplementedError(
-                    "MIMO channel estimation (per-TX-antenna orthogonal "
-                    "pilots) is not built yet; MIMO runs with genie CSI — "
-                    "set pilot_spacing=0"
+                raise ValueError(
+                    "comb pilots (pilot_spacing) are the SISO estimation "
+                    "mechanism; MIMO estimation uses the time-orthogonal "
+                    "preamble — set mimo.csi='preamble' and pilot_spacing=0"
                 )
+            if self.mimo.detector == "ml":
+                n_cand = (1 << self.modulation.bits_per_symbol) ** self.mimo.n_tx
+                if n_cand > 4096:
+                    raise ValueError(
+                        "ML joint detection enumerates M**n_tx = "
+                        f"{n_cand} candidates (> 4096 budget); use a "
+                        "smaller constellation/n_tx or detector='linear'"
+                    )
             if (
                 self.channel.impaired
                 or self.channel.phase_noise_std
@@ -454,6 +481,8 @@ def link_config_to_dict(cfg: LinkConfig) -> dict:
                 "scheme": cfg.mimo.scheme.value,
                 "n_tx": cfg.mimo.n_tx,
                 "n_rx": cfg.mimo.n_rx,
+                "csi": cfg.mimo.csi,
+                "detector": cfg.mimo.detector,
             }
         ),
     }
@@ -472,6 +501,8 @@ def link_config_from_dict(d: dict) -> LinkConfig:
             scheme=MIMOScheme(mm.get("scheme", "alamouti")),
             n_tx=mm.get("n_tx", 2),
             n_rx=mm.get("n_rx", 1),
+            csi=mm.get("csi", "genie"),
+            detector=mm.get("detector", "linear"),
         )
     )
     return LinkConfig(

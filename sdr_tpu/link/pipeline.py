@@ -273,7 +273,7 @@ def _simulate_one_acquired(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
 
 
 def _simulate_one_mimo(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
-    """One channel's multi-antenna link (cfg.mimo set, genie CSI).
+    """One channel's multi-antenna link (cfg.mimo set).
 
     Antenna axes are leading array axes: the TX grid is
     (n_tx, n_symbols, n_fft), the channel a per-link (n_rx, n_tx)
@@ -281,12 +281,18 @@ def _simulate_one_mimo(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
     (n_rx, n_tx, n_fft) frequency response), and the RX grid
     (n_rx, n_symbols, n_fft) — everything batches through the same
     ofdm_tx/ofdm_rx used by SISO (ofdm.hpp:13-54 semantics). Detection
-    is ops.mimo (Alamouti combiner / MRC / linear ZF-MMSE). Noise is
+    is ops.mimo (Alamouti combiner / MRC / linear ZF-MMSE / max-log
+    joint ML). CSI is genie or estimated from a time-orthogonal
+    preamble (mimo.csi='preamble': n_tx extra pilot symbols at the
+    frame head, per-pair LS via ops.pilots.estimate_mimo_preamble,
+    DFT/CP-subspace denoised when cfg.estimator is DFT). Noise is
     calibrated against the TOTAL bits per subcarrier use, so Eb/N0 is
-    an info-bit quantity comparable with SISO curves.
+    an info-bit quantity comparable with SISO curves; the preamble is
+    frame overhead, not counted in Eb.
     """
     from sdr_tpu.ops import mimo as mo
-    from sdr_tpu.core.config import MIMOScheme
+    from sdr_tpu.ops import pilots as pi
+    from sdr_tpu.core.config import ChannelEstimator, MIMOScheme
 
     mc = cfg.mimo
     n_fft, cp = cfg.ofdm.n_fft, cfg.ofdm.cp_len
@@ -303,7 +309,19 @@ def _simulate_one_mimo(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
         ant = points  # (1, S, N)
     else:
         ant = mo.mux_encode(points)  # (n_tx, S, N)
-    tx = ofdm_tx(ant, cp)  # (n_tx, S, sym_len)
+    n_pre = mc.n_tx if mc.csi == "preamble" else 0
+    if n_pre:
+        # Time-orthogonal preamble: symbol t radiates the full pilot
+        # grid from antenna t ALONE at unit power.
+        pre = (
+            jnp.eye(mc.n_tx, dtype=ant.dtype)[:, :, None]
+            * jnp.asarray(pi.PILOT_VALUE, ant.dtype)
+        )  # (n_tx, n_pre, 1)
+        ant = jnp.concatenate(
+            [jnp.broadcast_to(pre, (mc.n_tx, n_pre, n_fft)), ant], axis=-2
+        )
+    n_syms_tx = n_pre + cfg.n_symbols
+    tx = ofdm_tx(ant, cp)  # (n_tx, n_syms_tx, sym_len)
 
     nv = chan.ebno_db_to_noise_var(
         cfg.channel.ebno_db, bps * mc.n_streams
@@ -328,19 +346,31 @@ def _simulate_one_mimo(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
         h = H[..., None]  # flat: (n_rx, n_tx, 1) broadcasts over n_fft
     rx_t = chan.awgn(k_noise, rx_t, chan.time_noise_var(nv, n_fft))
     y = ofdm_rx(
-        rx_t.reshape(mc.n_rx, cfg.n_symbols, cfg.ofdm.symbol_len), cp
-    )  # (n_rx, S, N)
+        rx_t.reshape(mc.n_rx, n_syms_tx, cfg.ofdm.symbol_len), cp
+    )  # (n_rx, n_syms_tx, N)
+    if n_pre:
+        n_taps = (
+            min(cp + 1, n_fft)
+            if cfg.estimator == ChannelEstimator.DFT
+            else 0
+        )
+        h = pi.estimate_mimo_preamble(y[:, :n_pre], n_taps)
+        y = y[:, n_pre:]  # (n_rx, S, N)
 
     nvf = jnp.maximum(jnp.asarray(nv, jnp.float32), 1e-12)
     if mc.scheme == MIMOScheme.ALAMOUTI:
         s, eff_var = mo.alamouti_combine(y, h, nvf)
     elif mc.scheme == MIMOScheme.MRC:
         s, eff_var = mo.mrc_combine(y, h, nvf)
+    elif mc.detector == "ml":
+        llrs = mo.mux_detect_ml(y, h, nvf, cfg.modulation)
+        s = None
     elif cfg.equalizer == Equalizer.ZF:
         s, eff_var = mo.mux_detect_zf(y, h, nvf)
     else:
         s, eff_var = mo.mux_detect_mmse(y, h, nvf)
-    llrs = llr_maxlog(s, cfg.modulation, eff_var)
+    if s is not None:
+        llrs = llr_maxlog(s, cfg.modulation, eff_var)
     hard = llr_to_hard_bits(llrs)
     target = bits[0] if mc.n_streams == 1 else bits
     errors = jnp.sum((hard != target).astype(jnp.int32))

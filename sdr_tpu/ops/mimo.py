@@ -30,7 +30,13 @@ validated statistically in tests/test_mimo.py.
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
 import jax.numpy as jnp
+
+from sdr_tpu.core.config import Modulation
+from sdr_tpu.ops.modulation import _tables  # shared static tables
 
 
 def _abs2(x: jnp.ndarray) -> jnp.ndarray:
@@ -206,3 +212,97 @@ def mux_detect_zf(y: jnp.ndarray, h: jnp.ndarray, noise_var):
     """Zero-forcing detection (n_rx >= n_tx): exact interference
     inversion; eff_var_k = nv [(A^H A)^-1]_kk (noise enhancement)."""
     return _mux_detect(y, h, noise_var, zf=True)
+
+
+# ---------------------------------------------------------------------------
+# Spatial multiplexing: max-log ML joint detection (soft output)
+# ---------------------------------------------------------------------------
+
+
+ML_MAX_CANDIDATES = 4096  # n_tx=2 up to 64-QAM; the joint-search budget
+
+
+@functools.lru_cache(maxsize=None)
+def _ml_tables(mod: Modulation, n_tx: int):
+    """Joint-candidate tables for max-log ML detection.
+
+    Returns (cand (C, n_tx) complex64 normalized points,
+    bit_masks (n_tx*bps, C) bool) with C = M**n_tx. Candidate c is the
+    tuple of per-stream constellation points whose MSB-first bits,
+    stream 0 first, are given by column c of bit_masks — the same bit
+    order ``modulate`` consumes, so ML LLRs drop into the pipeline
+    where the per-stream max-log demapper output would go.
+    """
+    const, _, _, _ = _tables(mod)  # (M,) complex64
+    M = const.shape[0]
+    bps = mod.bits_per_symbol
+    if M ** n_tx > ML_MAX_CANDIDATES:
+        raise ValueError(
+            f"ML joint search over {M}^{n_tx} candidates exceeds the "
+            f"{ML_MAX_CANDIDATES}-candidate budget"
+        )
+    idx = np.indices((M,) * n_tx).reshape(n_tx, -1)  # (n_tx, C)
+    cand = const[idx.T]  # (C, n_tx)
+    masks = np.concatenate(
+        [
+            ((idx[t][None, :] >> np.arange(bps - 1, -1, -1)[:, None]) & 1)
+            for t in range(n_tx)
+        ],
+        axis=0,
+    ).astype(bool)  # (n_tx*bps, C)
+    return cand.astype(np.complex64), masks
+
+
+def mux_detect_ml(y: jnp.ndarray, h: jnp.ndarray, noise_var, mod: Modulation):
+    """Max-log ML joint detection of spatially-multiplexed streams.
+
+    The optimum (per-bit max-log) detector: enumerate all M**n_tx joint
+    candidates s_c and take per-bit metric differences of
+    ||y - A s_c||^2 (A = H/sqrt(n_tx)). Against linear ZF/MMSE this
+    recovers the full receive diversity order n_rx instead of
+    n_rx - n_tx + 1 — the curves cross decades apart at high SNR
+    (docs/figures/ber_mux.png).
+
+    TPU mapping: the candidate metric splits as
+    q_c - 2 Re(z^H s_c) with z = A^H y per resource element and
+    q_c = s_c^H G s_c per subcarrier (G = A^H A) — the ||y||^2 term is
+    candidate-independent and dropped. Both terms are batched einsums
+    with the (C, n_tx) candidate table as one operand: the cross term
+    is a (S*N', C) x (C-contraction over n_tx) matmul the MXU/VPU
+    vectorizes over ALL resource elements at once; no per-candidate
+    loop, no dynamic shapes.
+
+    y: (..., n_rx, n_symbols, n_fft); h: (..., n_rx, n_tx, n_fft) or
+    (..., n_rx, n_tx, 1); noise_var scalar. Returns float32 LLRs
+    (..., n_tx, n_symbols, n_fft * bits_per_symbol), sign convention as
+    ops.llr (positive => bit 0, hard bit = LLR < 0), bit order matching
+    ``modulate``.
+    """
+    n_tx = h.shape[-2]
+    bps = mod.bits_per_symbol
+    cand_np, masks_np = _ml_tables(mod, n_tx)
+    cand = jnp.asarray(cand_np)  # (C, n_tx)
+    nv = jnp.asarray(noise_var, jnp.float32)
+    a = (h * jnp.float32(n_tx ** -0.5)).astype(jnp.complex64)
+    am = jnp.moveaxis(a, -1, -3)  # (..., N', n_rx, n_tx)
+    gram = jnp.einsum("...rt,...rs->...ts", jnp.conj(am), am)
+    # q_c = s_c^H G s_c, real by hermiticity: (..., N', C)
+    q = jnp.real(jnp.einsum("ct,...tu,cu->...c", jnp.conj(cand), gram, cand))
+    ym = jnp.swapaxes(jnp.moveaxis(y, -3, -1), -3, -2)  # (..., N', S, n_rx)
+    z = jnp.einsum("...rt,...sr->...st", jnp.conj(am), ym)  # (..., N', S, n_tx)
+    cross = jnp.real(jnp.einsum("...st,ct->...sc", z, jnp.conj(cand)))
+    metric = q[..., None, :] - 2.0 * cross  # (..., N', S, C)
+    inf = jnp.float32(np.inf)
+    llrs = []
+    for j in range(n_tx * bps):
+        mask = jnp.asarray(masks_np[j])
+        d1 = jnp.min(jnp.where(mask, metric, inf), axis=-1)
+        d0 = jnp.min(jnp.where(mask, inf, metric), axis=-1)
+        llrs.append(d1 - d0)
+    llr = jnp.stack(llrs, axis=-1) / nv  # (..., N', S, n_tx*bps)
+    # → (..., n_tx, S, N' * bps) in modulate's per-subcarrier bit order.
+    n_sc, n_sym = llr.shape[-3], llr.shape[-2]
+    llr = llr.reshape(llr.shape[:-1] + (n_tx, bps))  # (..., N', S, n_tx, bps)
+    llr = jnp.moveaxis(llr, -2, -4)  # (..., n_tx, N', S, bps)
+    llr = jnp.swapaxes(llr, -3, -2)  # (..., n_tx, S, N', bps)
+    return llr.reshape(llr.shape[:-2] + (n_sc * bps,))

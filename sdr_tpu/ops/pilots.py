@@ -88,7 +88,9 @@ def _dft_projection(n_fft: int, spacing: int, n_taps: int):
     E = np.exp(2j * np.pi * pil[:, None] * l / n_fft) / n_pil  # (n_pil, L)
     k = np.arange(n_fft)[None, :]
     D = np.exp(-2j * np.pi * l.T * k / n_fft)  # (n_taps, n_fft)
-    return jnp.asarray((E @ D).astype(np.complex64))
+    # NUMPY result: converting inside the lru_cache would capture a
+    # tracer when the first call happens under jit.
+    return (E @ D).astype(np.complex64)
 
 
 def dft_n_taps(n_fft: int, cp_len: int, spacing: int) -> int:
@@ -122,7 +124,49 @@ def estimate_dft_comb(
     else:
         y_p = jnp.mean(y[..., pidx], axis=-2, keepdims=True)
     h_p = y_p / jnp.asarray(PILOT_VALUE, y.dtype)
-    return h_p @ _dft_projection(n_fft, spacing, n_taps)
+    return h_p @ jnp.asarray(_dft_projection(n_fft, spacing, n_taps))
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_projection_full(n_fft: int, n_taps: int):
+    """(n_fft, n_fft) projector onto the n_taps-tap impulse-response
+    subspace for FULL-GRID estimates (the preamble case: every
+    subcarrier observed, spacing = 1). Same construction as
+    _dft_projection with the pilot comb replaced by the whole grid."""
+    k = np.arange(n_fft, dtype=np.float64)
+    l = np.arange(n_taps)[None, :]
+    E = np.exp(2j * np.pi * k[:, None] * l / n_fft) / n_fft  # (n_fft, L)
+    D = np.exp(-2j * np.pi * l.T * k[None, :] / n_fft)  # (L, n_fft)
+    # NUMPY result: converting inside the lru_cache would capture a
+    # tracer when the first call happens under jit.
+    return (E @ D).astype(np.complex64)
+
+
+def estimate_mimo_preamble(
+    y_pre: jnp.ndarray, n_taps: int = 0
+) -> jnp.ndarray:
+    """Per-antenna-pair LS channel estimate from a time-orthogonal
+    MIMO preamble, optionally DFT/CP-subspace denoised.
+
+    The preamble is n_tx full-grid pilot OFDM symbols at the head of
+    the frame; during symbol t ONLY TX antenna t radiates (at unit
+    power — no spatial split while alone), so the post-FFT observation
+    at RX antenna r during symbol t is H_rt[k]·p + noise and LS is one
+    complex divide per subcarrier — the cross-antenna separation the
+    SISO comb (estimate_ls_comb) cannot provide. With ``n_taps > 0``
+    each (r, t) estimate is additionally projected onto the CP-bounded
+    impulse-response subspace (one (n_fft, n_fft) matmul per pair,
+    batched on the MXU) — noise outside the subspace is discarded,
+    cutting estimation error by ~n_taps/n_fft.
+
+    y_pre: (..., n_rx, n_tx, n_fft) — the first n_tx received OFDM
+    symbols, symbol axis == TX-antenna axis. Returns ĥ of the same
+    shape, consumable by every detector in ops.mimo.
+    """
+    h = y_pre / jnp.asarray(PILOT_VALUE, y_pre.dtype)
+    if n_taps > 0:
+        h = h @ jnp.asarray(_dft_projection_full(y_pre.shape[-1], n_taps))
+    return h
 
 
 def estimate_ls_comb_tracked(
