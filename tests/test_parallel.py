@@ -66,6 +66,33 @@ def test_sharded_simulate_bit_exact(tshape):
     np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(ref.bits_counted))
 
 
+def test_sharded_simulate_mimo_bit_exact():
+    """MIMO links compose with channel DP unchanged: antenna axes are
+    per-channel batch axes inside _simulate_one, so the sharded result
+    is bit-exact vs the unsharded pipeline (ML detector + preamble CSI
+    — the most involved MIMO path)."""
+    from sdr_tpu.core.config import ChannelEstimator, MIMOConfig, MIMOScheme
+
+    mesh = make_link_mesh(1, 8)
+    cfg = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(model=ChannelModel.RAYLEIGH_FLAT, ebno_db=8.0),
+        equalizer=Equalizer.MMSE,
+        estimator=ChannelEstimator.DFT,
+        n_symbols=8,
+        n_channels=16,
+        mimo=MIMOConfig(
+            MIMOScheme.SPATIAL_MUX, 2, 2, csi="preamble", detector="ml"
+        ),
+    )
+    key = jax.random.PRNGKey(5)
+    ref = make_simulate_fn(cfg)(key)
+    got_err, got_cnt = make_sharded_simulate_fn(cfg, mesh)(key)
+    np.testing.assert_array_equal(np.asarray(got_err), np.asarray(ref.bit_errors))
+    np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(ref.bits_counted))
+
+
 @pytest.mark.parametrize("tshape", [(8, 1), (4, 2), (2, 4), (1, 8)])
 def test_sharded_stream_bit_exact_multipath(tshape):
     """The flagship seam test: time-sharded multipath stream with
