@@ -5,7 +5,9 @@ convolutional K=7 (171,133) with 802.11a puncturing and the soft-input
 Viterbi decoder (``simulate_coded``), and the QC-LDPC family with the
 min-sum decoder (``simulate_ldpc``, ops/ldpc.py). Either way the bits
 are bit-interleaved across the frame (ops.interleave), carried over
-the full OFDM link (link.pipeline's TX / channel / RX stages), and the
+the full OFDM link (link.pipeline's TX / channel / RX stages — or the
+multi-antenna chain via pipeline.mimo_llr_link when cfg.mimo is set,
+so FEC composes with STBC/MRC/spatial-mux and estimated CSI), and the
 deinterleaved LLRs drive the decoder. BER is counted on INFORMATION
 bits.
 
@@ -41,12 +43,9 @@ def info_bits_per_channel(
     rate: str = "1/2",
 ) -> int:
     """Largest info payload whose terminated, punctured codeword fits
-    one frame (``rate``: "1/2", "2/3" or "3/4" — the 802.11a family)."""
-    if cfg.mimo is not None:
-        raise NotImplementedError(
-            "the coded link is SISO; MIMO links run uncoded in "
-            "link.pipeline.simulate (set mimo=None here)"
-        )
+    one frame (``rate``: "1/2", "2/3" or "3/4" — the 802.11a family).
+    MIMO frames carry n_streams x the bits (bits_per_ofdm_symbol
+    already accounts for it)."""
     frame_bits = cfg.n_symbols * cfg.bits_per_ofdm_symbol
     R = len(polys)
     # Upper bound from the average punctured rate, then trim exactly.
@@ -59,6 +58,24 @@ def info_bits_per_channel(
             f"rate-{rate} K={K} codeword"
         )
     return n_info
+
+
+def _frame_llrs(cfg: LinkConfig, key: jax.Array, frame: jnp.ndarray):
+    """Carry one interleaved frame of coded bits over the link and
+    return its LLR vector (frame_bits,). SISO goes through
+    tx_chain/apply_channel/rx_chain; MIMO through pipeline.mimo_llr_link
+    (spatial streams are leading frame segments — the same reshape on
+    both sides keeps TX and RX bit order identical)."""
+    frame_bits = frame.shape[0]
+    if cfg.mimo is not None:
+        from sdr_tpu.link.pipeline import mimo_llr_link
+
+        bits = frame.reshape(cfg.mimo.n_streams, cfg.n_symbols, -1)
+        return mimo_llr_link(cfg, key, bits).reshape(-1)
+    tx = tx_chain(cfg, frame.reshape(cfg.n_symbols, cfg.bits_per_ofdm_symbol))
+    rx, h_freq, nv = apply_channel(cfg, key, tx)
+    llrs, _ = rx_chain(cfg, rx, h_freq, nv)
+    return llrs.reshape(-1)[:frame_bits]
 
 
 def _coded_one(cfg: LinkConfig, key: jax.Array, n_info: int, polys, K, rate):
@@ -74,10 +91,7 @@ def _coded_one(cfg: LinkConfig, key: jax.Array, n_info: int, polys, K, rate):
     # always match (a punctured codeword rarely fills the frame
     # exactly; interleaving only the codeword would desynchronize).
     frame = interleave(jnp.zeros((frame_bits,), jnp.int8).at[:sent].set(cw))
-    tx = tx_chain(cfg, frame.reshape(cfg.n_symbols, cfg.bits_per_ofdm_symbol))
-    rx, h_freq, nv = apply_channel(cfg, key, tx)
-    llrs, _ = rx_chain(cfg, rx, h_freq, nv)
-    llr_sent = deinterleave(llrs.reshape(-1)[:frame_bits])[:sent]
+    llr_sent = deinterleave(_frame_llrs(cfg, key, frame))[:sent]
     # Punctured positions re-enter the trellis as zero LLRs.
     llr_cw = depuncture(llr_sent, rate, n_steps)
     decoded = viterbi_decode(llr_cw, n_info, polys, K)
@@ -131,11 +145,6 @@ def ldpc_code_for(rate: str = "1/2", z: int = 128):
 def ldpc_codewords_per_channel(cfg: LinkConfig, code) -> int:
     """Whole codewords per frame (the remainder of the frame is zero
     padding — known bits the receiver never counts)."""
-    if cfg.mimo is not None:
-        raise NotImplementedError(
-            "the coded link is SISO; MIMO links run uncoded in "
-            "link.pipeline.simulate (set mimo=None here)"
-        )
     frame_bits = cfg.n_symbols * cfg.bits_per_ofdm_symbol
     n_cw = frame_bits // code.n
     if n_cw < 1:
@@ -157,10 +166,7 @@ def _ldpc_one(cfg: LinkConfig, key: jax.Array, code, n_cw: int, iters: int):
     # Same whole-frame interleave convention as the convolutional path:
     # pad to the frame, permute the frame, depermute at RX.
     frame = interleave(jnp.zeros((frame_bits,), jnp.int8).at[:sent].set(cw))
-    tx = tx_chain(cfg, frame.reshape(cfg.n_symbols, cfg.bits_per_ofdm_symbol))
-    rx, h_freq, nv = apply_channel(cfg, key, tx)
-    llrs, _ = rx_chain(cfg, rx, h_freq, nv)
-    llr_cw = deinterleave(llrs.reshape(-1)[:frame_bits])[:sent]
+    llr_cw = deinterleave(_frame_llrs(cfg, key, frame))[:sent]
     decoded = ldpc_decode(code, llr_cw.reshape(n_cw, code.n), iters=iters)
     errors = jnp.sum(
         (decoded[:, : code.k] != info).astype(jnp.int32)

@@ -290,6 +290,25 @@ def _simulate_one_mimo(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
     an info-bit quantity comparable with SISO curves; the preamble is
     frame overhead, not counted in Eb.
     """
+    mc = cfg.mimo
+    bits = jax.random.bernoulli(
+        prng.role_key(key, prng.ROLE_PAYLOAD),
+        0.5,
+        (mc.n_streams, cfg.n_symbols, cfg.ofdm.n_fft * cfg.modulation.bits_per_symbol),
+    ).astype(jnp.int8)
+    llrs = mimo_llr_link(cfg, key, bits)
+    hard = llr_to_hard_bits(llrs)
+    errors = jnp.sum((hard != bits).astype(jnp.int32))
+    counted = jnp.int32(bits.size)
+    return errors, counted, (llrs if want_llrs else None)
+
+
+def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
+    """The MIMO link as bits → LLRs (the coded link's building block).
+
+    bits: int8 (n_streams, n_symbols, n_fft * bits_per_symbol). Returns
+    float32 LLRs of the same shape/bit order. Error counting stays with
+    the callers (_simulate_one_mimo / link.coded)."""
     from sdr_tpu.ops import mimo as mo
     from sdr_tpu.ops import pilots as pi
     from sdr_tpu.core.config import ChannelEstimator, MIMOScheme
@@ -297,11 +316,6 @@ def _simulate_one_mimo(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
     mc = cfg.mimo
     n_fft, cp = cfg.ofdm.n_fft, cfg.ofdm.cp_len
     bps = cfg.modulation.bits_per_symbol
-    bits = jax.random.bernoulli(
-        prng.role_key(key, prng.ROLE_PAYLOAD),
-        0.5,
-        (mc.n_streams, cfg.n_symbols, n_fft * bps),
-    ).astype(jnp.int8)
     points = modulate(bits, cfg.modulation)  # (streams, S, N)
     if mc.scheme == MIMOScheme.ALAMOUTI:
         ant = mo.alamouti_encode(points[0])  # (2, S, N)
@@ -371,11 +385,9 @@ def _simulate_one_mimo(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
         s, eff_var = mo.mux_detect_mmse(y, h, nvf)
     if s is not None:
         llrs = llr_maxlog(s, cfg.modulation, eff_var)
-    hard = llr_to_hard_bits(llrs)
-    target = bits[0] if mc.n_streams == 1 else bits
-    errors = jnp.sum((hard != target).astype(jnp.int32))
-    counted = jnp.int32(bits.size)
-    return errors, counted, (llrs if want_llrs else None)
+    if mc.n_streams == 1 and llrs.ndim == 2:
+        llrs = llrs[None]  # combiners collapse the stream axis; restore it
+    return llrs  # (n_streams, S, N*bps), bit order matching ``bits``
 
 
 def _simulate_one(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
