@@ -507,6 +507,97 @@ def _cmd_scale(args) -> int:
     return 0
 
 
+def _cmd_waveform(args) -> int:
+    """Waveform-domain report for a case: PAPR percentiles + CCDF,
+    aided/blind EVM at the case's Eb/N0, Welch-PSD in-band flatness."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdr_tpu.app.baseline_configs import get_case
+    from sdr_tpu.obs.waveform import (
+        evm_rms,
+        papr_ccdf,
+        papr_ccdf_theory,
+        papr_db,
+        psd_welch,
+    )
+    from sdr_tpu.ops import channel as chan
+    from sdr_tpu.ops.modulation import modulate
+    from sdr_tpu.ops.ofdm import ofdm_tx
+
+    case = get_case(args.config)
+    cfg = case.cfg
+    n_fft, cp = cfg.ofdm.n_fft, cfg.ofdm.cp_len
+    bps = cfg.modulation.bits_per_symbol
+    n_sym = args.symbols
+    grid = jnp.arange(4.0, 13.0, 0.5)
+    nv = chan.ebno_db_to_noise_var(cfg.channel.ebno_db, bps)
+    nseg = min(n_fft, 512)
+
+    # One jitted program, real in / real out: the axon TPU runtime
+    # cannot transfer complex arrays, so every complex intermediate
+    # (constellation, waveform, noise) must live inside the jit.
+    @jax.jit
+    def _metrics(key):
+        kb, kr, ki = jax.random.split(key, 3)
+        bits = jax.random.bernoulli(
+            kb, 0.5, (n_sym, n_fft * bps)
+        ).astype(jnp.int8)
+        points = modulate(bits, cfg.modulation)
+        tx = ofdm_tx(points, cp)
+        p = papr_db(tx)
+        noise = jax.lax.complex(
+            jax.random.normal(kr, points.shape),
+            jax.random.normal(ki, points.shape),
+        ) * jnp.float32((nv / 2.0) ** 0.5)
+        rx = points + noise
+        return (
+            p,
+            papr_ccdf(p, grid),
+            evm_rms(rx, cfg.modulation, ref_points=points),
+            evm_rms(rx, cfg.modulation),
+            psd_welch(tx.reshape(-1), nperseg=nseg, overlap=nseg // 2),
+        )
+
+    p, ccdf, evm_aided, evm_blind, psd = map(
+        np.asarray, _metrics(jax.random.PRNGKey(args.seed))
+    )
+    qs = np.percentile(p, [50.0, 99.0, 99.9])
+    evm_aided, evm_blind = float(evm_aided), float(evm_blind)
+    mid = psd[len(psd) // 10: -len(psd) // 10]
+    out = {
+        "case": case.name,
+        "n_symbols": n_sym,
+        "papr_db": {"p50": float(qs[0]), "p99": float(qs[1]),
+                    "p99.9": float(qs[2])},
+        "evm_rms_pct": {"data_aided": 100 * evm_aided, "blind": 100 * evm_blind},
+        "evm_theory_pct": 100 * float(nv) ** 0.5,
+        "psd_inband_flatness_db": float(10 * np.log10(mid.max() / mid.min())),
+        "ccdf_grid_db": [float(g) for g in np.asarray(grid)],
+        "ccdf": [float(c) for c in ccdf],
+    }
+    if args.plot:
+        from sdr_tpu.obs.plot import plot_ber_curves
+
+        g = np.asarray(grid)
+        plot_ber_curves(
+            [(f"{case.name} measured ({n_sym} symbols)", g, ccdf)],
+            args.plot,
+            title=f"PAPR CCDF — {cfg.modulation.value}/{n_fft}sc OFDM",
+            theory=(
+                f"Gaussian theory 1-(1-e^-x)^{n_fft}",
+                g,
+                papr_ccdf_theory(n_fft)(g),
+            ),
+            xlabel="PAPR [dB]",
+            ylabel="Pr[PAPR > x]",
+        )
+        print(f"# CCDF figure written to {args.plot}", file=sys.stderr)
+    print(json.dumps(out))
+    return 0
+
+
 def _cmd_info(args) -> int:
     import jax
 
@@ -525,14 +616,25 @@ def _cmd_info(args) -> int:
                      "multipath", "rayleigh_time (Jakes)",
                      "rx LO phase noise (Wiener walk)"],
         "receiver": ["ZF/MMSE equalizers", "max-log LLR",
-                     "comb pilots (LS / per-symbol / phase-tracked)",
+                     "comb pilots (LS / per-symbol / phase-tracked / "
+                     "DFT-subspace)",
                      "blind acquisition (S&C + integer CFO + fine timing)",
                      "blind I/Q-image cancellation (properization)"],
+        "mimo": ["Alamouti G2 STBC", "receive MRC",
+                 "spatial mux (ZF / MMSE / max-log joint ML)",
+                 "genie or time-orthogonal-preamble CSI",
+                 "composes with FEC and channel DP"],
         "fec": ["conv K=7 (171,133)", "rates 1/2, 2/3, 3/4 (802.11a "
-                "puncturing)", "soft Viterbi", "block interleaver"],
+                "puncturing)", "soft Viterbi", "block interleaver",
+                "QC-LDPC (nb=24, Z=128) + offset min-sum"],
         "parallelism": ["channel DP", "time-block SP (ppermute halos)",
+                        "subcarrier TP (four-step all_to_all)",
+                        "2-stage PP (microbatched)",
                         "fused kernels under shard_map",
                         "multi-process jax.distributed"],
+        "observability": ["JSONL metrics", "profiler traces", "health probe",
+                          "checkpointed sweeps + BER figures",
+                          "waveform PAPR/EVM/PSD report"],
     }
     print(json.dumps(info, indent=2))
     return 0
@@ -670,6 +772,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("info", help="environment and inventory")
     i.set_defaults(fn=_cmd_info)
+
+    wf = sub.add_parser(
+        "waveform", help="PAPR/EVM/PSD waveform report for a case"
+    )
+    wf.add_argument("--config", default="2", help="case name or index 0-4")
+    wf.add_argument("--symbols", type=int, default=4096)
+    wf.add_argument("--seed", type=int, default=0)
+    wf.add_argument("--plot", default=None,
+                    help="write a PAPR-CCDF figure (PNG/SVG path)")
+    wf.set_defaults(fn=_cmd_waveform)
 
     a = sub.add_parser("autotune", help="measure FFT backend crossover on this device")
     a.add_argument("--sizes", default="128,256,512,1024,2048,4096,8192,16384")

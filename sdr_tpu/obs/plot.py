@@ -29,14 +29,18 @@ def plot_ber_curves(
     path: str,
     title: str = "BER vs Eb/N0",
     theory: Optional[tuple] = None,
+    xlabel: str = "Eb/N0 [dB]",
+    ylabel: str = "Bit error rate",
 ) -> str:
-    """Render BER curves to ``path`` (format from the extension).
+    """Render log-y curves to ``path`` (format from the extension).
 
-    curves: [(label, ebno_db array, ber array), ...] — at most 6
-    (categorical palette limit; fold more into separate figures).
-    theory: optional ("label", ebnos, bers) drawn as a neutral dashed
-    reference. Zero-BER points (no errors observed) are dropped from
-    the log axis rather than plotted as lies. Returns ``path``.
+    curves: [(label, x array, y array), ...] — at most 6 (categorical
+    palette limit; fold more into separate figures).
+    theory: optional ("label", x, y) drawn as a neutral dashed
+    reference. Zero points (no events observed) are dropped from the
+    log axis rather than plotted as lies. The default axis labels are
+    the BER-sweep ones; waveform CCDFs etc. pass their own. Returns
+    ``path``.
     """
     if len(curves) > len(_SERIES):
         raise ValueError(f"at most {len(_SERIES)} curves per figure")
@@ -73,8 +77,8 @@ def plot_ber_curves(
             zorder=3,
         )
 
-    ax.set_xlabel("Eb/N0 [dB]", color=_INK)
-    ax.set_ylabel("Bit error rate", color=_INK)
+    ax.set_xlabel(xlabel, color=_INK)
+    ax.set_ylabel(ylabel, color=_INK)
     ax.set_title(title, color=_INK, fontsize=11, loc="left")
     ax.grid(True, which="major", color=_GRID, lw=0.8, zorder=0)
     ax.grid(True, which="minor", color=_GRID, lw=0.4, alpha=0.5, zorder=0)

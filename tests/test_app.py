@@ -167,6 +167,21 @@ def test_cli_sweep_plot(tmp_path, capsys):
     assert os.path.getsize(png) > 5000
 
 
+def test_cli_waveform(tmp_path, capsys):
+    """waveform reports PAPR/EVM/PSD; EVM matches sqrt(nv) closely and
+    the CCDF figure renders."""
+    png = str(tmp_path / "ccdf.png")
+    assert main([
+        "waveform", "--config", "0", "--symbols", "512", "--plot", png,
+    ]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert 5.0 < out["papr_db"]["p99"] < 13.0
+    aided = out["evm_rms_pct"]["data_aided"]
+    assert abs(aided - out["evm_theory_pct"]) / out["evm_theory_pct"] < 0.05
+    assert out["psd_inband_flatness_db"] < 2.0
+    assert os.path.getsize(png) > 5000
+
+
 def test_demo_snapshot_figure(tmp_path):
     """demo --snapshot renders the reference GUI's views to a figure."""
     from sdr_tpu.app.demo import DemoConfig, run_demo
