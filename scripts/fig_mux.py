@@ -52,6 +52,11 @@ def main() -> None:
         ("ZF 2x2", Equalizer.ZF, MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2)),
         ("MMSE 2x2", Equalizer.MMSE, MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2)),
         (
+            "MMSE-SIC 2x2",
+            Equalizer.MMSE,
+            MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2, detector="sic"),
+        ),
+        (
             "ML 2x2",
             Equalizer.MMSE,
             MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2, detector="ml"),
@@ -102,7 +107,7 @@ def main() -> None:
 
     plot_ber_curves(
         curves, out,
-        title="QPSK/64sc 2x2 spatial mux — ZF / MMSE / max-log ML",
+        title="QPSK/64sc 2x2 spatial mux — ZF / MMSE / SIC / max-log ML",
         theory=theory,
     )
     print(f"wrote {out}")

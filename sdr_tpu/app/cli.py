@@ -710,7 +710,7 @@ def build_parser() -> argparse.ArgumentParser:
         "time-orthogonal pilot symbols (LS; --estimator dft denoises)",
     )
     b.add_argument(
-        "--detector", default="linear", choices=["linear", "ml"],
+        "--detector", default="linear", choices=["linear", "sic", "ml"],
         help="spatial-mux detector: linear (ZF/MMSE per the case "
         "equalizer) or max-log joint ML (optimal, full diversity)",
     )
@@ -765,7 +765,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--ntx", type=int, default=0, metavar="N")
     s.add_argument("--nrx", type=int, default=0, metavar="N")
     s.add_argument("--csi", default="genie", choices=["genie", "preamble"])
-    s.add_argument("--detector", default="linear", choices=["linear", "ml"])
+    s.add_argument("--detector", default="linear", choices=["linear", "sic", "ml"])
     s.add_argument("--mc-iters", type=int, default=16,
                    help="MC kernel passes per sweep invocation")
     s.set_defaults(fn=_cmd_sweep)

@@ -168,7 +168,8 @@ class MIMOConfig:
     # to the frame; per-pair LS, denoised per LinkConfig.estimator).
     csi: str = "genie"
     # SPATIAL_MUX detector: "linear" (the LinkConfig equalizer picks
-    # ZF/MMSE) or "ml" (max-log joint search — optimal, full diversity;
+    # ZF/MMSE), "sic" (ordered MMSE successive cancellation — V-BLAST)
+    # or "ml" (max-log joint search — optimal, full diversity;
     # candidate budget caps modulation at 64-QAM for n_tx=2).
     detector: str = "linear"
 
@@ -179,14 +180,14 @@ class MIMOConfig:
             )
         if self.csi not in ("genie", "preamble"):
             raise ValueError(f"csi must be 'genie' or 'preamble', got {self.csi!r}")
-        if self.detector not in ("linear", "ml"):
+        if self.detector not in ("linear", "sic", "ml"):
             raise ValueError(
-                f"detector must be 'linear' or 'ml', got {self.detector!r}"
+                f"detector must be 'linear', 'sic' or 'ml', got {self.detector!r}"
             )
-        if self.detector == "ml" and self.scheme != MIMOScheme.SPATIAL_MUX:
+        if self.detector != "linear" and self.scheme != MIMOScheme.SPATIAL_MUX:
             raise ValueError(
-                "detector='ml' applies to spatial multiplexing only; "
-                "Alamouti/MRC combining is already ML for those schemes"
+                f"detector={self.detector!r} applies to spatial multiplexing "
+                "only; Alamouti/MRC combining is already ML for those schemes"
             )
         if self.scheme == MIMOScheme.ALAMOUTI and self.n_tx != 2:
             raise ValueError("Alamouti (G2) requires exactly n_tx=2")

@@ -379,6 +379,8 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
     elif mc.detector == "ml":
         llrs = mo.mux_detect_ml(y, h, nvf, cfg.modulation)
         s = None
+    elif mc.detector == "sic":
+        s, eff_var = mo.mux_detect_sic(y, h, nvf, cfg.modulation)
     elif cfg.equalizer == Equalizer.ZF:
         s, eff_var = mo.mux_detect_zf(y, h, nvf)
     else:

@@ -33,6 +33,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from sdr_tpu.core.config import Modulation
@@ -212,6 +213,82 @@ def mux_detect_zf(y: jnp.ndarray, h: jnp.ndarray, noise_var):
     """Zero-forcing detection (n_rx >= n_tx): exact interference
     inversion; eff_var_k = nv [(A^H A)^-1]_kk (noise enhancement)."""
     return _mux_detect(y, h, noise_var, zf=True)
+
+
+# ---------------------------------------------------------------------------
+# Spatial multiplexing: ordered MMSE-SIC (V-BLAST)
+# ---------------------------------------------------------------------------
+
+
+def mux_detect_sic(y: jnp.ndarray, h: jnp.ndarray, noise_var, mod: Modulation):
+    """Ordered MMSE successive interference cancellation (V-BLAST,
+    Wolniansky et al. 1998): n_tx unrolled rounds of {MMSE filter on
+    the still-active streams, detect the highest-post-SINR one, slice
+    to the nearest constellation point, subtract its contribution}.
+
+    Sits between linear MMSE (diversity n_rx - n_tx + 1) and joint ML
+    (diversity n_rx) in both BER and cost, and is the practical soft
+    detector when the ML candidate budget is exceeded (e.g. 4x4
+    64-QAM = 16.7M candidates). Error propagation through wrong slices
+    is real and simulated — nothing genie-aided.
+
+    TPU mapping: n_tx is static so the SIC loop fully unrolls; the
+    per-subcarrier ordering is data-dependent but expressed as argmax +
+    one-hot masking over the static stream axis — no gather/scatter
+    with dynamic shapes, every step is batched einsums + a masked
+    n_tx x n_tx inverse over all subcarriers at once.
+
+    Interface matches the linear detectors: y (..., n_rx, S, n_fft),
+    h (..., n_rx, n_tx, n_fft|1); returns (s, eff_var) with s
+    (..., n_tx, S, n_fft) unbiased estimates (each stream's estimate
+    taken at its detection round) and eff_var (..., n_tx, 1, n_fft)
+    the unbiased-MMSE 1/SINR at that round.
+    """
+    from sdr_tpu.ops.modulation import constellation, nearest_symbol
+
+    n_tx = h.shape[-2]
+    nv = jnp.asarray(noise_var, jnp.float32)
+    a = (h * jnp.float32(n_tx ** -0.5)).astype(jnp.complex64)
+    am = jnp.moveaxis(a, -1, -3)  # (..., N', n_rx, n_tx)
+    ym = jnp.swapaxes(jnp.moveaxis(y, -3, -1), -3, -2)  # (..., N, S, n_rx)
+    n_sc = ym.shape[-3]
+    if am.shape[-3] != n_sc:  # flat h: broadcast filters over subcarriers
+        am = jnp.broadcast_to(am, am.shape[:-3] + (n_sc,) + am.shape[-2:])
+    const = constellation(mod)
+    active = jnp.ones(am.shape[:-2] + (n_tx,), jnp.float32)  # (..., N', n_tx)
+    resid = ym
+    est = jnp.zeros(ym.shape[:-1] + (n_tx,), jnp.complex64)  # (..., N, S, n_tx)
+    effv = jnp.zeros(active.shape, jnp.float32)  # (..., N', n_tx)
+    eye = jnp.eye(n_tx, dtype=jnp.complex64)
+    for _ in range(n_tx):
+        a_act = am * active[..., None, :]
+        gram = jnp.einsum("...rt,...rs->...ts", jnp.conj(a_act), a_act)
+        # Inactive streams get a unit diagonal so the inverse exists;
+        # their rows/cols are masked out of the selection below.
+        pad = jnp.einsum(
+            "...t,ts->...ts", 1.0 - active, eye
+        )
+        w = _inv_hermitian(gram + nv.astype(jnp.complex64) * eye + pad)
+        wkk = jnp.real(jnp.einsum("...tt->...t", w))  # (..., N', n_tx)
+        sinr = 1.0 / jnp.maximum(nv * wkk, 1e-12) - 1.0
+        sinr = jnp.where(active > 0.5, sinr, -jnp.inf)
+        pick = jnp.argmax(sinr, axis=-1)  # (..., N')
+        onehot = jax.nn.one_hot(pick, n_tx, dtype=jnp.float32)
+        z = jnp.einsum("...rt,...sr->...st", jnp.conj(a_act), resid)
+        xb = jnp.einsum("...ts,...is->...it", w, z)  # (..., N', S, n_tx)
+        wkk_p = jnp.sum(wkk * onehot, axis=-1)  # (..., N')
+        bias = jnp.maximum(1.0 - nv * wkk_p, 1e-12)[..., None]
+        x_p = jnp.sum(xb * onehot[..., None, :], axis=-1) / bias  # (..., N, S)
+        # Slice, subtract, retire the stream.
+        s_hard = const[nearest_symbol(x_p, mod)]
+        a_p = jnp.sum(am * onehot[..., None, :], axis=-1)  # (..., N', n_rx)
+        resid = resid - s_hard[..., None] * a_p[..., None, :]
+        est = est + x_p[..., None] * onehot[..., None, :]
+        effv = effv + (nv * wkk_p / bias[..., 0])[..., None] * onehot
+        active = active - onehot
+    est = jnp.moveaxis(jnp.moveaxis(est, -1, -3), -1, -2)  # (..., n_tx, S, N)
+    effv = jnp.moveaxis(effv, -1, -2)[..., None, :]  # (..., n_tx, 1, N')
+    return est, effv
 
 
 # ---------------------------------------------------------------------------
