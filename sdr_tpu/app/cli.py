@@ -598,6 +598,55 @@ def _cmd_waveform(args) -> int:
     return 0
 
 
+def _cmd_packet(args) -> int:
+    """Packet-modem campaign: random payloads over an impaired channel
+    through the blind receiver; reports PER and CRC statistics."""
+    import jax
+
+    from sdr_tpu.core.config import ChannelConfig, ChannelModel, Modulation, OFDMConfig
+    from sdr_tpu.link.packet import PacketConfig, simulate_packets
+
+    pcfg = PacketConfig(
+        payload_bytes=args.payload,
+        modulation=Modulation(args.mod),
+        ofdm=OFDMConfig(n_fft=args.n_fft, cp_len=args.cp),
+        rate=args.rate,
+        pilot_spacing=args.pilots,
+    )
+    ch = ChannelConfig(
+        model=ChannelModel(args.channel),
+        ebno_db=args.ebno,
+        pdp=(1.0, 0.5) if args.channel == "multipath" else (1.0,),
+        cfo_subcarriers=args.cfo,
+        timing_offset=args.timing_offset,
+    )
+    byte_errs, crc_ok = simulate_packets(
+        pcfg, ch, jax.random.PRNGKey(args.seed), args.n
+    )
+    byte_errs = np.asarray(byte_errs)
+    crc_ok = np.asarray(crc_ok)
+    print(json.dumps({
+        "payload_bytes": pcfg.payload_bytes,
+        "modulation": pcfg.modulation.value,
+        "rate": pcfg.rate,
+        "n_symbols": pcfg.n_symbols,
+        "burst_samples": pcfg.burst_len,
+        "channel": ch.model.value,
+        "ebno_db": ch.ebno_db,
+        "cfo_subcarriers": ch.cfo_subcarriers,
+        "timing_offset": ch.timing_offset,
+        "packets": int(args.n),
+        "per": float((byte_errs > 0).mean()),
+        "crc_ok_rate": float(crc_ok.mean()),
+        "crc_verdicts_consistent": bool(
+            (crc_ok == (byte_errs == 0)).all()
+        ),
+        "byte_error_rate": float(byte_errs.sum())
+        / float(args.n * pcfg.payload_bytes),
+    }))
+    return 0
+
+
 def _cmd_info(args) -> int:
     import jax
 
@@ -772,6 +821,28 @@ def build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("info", help="environment and inventory")
     i.set_defaults(fn=_cmd_info)
+
+    pk = sub.add_parser(
+        "packet", help="bytes-over-the-air packet modem campaign (PER)"
+    )
+    pk.add_argument("--payload", type=int, default=64, help="bytes per packet")
+    pk.add_argument("--mod", default="qpsk")
+    pk.add_argument("--n-fft", type=int, default=64)
+    pk.add_argument("--cp", type=int, default=16)
+    pk.add_argument("--rate", default="1/2", choices=["1/2", "2/3", "3/4"])
+    pk.add_argument("--pilots", type=int, default=8, help="comb pilot spacing")
+    pk.add_argument(
+        "--channel", default="multipath",
+        choices=["awgn", "rayleigh_flat", "rician", "multipath"],
+    )
+    pk.add_argument("--ebno", type=float, default=14.0)
+    pk.add_argument("--cfo", type=float, default=1.3,
+                    help="carrier offset in subcarriers (blind-recovered)")
+    pk.add_argument("--timing-offset", type=int, default=37,
+                    help="unknown burst delay in samples")
+    pk.add_argument("--n", type=int, default=100, help="packets to send")
+    pk.add_argument("--seed", type=int, default=0)
+    pk.set_defaults(fn=_cmd_packet)
 
     wf = sub.add_parser(
         "waveform", help="PAPR/EVM/PSD waveform report for a case"

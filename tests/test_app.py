@@ -167,6 +167,18 @@ def test_cli_sweep_plot(tmp_path, capsys):
     assert os.path.getsize(png) > 5000
 
 
+def test_cli_packet(capsys):
+    """packet sends bytes over an impaired channel blind; verdicts
+    consistent and PER low at a comfortable SNR."""
+    assert main([
+        "packet", "--payload", "24", "--n", "8", "--ebno", "16",
+        "--channel", "multipath",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["crc_verdicts_consistent"]
+    assert out["per"] <= 0.25
+
+
 def test_cli_waveform(tmp_path, capsys):
     """waveform reports PAPR/EVM/PSD; EVM matches sqrt(nv) closely and
     the CCDF figure renders."""

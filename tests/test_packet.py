@@ -1,0 +1,120 @@
+"""Packet PHY (link.packet): CRC framing, coded burst, blind receive.
+
+Validation tiers: CRC against an independent pure-python LFSR, exact
+byte round trips over clean and impaired channels, and PER behavior at
+the SNR extremes (decodes cleanly at high SNR, CRC flags failures at
+very low SNR — no silent corruption).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdr_tpu.core.config import (
+    ChannelConfig,
+    ChannelModel,
+    Modulation,
+    OFDMConfig,
+)
+from sdr_tpu.link.packet import (
+    PacketConfig,
+    crc32_bits,
+    decode_packet,
+    encode_packet,
+    make_packet_codec,
+    simulate_packets,
+    transmit_over_channel,
+)
+
+
+def _crc32_ref(bits):
+    """Independent bit-serial CRC-32 (0x04C11DB7, init/final 0xFFFFFFFF)."""
+    state = 0xFFFFFFFF
+    for b in bits:
+        fb = ((state >> 31) & 1) ^ int(b)
+        state = ((state << 1) & 0xFFFFFFFF) ^ (0x04C11DB7 if fb else 0)
+    return state ^ 0xFFFFFFFF
+
+
+def test_crc32_matches_reference_lfsr():
+    rng = np.random.default_rng(3)
+    for n in (8, 72, 513):
+        bits = rng.integers(0, 2, size=n).astype(np.int8)
+        got = np.asarray(crc32_bits(jnp.asarray(bits)))
+        want = _crc32_ref(bits)
+        got_int = int("".join(str(int(b)) for b in got), 2)
+        assert got_int == want
+
+
+def test_crc32_detects_single_bit_flip():
+    bits = jnp.zeros((128,), jnp.int8).at[17].set(1)
+    c0 = np.asarray(crc32_bits(bits))
+    c1 = np.asarray(crc32_bits(bits.at[90].set(1)))
+    assert not np.array_equal(c0, c1)
+
+
+_PCFG = PacketConfig(
+    payload_bytes=32,
+    modulation=Modulation.QPSK,
+    ofdm=OFDMConfig(n_fft=64, cp_len=16),
+    rate="1/2",
+    pilot_spacing=8,
+)
+
+
+def test_packet_roundtrip_clean():
+    """Perfect channel (tiny noise for LLR scaling): exact byte round
+    trip through the full encode → blind-acquire → decode stack."""
+    enc, dec = make_packet_codec(_PCFG)
+    payload = jnp.arange(32, dtype=jnp.uint8) * 7 + 3
+    burst = enc(payload)
+    assert burst.shape == (_PCFG.burst_len,)
+    stream = jnp.concatenate(
+        [burst, jnp.zeros((_PCFG.ofdm.symbol_len,), jnp.complex64)]
+    )
+    rx, ok = dec(stream, 1e-3)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(rx), np.asarray(payload))
+
+
+@pytest.mark.parametrize("rate", ["1/2", "2/3", "3/4"])
+def test_packet_roundtrip_impaired(rate):
+    """Unknown delay + fractional-plus-integer CFO + multipath at a
+    workable SNR: every packet decodes, CRC agrees with the bytes."""
+    import dataclasses
+
+    pcfg = dataclasses.replace(_PCFG, rate=rate)
+    ch = ChannelConfig(
+        model=ChannelModel.MULTIPATH,
+        ebno_db=16.0,
+        pdp=(1.0, 0.5),
+        cfo_subcarriers=1.3,
+        timing_offset=37,
+    )
+    byte_errs, crc_ok = simulate_packets(pcfg, ch, jax.random.PRNGKey(0), 16)
+    byte_errs, crc_ok = np.asarray(byte_errs), np.asarray(crc_ok)
+    # CRC verdicts must agree with the actual byte errors (no silent
+    # corruption, no false alarms on clean packets).
+    np.testing.assert_array_equal(crc_ok, byte_errs == 0)
+    # Multipath at 16 dB: the coded burst survives nearly always.
+    assert crc_ok.mean() >= 0.75, crc_ok
+
+
+def test_packet_crc_flags_low_snr():
+    ch = ChannelConfig(model=ChannelModel.AWGN, ebno_db=-6.0)
+    byte_errs, crc_ok = simulate_packets(_PCFG, ch, jax.random.PRNGKey(1), 12)
+    byte_errs, crc_ok = np.asarray(byte_errs), np.asarray(crc_ok)
+    assert byte_errs.sum() > 0
+    np.testing.assert_array_equal(crc_ok, byte_errs == 0)
+
+
+def test_packet_config_validation():
+    with pytest.raises(ValueError):
+        PacketConfig(payload_bytes=0)
+    with pytest.raises(ValueError):
+        PacketConfig(rate="5/6")
+    # Derived sizes are self-consistent.
+    assert _PCFG.n_info_bits == 32 * 8 + 32
+    assert _PCFG.n_coded_bits <= _PCFG.frame_bits
+    assert _PCFG.burst_len == (2 + _PCFG.n_symbols) * 80
