@@ -620,12 +620,76 @@ def _cmd_packet(args) -> int:
         cfo_subcarriers=args.cfo,
         timing_offset=args.timing_offset,
     )
-    byte_errs, crc_ok = simulate_packets(
-        pcfg, ch, jax.random.PRNGKey(args.seed), args.n
-    )
-    byte_errs = np.asarray(byte_errs)
-    crc_ok = np.asarray(crc_ok)
+    source = None
+    if getattr(args, "record", None) or getattr(args, "replay", None):
+        import jax.numpy as jnp
+
+        from sdr_tpu.link.packet import (
+            decode_packet,
+            encode_packet,
+            transmit_over_channel,
+        )
+        from sdr_tpu.ops.channel import ebno_db_to_noise_var
+
+        frame = ch.timing_offset + pcfg.burst_len + pcfg.ofdm.symbol_len
+        nv = float(ebno_db_to_noise_var(ch.ebno_db, pcfg.modulation.bits_per_symbol))
+        key = jax.random.PRNGKey(args.seed)
+
+        def _payload(i):
+            k = jax.random.fold_in(key, i)
+            return np.asarray(jax.random.randint(
+                k, (pcfg.payload_bytes,), 0, 256, jnp.int32
+            ), np.int32).astype(np.uint8), k
+
+        if args.record:
+            # Real-valued outputs only: the axon TPU runtime cannot
+            # transfer complex arrays to the host for recording.
+            @jax.jit
+            def _one_stream(k, payload):
+                s, _ = transmit_over_channel(
+                    pcfg, ch, k, encode_packet(pcfg, payload)
+                )
+                return jnp.real(s), jnp.imag(s)
+
+            chunks = []
+            for i in range(args.n):
+                payload, k = _payload(i)
+                re, im = _one_stream(k, jnp.asarray(payload))
+                s = np.empty(frame, np.complex64)
+                s.real, s.imag = np.asarray(re), np.asarray(im)
+                chunks.append(s)
+            from sdr_tpu.native.iq import write_iq
+
+            write_iq(args.record, np.concatenate(chunks))
+            print(f"# recorded {args.n} bursts ({frame} samples each) "
+                  f"to {args.record}", file=sys.stderr)
+        path = args.replay or args.record
+        from sdr_tpu.native.iq import IQReader
+
+        dec = jax.jit(
+            lambda re, im: decode_packet(pcfg, jax.lax.complex(re, im), nv)
+        )
+        errs, oks = [], []
+        with IQReader(path, frame=frame) as rd:
+            for i in range(args.n):
+                nxt = rd.next_real()
+                if nxt is None:
+                    break
+                rx, ok = dec(jnp.asarray(nxt[0]), jnp.asarray(nxt[1]))
+                expected, _ = _payload(i)
+                errs.append(int((np.asarray(rx) != expected).sum()))
+                oks.append(bool(ok))
+        byte_errs, crc_ok = np.asarray(errs), np.asarray(oks)
+        source = f"iq_file:{path}"
+        args.n = len(errs)
+    else:
+        byte_errs, crc_ok = simulate_packets(
+            pcfg, ch, jax.random.PRNGKey(args.seed), args.n
+        )
+        byte_errs = np.asarray(byte_errs)
+        crc_ok = np.asarray(crc_ok)
     print(json.dumps({
+        "source": source or "simulated",
         "payload_bytes": pcfg.payload_bytes,
         "modulation": pcfg.modulation.value,
         "rate": pcfg.rate,
@@ -842,6 +906,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="unknown burst delay in samples")
     pk.add_argument("--n", type=int, default=100, help="packets to send")
     pk.add_argument("--seed", type=int, default=0)
+    pk.add_argument(
+        "--record", default=None, metavar="FILE.sc16",
+        help="record the impaired bursts to a raw int16 IQ file via the "
+        "native runtime, then decode them back from disk",
+    )
+    pk.add_argument(
+        "--replay", default=None, metavar="FILE.sc16",
+        help="decode packets from a previously recorded IQ file "
+        "(same --seed/--n regenerate the expected payloads)",
+    )
     pk.set_defaults(fn=_cmd_packet)
 
     wf = sub.add_parser(

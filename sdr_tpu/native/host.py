@@ -41,8 +41,12 @@ def _load():
         if _lib is not None or _err is not None:
             return _lib
         try:
-            src = os.path.join(_NATIVE_DIR, "sdr_host.cpp")
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(src):
+            srcs = [
+                os.path.join(_NATIVE_DIR, "sdr_host.cpp"),
+                os.path.join(_NATIVE_DIR, "iq_file.cpp"),
+            ]
+            newest = max(os.path.getmtime(s) for s in srcs)
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest:
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR],
                     check=True,
@@ -81,6 +85,19 @@ def _load():
         lib.sdr_ofdm_tx.argtypes = [f8p, f8p, sz, sz, f8p, f8p]
         lib.sdr_ofdm_rx.restype = ctypes.c_int
         lib.sdr_ofdm_rx.argtypes = [f8p, f8p, sz, sz, f8p, f8p]
+        lib.sdr_iq_write.restype = ctypes.c_longlong
+        lib.sdr_iq_write.argtypes = [ctypes.c_char_p, f4p, sz, ctypes.c_float]
+        lib.sdr_iq_info.restype = ctypes.c_longlong
+        lib.sdr_iq_info.argtypes = [ctypes.c_char_p]
+        lib.sdr_iq_read.restype = ctypes.c_longlong
+        lib.sdr_iq_read.argtypes = [ctypes.c_char_p, sz, sz, f4p, ctypes.c_float]
+        lib.sdr_iq_reader_open.restype = ctypes.c_void_p
+        lib.sdr_iq_reader_open.argtypes = [
+            ctypes.c_char_p, sz, ctypes.c_float, ctypes.c_int, sz,
+        ]
+        lib.sdr_iq_reader_next.restype = ctypes.c_int
+        lib.sdr_iq_reader_next.argtypes = [ctypes.c_void_p, f4p]
+        lib.sdr_iq_reader_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
