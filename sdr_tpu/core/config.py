@@ -378,11 +378,21 @@ class LinkConfig:
                 ChannelModel.RAYLEIGH_FLAT,
                 ChannelModel.RICIAN,
                 ChannelModel.MULTIPATH,
+                ChannelModel.RAYLEIGH_TIME,
             ):
                 raise ValueError(
                     "MIMO needs a fading channel defining the (n_rx, n_tx) "
-                    "matrix: RAYLEIGH_FLAT, RICIAN, or MULTIPATH — got "
-                    f"{self.channel.model.value}"
+                    "matrix: RAYLEIGH_FLAT, RICIAN, MULTIPATH or "
+                    f"RAYLEIGH_TIME — got {self.channel.model.value}"
+                )
+            if (
+                self.channel.model == ChannelModel.RAYLEIGH_TIME
+                and self.mimo.csi == "preamble"
+            ):
+                raise NotImplementedError(
+                    "preamble CSI under RAYLEIGH_TIME would be stale by the "
+                    "first data symbol (no MIMO pilot tracking yet); use "
+                    "csi='genie' for time-varying MIMO"
                 )
             if self.pilot_spacing:
                 raise ValueError(

@@ -342,6 +342,7 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
     )
     k_noise = prng.role_key(key, prng.ROLE_NOISE)
     k_fade = prng.role_key(key, prng.ROLE_FADING)
+    h_t = None  # per-symbol (S, n_rx, n_tx, 1) genie CSI (RAYLEIGH_TIME)
     if cfg.channel.model == ChannelModel.MULTIPATH:
         taps = chan.multipath_taps(
             k_fade, cfg.channel.pdp, batch_shape=(mc.n_rx, mc.n_tx)
@@ -349,6 +350,17 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         stream = tx.reshape(mc.n_tx, -1)[None]  # (1, n_tx, total)
         rx_t = jnp.sum(chan.apply_multipath(stream, taps), axis=1)
         h = chan.freq_response(taps, n_fft)  # (n_rx, n_tx, n_fft)
+    elif cfg.channel.model == ChannelModel.RAYLEIGH_TIME:
+        # Jakes Doppler per antenna pair, block fading per OFDM symbol
+        # (the SISO RAYLEIGH_TIME convention): H varies across symbols,
+        # the gain multiplies the whole CP-bearing symbol.
+        Ht = chan.jakes_gains(
+            k_fade, n_syms_tx, cfg.channel.doppler_norm,
+            batch_shape=(mc.n_rx, mc.n_tx),
+        )  # (n_rx, n_tx, n_syms_tx)
+        rx_t = jnp.einsum("rts,tsn->rsn", Ht, tx).reshape(mc.n_rx, -1)
+        h_t = jnp.moveaxis(Ht, -1, 0)[..., None]  # (S, n_rx, n_tx, 1)
+        h = None
     else:
         if cfg.channel.model == ChannelModel.RAYLEIGH_FLAT:
             H = chan.rayleigh_flat(k_fade, (mc.n_rx, mc.n_tx))
@@ -372,6 +384,8 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         y = y[:, n_pre:]  # (n_rx, S, N)
 
     nvf = jnp.maximum(jnp.asarray(nv, jnp.float32), 1e-12)
+    if h_t is not None:
+        return _mimo_detect_per_symbol(cfg, y, h_t, nvf)
     if mc.scheme == MIMOScheme.ALAMOUTI:
         s, eff_var = mo.alamouti_combine(y, h, nvf)
     elif mc.scheme == MIMOScheme.MRC:
@@ -390,6 +404,56 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
     if mc.n_streams == 1 and llrs.ndim == 2:
         llrs = llrs[None]  # combiners collapse the stream axis; restore it
     return llrs  # (n_streams, S, N*bps), bit order matching ``bits``
+
+
+def _mimo_detect_per_symbol(cfg: LinkConfig, y, h_t, nvf):
+    """Detection under per-symbol fading (RAYLEIGH_TIME MIMO).
+
+    y: (n_rx, S, N); h_t: (S, n_rx, n_tx, 1) per-symbol genie CSI.
+    The symbol axis becomes a vmap batch over the same detectors the
+    frame-static path uses (their leading ``...`` dims). Alamouti
+    combines per symbol PAIR with the pair's mean H — the quasi-static
+    receiver assumption, so intra-pair channel motion shows up as the
+    real Doppler error floor rather than being genie-corrected away.
+    Returns LLRs (n_streams, S, N*bps).
+    """
+    from sdr_tpu.ops import mimo as mo
+    from sdr_tpu.core.config import MIMOScheme
+
+    mc = cfg.mimo
+    n_rx, S, N = y.shape
+    if mc.scheme == MIMOScheme.ALAMOUTI:
+        yp = y.reshape(n_rx, S // 2, 2, N)
+        yp = jnp.moveaxis(yp, 1, 0)  # (P, n_rx, 2, N)
+        h_pair = jnp.mean(h_t.reshape(S // 2, 2, n_rx, 2, 1), axis=1)
+        s, eff = jax.vmap(lambda yy, hh: mo.alamouti_combine(yy, hh, nvf))(
+            yp, h_pair
+        )  # s (P, 2, N), eff (P, 1, N')
+        llrs = llr_maxlog(s, cfg.modulation, eff)  # (P, 2, N*bps)
+        return llrs.reshape(1, S, -1)
+    if mc.scheme == MIMOScheme.MRC:
+        ys = jnp.moveaxis(y, 1, 0)[:, :, None, :]  # (S, n_rx, 1, N)
+        s, eff = jax.vmap(lambda yy, hh: mo.mrc_combine(yy, hh, nvf))(
+            ys, h_t
+        )  # s (S, 1, N), eff (S, 1, N')
+        llrs = llr_maxlog(s[:, 0], cfg.modulation, eff[:, 0])  # (S, N*bps)
+        return llrs[None]
+    ys = jnp.moveaxis(y, 1, 0)[:, :, None, :]  # (S, n_rx, 1, N)
+    if mc.detector == "ml":
+        llrs = jax.vmap(
+            lambda yy, hh: mo.mux_detect_ml(yy, hh, nvf, cfg.modulation)
+        )(ys, h_t)  # (S, n_tx, 1, N*bps)
+        return jnp.moveaxis(llrs[:, :, 0], 0, 1)
+    if mc.detector == "sic":
+        det = lambda yy, hh: mo.mux_detect_sic(yy, hh, nvf, cfg.modulation)
+    elif cfg.equalizer == Equalizer.ZF:
+        det = lambda yy, hh: mo.mux_detect_zf(yy, hh, nvf)
+    else:
+        det = lambda yy, hh: mo.mux_detect_mmse(yy, hh, nvf)
+    s, eff = jax.vmap(det)(ys, h_t)  # s (S, n_tx, 1, N), eff (S, n_tx, 1, N')
+    s = jnp.moveaxis(s[:, :, 0], 0, 1)  # (n_tx, S, N)
+    eff = jnp.moveaxis(eff[:, :, 0], 0, 1)  # (n_tx, S, N')
+    return llr_maxlog(s, cfg.modulation, eff)
 
 
 def _simulate_one(cfg: LinkConfig, key: jax.Array, want_llrs: bool):

@@ -554,6 +554,79 @@ def test_mimo_gated_out_of_siso_engines():
 
 
 # ---------------------------------------------------------------------------
+# Time-varying MIMO (Jakes per antenna pair, per-symbol detection)
+# ---------------------------------------------------------------------------
+
+
+def _jakes_cfg(doppler, mimo, ebno=5.0, n_channels=2048, **over):
+    base = dict(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(n_fft=64, cp_len=16),
+        channel=ChannelConfig(
+            model=ChannelModel.RAYLEIGH_TIME, ebno_db=ebno,
+            doppler_norm=doppler,
+        ),
+        equalizer=Equalizer.MMSE,
+        n_symbols=16,
+        n_channels=n_channels,
+    )
+    base.update(over)
+    return LinkConfig(**base, mimo=mimo)
+
+
+def test_jakes_mimo_slow_fading_matches_flat_theory():
+    """doppler ~ 0: per-symbol Jakes is frame-constant Rayleigh, so the
+    measured BER sits on the same exact diversity theory as the flat
+    model (Alamouti 2x1 and MRC 1x2)."""
+    th_a = ber_alamouti_exact(Modulation.QPSK, 5.0, 1)
+    b_a = _run_ber(_jakes_cfg(1e-5, MIMOConfig(MIMOScheme.ALAMOUTI, 2, 1)))
+    assert th_a * 0.85 < b_a < th_a * 1.15, (b_a, th_a)
+    th_m = ber_mrc_exact(Modulation.QPSK, 5.0, 2)
+    b_m = _run_ber(_jakes_cfg(1e-5, MIMOConfig(MIMOScheme.MRC, 1, 2)))
+    assert th_m * 0.85 < b_m < th_m * 1.15, (b_m, th_m)
+
+
+def test_jakes_mimo_mux_per_symbol_genie():
+    """Spatial mux with per-symbol genie CSI: fast fading does not
+    break detection — per-symbol BER statistics match the flat case
+    (each symbol sees a fresh but perfectly-known H). ML and SIC run."""
+    flat = LinkConfig(
+        **{**_BASE, "n_channels": 1024},
+        mimo=MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2, detector="ml"),
+    )
+    fast = _jakes_cfg(
+        0.2,
+        MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2, detector="ml"),
+        n_channels=1024,
+    )
+    b_flat, b_fast = _run_ber(flat, 1), _run_ber(fast, 1)
+    assert 0.6 < b_fast / b_flat < 1.4, (b_fast, b_flat)
+    b_sic = _run_ber(
+        _jakes_cfg(0.2, MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2,
+                                   detector="sic"), n_channels=512), 1
+    )
+    assert 0 < b_sic < 0.5
+
+
+def test_jakes_alamouti_doppler_floor():
+    """The quasi-static pair assumption breaks as fD grows: Alamouti at
+    doppler_norm 0.3 shows the classic error floor a slow channel
+    doesn't have (20 dB, where the static curve is ~1e-5)."""
+    slow = _run_ber(
+        _jakes_cfg(1e-4, MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2), ebno=20.0), 1
+    )
+    fast = _run_ber(
+        _jakes_cfg(0.3, MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2), ebno=20.0), 1
+    )
+    assert fast > 5 * max(slow, 1e-6), (fast, slow)
+
+
+def test_jakes_mimo_preamble_rejected():
+    with pytest.raises(NotImplementedError):
+        _jakes_cfg(0.05, MIMOConfig(MIMOScheme.MRC, 1, 2, csi="preamble"))
+
+
+# ---------------------------------------------------------------------------
 # Coded MIMO (FEC over the multi-antenna link)
 # ---------------------------------------------------------------------------
 
