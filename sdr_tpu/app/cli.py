@@ -201,7 +201,11 @@ def _cmd_bench(args) -> int:
                 case.cfg, estimator=ChannelEstimator(args.estimator)
             ),
         )
-    case = _apply_mimo_flag(case, args)
+    try:
+        case = _apply_mimo_flag(case, args)
+    except (ValueError, NotImplementedError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     key = jax.random.PRNGKey(args.seed)
     if getattr(args, "mc", 0):
         from sdr_tpu.kernels.mc_pallas import supported as mc_ok
@@ -231,9 +235,9 @@ def _cmd_bench(args) -> int:
         )
         return 0
     if getattr(args, "fast", False):
-        if impaired or case.cfg.pilot_spacing:
-            print("error: --fast is the full-grid throughput path "
-                  "(no pilots/acquisition)", file=sys.stderr)
+        if impaired or case.cfg.pilot_spacing or case.cfg.mimo is not None:
+            print("error: --fast is the full-grid SISO throughput path "
+                  "(no pilots, acquisition, or MIMO)", file=sys.stderr)
             return 2
         if len(jax.devices()) > 1 and case.cfg.n_channels % len(jax.devices()) == 0:
             from sdr_tpu.parallel import make_link_mesh, make_sharded_fast_fn
@@ -353,7 +357,11 @@ def _cmd_sweep(args) -> int:
     from sdr_tpu.obs.sweep import ebno_sweep
 
     case = get_case(args.config)
-    case = _apply_mimo_flag(case, args)
+    try:
+        case = _apply_mimo_flag(case, args)
+    except (ValueError, NotImplementedError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     engine = getattr(args, "engine", "pipeline")
     if engine == "mc":
         from sdr_tpu.kernels.mc_pallas import supported as mc_ok
@@ -606,13 +614,17 @@ def _cmd_packet(args) -> int:
     from sdr_tpu.core.config import ChannelConfig, ChannelModel, Modulation, OFDMConfig
     from sdr_tpu.link.packet import PacketConfig, simulate_packets
 
-    pcfg = PacketConfig(
-        payload_bytes=args.payload,
-        modulation=Modulation(args.mod),
-        ofdm=OFDMConfig(n_fft=args.n_fft, cp_len=args.cp),
-        rate=args.rate,
-        pilot_spacing=args.pilots,
-    )
+    try:
+        pcfg = PacketConfig(
+            payload_bytes=args.payload,
+            modulation=Modulation(args.mod),
+            ofdm=OFDMConfig(n_fft=args.n_fft, cp_len=args.cp),
+            rate=args.rate,
+            pilot_spacing=args.pilots,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     ch = ChannelConfig(
         model=ChannelModel(args.channel),
         ebno_db=args.ebno,
@@ -670,7 +682,12 @@ def _cmd_packet(args) -> int:
             lambda re, im: decode_packet(pcfg, jax.lax.complex(re, im), nv)
         )
         errs, oks = [], []
-        with IQReader(path, frame=frame) as rd:
+        try:
+            rd = IQReader(path, frame=frame)
+        except OSError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        with rd:
             for i in range(args.n):
                 nxt = rd.next_real()
                 if nxt is None:
@@ -679,6 +696,13 @@ def _cmd_packet(args) -> int:
                 expected, _ = _payload(i)
                 errs.append(int((np.asarray(rx) != expected).sum()))
                 oks.append(bool(ok))
+        if not errs:
+            print(
+                f"error: no {frame}-sample frames in {path} (wrong file, "
+                "or recorded with different packet/channel settings)",
+                file=sys.stderr,
+            )
+            return 2
         byte_errs, crc_ok = np.asarray(errs), np.asarray(oks)
         source = f"iq_file:{path}"
         args.n = len(errs)

@@ -99,6 +99,14 @@ class PacketConfig:
             raise ValueError("payload_bytes must be >= 1")
         if self.rate not in ("1/2", "2/3", "3/4"):
             raise ValueError(f"rate must be 1/2, 2/3 or 3/4, got {self.rate!r}")
+        if self.pilot_spacing < 2:
+            # The blind receiver estimates the channel from the comb;
+            # without pilots decode_packet would silently run
+            # unequalized (rx_chain's h_freq is None here).
+            raise ValueError(
+                "the packet receiver needs comb pilots: pilot_spacing "
+                f">= 2 required, got {self.pilot_spacing}"
+            )
 
     @property
     def n_info_bits(self) -> int:

@@ -81,6 +81,12 @@ class IQReader:
         loop: bool = False,
         depth: int = 4,
     ):
+        import os
+
+        if not os.path.isfile(path):
+            # The C++ worker thread only discovers a bad path as EOF;
+            # fail loudly at construction instead.
+            raise OSError(f"no such IQ file: {path!r}")
         self._lib = _lib_or_raise()
         self._frame = int(frame)
         self._h = self._lib.sdr_iq_reader_open(

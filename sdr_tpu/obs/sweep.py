@@ -102,10 +102,19 @@ class SweepResult:
 
 
 def _cfg_summary(cfg: LinkConfig) -> str:
-    return (
+    s = (
         f"{cfg.modulation.value}/{cfg.ofdm.n_fft}sc/cp{cfg.ofdm.cp_len}/"
         f"{cfg.channel.model.value}/eq={cfg.equalizer.value}"
     )
+    if cfg.pilot_spacing:
+        s += f"/pilots{cfg.pilot_spacing}:{cfg.estimator.value}"
+    if cfg.mimo is not None:
+        # Every MIMO distinction must key the checkpoint match, or a
+        # SISO (or differently-configured MIMO) sweep's points would be
+        # silently reused as this sweep's results.
+        m = cfg.mimo
+        s += f"/{m.scheme.value}{m.n_tx}x{m.n_rx}:{m.csi}:{m.detector}"
+    return s
 
 
 def _atomic_write(path: str, payload: dict) -> None:

@@ -249,11 +249,12 @@ def mux_detect_sic(y: jnp.ndarray, h: jnp.ndarray, noise_var, mod: Modulation):
     n_tx = h.shape[-2]
     nv = jnp.asarray(noise_var, jnp.float32)
     a = (h * jnp.float32(n_tx ** -0.5)).astype(jnp.complex64)
-    am = jnp.moveaxis(a, -1, -3)  # (..., N', n_rx, n_tx)
+    am = jnp.moveaxis(a, -1, -3)  # (..., N', n_rx, n_tx); N'=1 for flat h
     ym = jnp.swapaxes(jnp.moveaxis(y, -3, -1), -3, -2)  # (..., N, S, n_rx)
-    n_sc = ym.shape[-3]
-    if am.shape[-3] != n_sc:  # flat h: broadcast filters over subcarriers
-        am = jnp.broadcast_to(am, am.shape[:-3] + (n_sc,) + am.shape[-2:])
+    # Flat channels keep N'=1 through the filter derivation (one Gram/
+    # inverse/ordering, shared by every subcarrier — same economy as
+    # _mux_detect); only the data-dependent slice/subtract terms
+    # broadcast up to the full N.
     const = constellation(mod)
     active = jnp.ones(am.shape[:-2] + (n_tx,), jnp.float32)  # (..., N', n_tx)
     resid = ym

@@ -77,6 +77,11 @@ def make_sharded_fast_fn(cfg: LinkConfig, mesh: Mesh, backend: str = "auto"):
         raise NotImplementedError(
             "the fast path simulates full-grid links (see link.fast)"
         )
+    if cfg.mimo is not None:
+        raise NotImplementedError(
+            "the fast path is SISO; sharded MIMO links run through "
+            "make_sharded_simulate_fn (link.pipeline)"
+        )
     # The fast link has no time-axis structure, so EVERY device is a
     # DP worker: channels shard over the flattened ("time", "channel")
     # axes rather than replicating the chain across "time" rows.

@@ -179,6 +179,17 @@ def test_cli_packet(capsys):
     assert out["per"] <= 0.25
 
 
+def test_cli_guards_unsupported_combos(tmp_path, capsys):
+    """Forbidden flag combinations exit 2 with a message, not a raw
+    traceback; missing replay files are reported, not crashed on."""
+    assert main(["bench", "--config", "0", "--cfo", "1.0", "--mimo", "mux"]) == 2
+    assert main(["bench", "--config", "0", "--mimo", "mux", "--fast"]) == 2
+    assert main(["packet", "--pilots", "0", "--n", "1"]) == 2
+    missing = str(tmp_path / "nope.sc16")
+    assert main(["packet", "--n", "2", "--replay", missing]) == 2
+    capsys.readouterr()
+
+
 def test_cli_waveform(tmp_path, capsys):
     """waveform reports PAPR/EVM/PSD; EVM matches sqrt(nv) closely and
     the CCDF figure renders."""

@@ -61,6 +61,53 @@ def test_sweep_accumulates_until_target(tmp_path):
     assert 0.5 * th < pt.ber < 2.0 * th
 
 
+def test_sweep_summary_keys_every_mimo_distinction():
+    """Checkpoint matching is by config summary: SISO vs MIMO, antenna
+    counts, CSI mode, detector, and pilot settings must all produce
+    distinct keys or sweeps would silently reuse each other's points."""
+    import dataclasses
+
+    from sdr_tpu.core.config import ChannelEstimator, MIMOConfig, MIMOScheme
+    from sdr_tpu.obs.sweep import _cfg_summary
+
+    base = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(model=ChannelModel.RAYLEIGH_FLAT, ebno_db=4.0),
+        n_symbols=8,
+        n_channels=4,
+    )
+    from sdr_tpu.core.config import Equalizer as _Eq
+
+    variants = [
+        base,
+        dataclasses.replace(base, pilot_spacing=8, equalizer=_Eq.MMSE),
+        dataclasses.replace(
+            base, pilot_spacing=8, equalizer=_Eq.MMSE,
+            estimator=ChannelEstimator.DFT,
+        ),
+        dataclasses.replace(
+            base, equalizer=_Eq.MMSE,
+            mimo=MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2),
+        ),
+        dataclasses.replace(
+            base, equalizer=_Eq.MMSE,
+            mimo=MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 4),
+        ),
+        dataclasses.replace(
+            base, equalizer=_Eq.MMSE,
+            mimo=MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2, detector="ml"),
+        ),
+        dataclasses.replace(
+            base, equalizer=_Eq.MMSE,
+            mimo=MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2, csi="preamble"),
+        ),
+        dataclasses.replace(base, mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2)),
+    ]
+    keys = [_cfg_summary(c) for c in variants]
+    assert len(set(keys)) == len(keys), keys
+
+
 def test_sweep_checkpoint_tops_up_on_larger_target(tmp_path):
     """Rerunning with a larger target_errors must accumulate more bits
     onto the checkpointed point, not silently reuse the old one."""

@@ -114,6 +114,8 @@ def test_packet_config_validation():
         PacketConfig(payload_bytes=0)
     with pytest.raises(ValueError):
         PacketConfig(rate="5/6")
+    with pytest.raises(ValueError):  # blind RX needs the pilot comb
+        PacketConfig(pilot_spacing=0)
     # Derived sizes are self-consistent.
     assert _PCFG.n_info_bits == 32 * 8 + 32
     assert _PCFG.n_coded_bits <= _PCFG.frame_bits

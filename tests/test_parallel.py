@@ -66,6 +66,25 @@ def test_sharded_simulate_bit_exact(tshape):
     np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(ref.bits_counted))
 
 
+def test_sharded_fast_rejects_mimo():
+    """The sharded fast path is SISO like its unsharded twin — a MIMO
+    config must raise, never silently simulate SISO."""
+    from sdr_tpu.core.config import MIMOConfig, MIMOScheme
+    from sdr_tpu.parallel import make_sharded_fast_fn
+
+    cfg = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(model=ChannelModel.RAYLEIGH_FLAT, ebno_db=8.0),
+        equalizer=Equalizer.MMSE,
+        n_symbols=8,
+        n_channels=16,
+        mimo=MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2),
+    )
+    with pytest.raises(NotImplementedError):
+        make_sharded_fast_fn(cfg, make_link_mesh(1, 8))
+
+
 def test_sharded_simulate_mimo_bit_exact():
     """MIMO links compose with channel DP unchanged: antenna axes are
     per-channel batch axes inside _simulate_one, so the sharded result
