@@ -171,6 +171,21 @@ def encode_packet(pcfg: PacketConfig, payload: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([pre, body])
 
 
+def _decode_aligned(pcfg: PacketConfig, payload_t: jnp.ndarray, noise_var):
+    """Aligned payload symbols (n_symbols, sym_len) → (bytes, crc_ok)."""
+    cfg = pcfg._link_cfg()
+    llrs, _ = rx_chain(cfg, payload_t, None, noise_var)
+    frame_bits = pcfg.frame_bits
+    llr_sent = deinterleave(llrs.reshape(-1)[:frame_bits])[: pcfg.n_coded_bits]
+    llr_cw = depuncture(
+        llr_sent, pcfg.rate, pcfg.n_info_bits + DEFAULT_K - 1
+    )
+    decoded = viterbi_decode(llr_cw, pcfg.n_info_bits, DEFAULT_POLYS, DEFAULT_K)
+    bits, crc_rx = decoded[: 8 * pcfg.payload_bytes], decoded[8 * pcfg.payload_bytes:]
+    crc_ok = jnp.all(crc32_bits(bits) == crc_rx)
+    return bits_to_bytes(bits), crc_ok
+
+
 def decode_packet(
     pcfg: PacketConfig, stream: jnp.ndarray, noise_var
 ):
@@ -191,16 +206,55 @@ def decode_packet(
     payload_t = jax.lax.dynamic_slice_in_dim(
         rx_c, start, cfg.n_symbols * sym_len
     ).reshape(cfg.n_symbols, sym_len)
-    llrs, _ = rx_chain(cfg, payload_t, None, noise_var)
-    frame_bits = pcfg.frame_bits
-    llr_sent = deinterleave(llrs.reshape(-1)[:frame_bits])[: pcfg.n_coded_bits]
-    llr_cw = depuncture(
-        llr_sent, pcfg.rate, pcfg.n_info_bits + DEFAULT_K - 1
+    return _decode_aligned(pcfg, payload_t, noise_var)
+
+
+def receive_stream(
+    pcfg: PacketConfig, stream: jnp.ndarray, noise_var, max_bursts: int
+):
+    """Continuous receiver: find and decode up to ``max_bursts`` bursts
+    anywhere in one capture (each with its own delay and CFO).
+
+    Successive cancellation on the DETECTION metric: per round, run the
+    full blind acquisition (the S&C plateau finds the strongest
+    remaining preamble), decode that burst, then zero its samples out
+    of the working stream so the next round locks to the next-strongest
+    burst. ``max_bursts`` is static, so the whole receiver is one
+    ``lax.scan`` — no data-dependent control flow; rounds that land on
+    noise after the real bursts are exhausted decode garbage that the
+    CRC rejects (that is the stop condition, reported per burst rather
+    than branched on).
+
+    Returns (payloads (max_bursts, payload_bytes) uint8,
+    crc_ok (max_bursts,) bool, starts (max_bursts,) int32 — burst-start
+    sample indices, valid where crc_ok).
+    """
+    from sdr_tpu.ops.sync import acquire
+
+    cfg = pcfg._link_cfg()
+    n_fft, cp = pcfg.ofdm.n_fft, pcfg.ofdm.cp_len
+    sym_len = pcfg.ofdm.symbol_len
+    n_payload = cfg.n_symbols * sym_len
+    idx = jnp.arange(stream.shape[0])
+
+    def round_(work, _):
+        start, _cfo, rx_c = acquire(work, n_fft, cp)
+        payload_t = jax.lax.dynamic_slice_in_dim(
+            rx_c, start, n_payload
+        ).reshape(cfg.n_symbols, sym_len)
+        payload, ok = _decode_aligned(pcfg, payload_t, noise_var)
+        # Cancel the whole burst (preamble + payload) from the WORKING
+        # stream — uncorrected, so the masking is index-only and the
+        # next round re-estimates its own CFO from scratch.
+        b0 = start - 2 * sym_len
+        b1 = start + n_payload
+        work = jnp.where((idx >= b0) & (idx < b1), 0.0 + 0.0j, work)
+        return work, (payload, ok, b0.astype(jnp.int32))
+
+    _, (payloads, oks, starts) = jax.lax.scan(
+        round_, stream.astype(jnp.complex64), None, length=max_bursts
     )
-    decoded = viterbi_decode(llr_cw, pcfg.n_info_bits, DEFAULT_POLYS, DEFAULT_K)
-    bits, crc_rx = decoded[: 8 * pcfg.payload_bytes], decoded[8 * pcfg.payload_bytes:]
-    crc_ok = jnp.all(crc32_bits(bits) == crc_rx)
-    return bits_to_bytes(bits), crc_ok
+    return payloads, oks, starts
 
 
 def make_packet_codec(pcfg: PacketConfig):

@@ -109,6 +109,51 @@ def test_packet_crc_flags_low_snr():
     np.testing.assert_array_equal(crc_ok, byte_errs == 0)
 
 
+def test_receive_stream_multi_burst():
+    """Three bursts at arbitrary positions in one capture, each with
+    its own CFO: the successive-cancellation receiver finds and decodes
+    all three; extra rounds land on noise and are CRC-rejected."""
+    import dataclasses
+
+    from sdr_tpu.link.packet import receive_stream
+    from sdr_tpu.ops.channel import awgn, ebno_db_to_noise_var, time_noise_var
+    from sdr_tpu.ops.sync import apply_cfo
+
+    pcfg = dataclasses.replace(_PCFG, payload_bytes=16)
+    enc, _ = make_packet_codec(pcfg)
+    rng = np.random.default_rng(5)
+    payloads = [
+        jnp.asarray(rng.integers(0, 256, pcfg.payload_bytes), jnp.uint8)
+        for _ in range(3)
+    ]
+    total = 4096
+    positions = [180, 1500, 2890]
+    cfos = [0.4, -0.8, 1.2]
+    stream = jnp.zeros((total,), jnp.complex64)
+    for payload, pos, cfo in zip(payloads, positions, cfos):
+        burst = apply_cfo(enc(payload), cfo, pcfg.ofdm.n_fft)
+        stream = jax.lax.dynamic_update_slice(stream, burst, (pos,))
+    nv = float(ebno_db_to_noise_var(20.0, pcfg.modulation.bits_per_symbol))
+    stream = awgn(
+        jax.random.PRNGKey(2), stream, time_noise_var(nv, pcfg.ofdm.n_fft)
+    )
+
+    rx_payloads, oks, starts = jax.jit(
+        lambda s: receive_stream(pcfg, s, nv, max_bursts=5)
+    )(stream)
+    oks = np.asarray(oks)
+    assert oks.sum() == 3, oks
+    got = {}
+    for i in range(5):
+        if oks[i]:
+            got[int(np.asarray(starts)[i])] = np.asarray(rx_payloads[i])
+    # Detection order is by metric strength, so match by position.
+    for payload, pos in zip(payloads, positions):
+        key = min(got, key=lambda s: abs(s - pos))
+        assert abs(key - pos) <= pcfg.ofdm.cp_len, (key, pos)
+        np.testing.assert_array_equal(got[key], np.asarray(payload))
+
+
 def test_packet_config_validation():
     with pytest.raises(ValueError):
         PacketConfig(payload_bytes=0)
