@@ -172,6 +172,11 @@ class MIMOConfig:
     # or "ml" (max-log joint search — optimal, full diversity;
     # candidate budget caps modulation at 64-QAM for n_tx=2).
     detector: str = "linear"
+    # With csi='preamble' under RAYLEIGH_TIME: re-insert the orthogonal
+    # preamble every `midamble_period` data symbols and track the
+    # channel by linear interpolation between midamble estimates.
+    # 0 = single head preamble (frame-static models only).
+    midamble_period: int = 0
 
     def __post_init__(self) -> None:
         if not (1 <= self.n_tx <= 8 and 1 <= self.n_rx <= 8):
@@ -183,6 +188,13 @@ class MIMOConfig:
         if self.detector not in ("linear", "sic", "ml"):
             raise ValueError(
                 f"detector must be 'linear', 'sic' or 'ml', got {self.detector!r}"
+            )
+        if self.midamble_period < 0:
+            raise ValueError("midamble_period must be >= 0")
+        if self.midamble_period and self.csi != "preamble":
+            raise ValueError(
+                "midamble_period needs csi='preamble' (it is a preamble "
+                "repetition schedule)"
             )
         if self.detector != "linear" and self.scheme != MIMOScheme.SPATIAL_MUX:
             raise ValueError(
@@ -389,11 +401,18 @@ class LinkConfig:
                 self.channel.model == ChannelModel.RAYLEIGH_TIME
                 and self.mimo.csi == "preamble"
             ):
-                raise NotImplementedError(
-                    "preamble CSI under RAYLEIGH_TIME would be stale by the "
-                    "first data symbol (no MIMO pilot tracking yet); use "
-                    "csi='genie' for time-varying MIMO"
-                )
+                if not self.mimo.midamble_period:
+                    raise ValueError(
+                        "a single head preamble is stale by the first data "
+                        "symbol under RAYLEIGH_TIME: set "
+                        "mimo.midamble_period (periodic re-estimation with "
+                        "interpolation) or csi='genie'"
+                    )
+                if self.n_symbols % self.mimo.midamble_period:
+                    raise ValueError(
+                        "n_symbols must be a multiple of midamble_period, "
+                        f"got {self.n_symbols} % {self.mimo.midamble_period}"
+                    )
             if self.pilot_spacing:
                 raise ValueError(
                     "comb pilots (pilot_spacing) are the SISO estimation "
@@ -494,6 +513,7 @@ def link_config_to_dict(cfg: LinkConfig) -> dict:
                 "n_rx": cfg.mimo.n_rx,
                 "csi": cfg.mimo.csi,
                 "detector": cfg.mimo.detector,
+                "midamble_period": cfg.mimo.midamble_period,
             }
         ),
     }
@@ -514,6 +534,7 @@ def link_config_from_dict(d: dict) -> LinkConfig:
             n_rx=mm.get("n_rx", 1),
             csi=mm.get("csi", "genie"),
             detector=mm.get("detector", "linear"),
+            midamble_period=mm.get("midamble_period", 0),
         )
     )
     return LinkConfig(

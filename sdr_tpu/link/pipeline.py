@@ -323,18 +323,38 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         ant = points  # (1, S, N)
     else:
         ant = mo.mux_encode(points)  # (n_tx, S, N)
-    n_pre = mc.n_tx if mc.csi == "preamble" else 0
-    if n_pre:
-        # Time-orthogonal preamble: symbol t radiates the full pilot
-        # grid from antenna t ALONE at unit power.
-        pre = (
-            jnp.eye(mc.n_tx, dtype=ant.dtype)[:, :, None]
-            * jnp.asarray(pi.PILOT_VALUE, ant.dtype)
-        )  # (n_tx, n_pre, 1)
-        ant = jnp.concatenate(
-            [jnp.broadcast_to(pre, (mc.n_tx, n_pre, n_fft)), ant], axis=-2
-        )
-    n_syms_tx = n_pre + cfg.n_symbols
+    midamble = (
+        mc.csi == "preamble"
+        and cfg.channel.model == ChannelModel.RAYLEIGH_TIME
+    )
+    pre = (
+        jnp.eye(mc.n_tx, dtype=ant.dtype)[:, :, None]
+        * jnp.asarray(pi.PILOT_VALUE, ant.dtype)
+    )  # time-orthogonal: symbol t radiates the full pilot grid from
+    # antenna t ALONE at unit power; (n_tx, n_tx, 1)
+    if midamble:
+        # Re-insert the preamble every midamble_period data symbols:
+        # [pre | K data] x B blocks. Estimates are interpolated across
+        # blocks below — the tracking schedule for time variation.
+        K = mc.midamble_period
+        B = cfg.n_symbols // K
+        blocks = jnp.concatenate(
+            [
+                jnp.broadcast_to(pre[:, None], (mc.n_tx, B, mc.n_tx, n_fft)),
+                ant.reshape(mc.n_tx, B, K, n_fft),
+            ],
+            axis=2,
+        )  # (n_tx, B, n_tx+K, N)
+        ant = blocks.reshape(mc.n_tx, B * (mc.n_tx + K), n_fft)
+        n_pre = 0
+    else:
+        n_pre = mc.n_tx if mc.csi == "preamble" else 0
+        if n_pre:
+            ant = jnp.concatenate(
+                [jnp.broadcast_to(pre, (mc.n_tx, n_pre, n_fft)), ant],
+                axis=-2,
+            )
+    n_syms_tx = ant.shape[-2]
     tx = ofdm_tx(ant, cp)  # (n_tx, n_syms_tx, sym_len)
 
     nv = chan.ebno_db_to_noise_var(
@@ -374,7 +394,37 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
     y = ofdm_rx(
         rx_t.reshape(mc.n_rx, n_syms_tx, cfg.ofdm.symbol_len), cp
     )  # (n_rx, n_syms_tx, N)
-    if n_pre:
+    if midamble:
+        import numpy as np
+
+        K = mc.midamble_period
+        B = cfg.n_symbols // K
+        period = mc.n_tx + K
+        yb = y.reshape(mc.n_rx, B, period, n_fft)
+        # Per-block LS, averaged over subcarriers: RAYLEIGH_TIME is
+        # flat, so the average cuts estimation noise n_fft-fold (the
+        # 1-tap analog of the DFT/CP-subspace projection).
+        h_b = jnp.mean(
+            yb[:, :, : mc.n_tx] / jnp.asarray(pi.PILOT_VALUE, y.dtype),
+            axis=-1,
+        )  # (n_rx, B, n_tx)
+        h_b = jnp.moveaxis(h_b, 1, 0)  # (B, n_rx, n_tx)
+        y = yb[:, :, mc.n_tx :].reshape(mc.n_rx, cfg.n_symbols, n_fft)
+        # Linear interpolation between consecutive midamble estimates
+        # (taken at each preamble's center symbol); the final block
+        # holds its own estimate. All index math is static.
+        s_idx = np.arange(cfg.n_symbols)
+        b_of = s_idx // K
+        g = b_of * period + mc.n_tx + (s_idx % K)  # global symbol index
+        t_b = b_of * period + (mc.n_tx - 1) / 2.0
+        w = np.clip((g - t_b) / period, 0.0, 1.0).astype(np.float32)
+        b_next = np.minimum(b_of + 1, B - 1)
+        wj = jnp.asarray(w)[:, None, None]
+        h_t = (1.0 - wj) * h_b[jnp.asarray(b_of)] + wj * h_b[
+            jnp.asarray(b_next)
+        ]  # (S, n_rx, n_tx) — overrides the genie track
+        h_t = h_t[..., None]
+    elif n_pre:
         n_taps = (
             min(cp + 1, n_fft)
             if cfg.estimator == ChannelEstimator.DFT

@@ -621,9 +621,54 @@ def test_jakes_alamouti_doppler_floor():
     assert fast > 5 * max(slow, 1e-6), (fast, slow)
 
 
-def test_jakes_mimo_preamble_rejected():
-    with pytest.raises(NotImplementedError):
+def test_jakes_mimo_head_preamble_rejected():
+    """A single head preamble is stale under Doppler — the config
+    demands a midamble schedule (or genie CSI)."""
+    with pytest.raises(ValueError):
         _jakes_cfg(0.05, MIMOConfig(MIMOScheme.MRC, 1, 2, csi="preamble"))
+    with pytest.raises(ValueError):  # midamble needs csi='preamble'
+        MIMOConfig(MIMOScheme.MRC, 1, 2, midamble_period=8)
+    with pytest.raises(ValueError):  # S must be a multiple of the period
+        _jakes_cfg(
+            0.05,
+            MIMOConfig(MIMOScheme.MRC, 1, 2, csi="preamble", midamble_period=5),
+        )
+
+
+def test_jakes_mimo_midamble_tracks_channel():
+    """Midamble-tracked CSI under Doppler: close to genie at a slow
+    fade, and a tighter schedule beats a looser one once the channel
+    moves within a block."""
+    mk = lambda dop, period, **kw: _jakes_cfg(
+        dop,
+        MIMOConfig(MIMOScheme.MRC, 1, 2, csi="preamble",
+                   midamble_period=period),
+        **kw,
+    )
+    genie = _run_ber(_jakes_cfg(0.005, MIMOConfig(MIMOScheme.MRC, 1, 2)), 1)
+    tracked = _run_ber(mk(0.005, 4), 1)
+    assert tracked < 2.0 * genie, (tracked, genie)
+    # At fast fading the 16-symbol schedule is stale mid-block.
+    tight = _run_ber(mk(0.08, 2, ebno=15.0), 1)
+    loose = _run_ber(mk(0.08, 16, ebno=15.0), 1)
+    assert tight < 0.7 * loose, (tight, loose)
+
+
+def test_midamble_config_roundtrip():
+    cfg = _jakes_cfg(
+        0.02,
+        MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2, csi="preamble",
+                   detector="ml", midamble_period=8),
+    )
+    assert link_config_from_dict(link_config_to_dict(cfg)) == cfg
+    # The mux detectors run off the tracked per-symbol estimates too.
+    assert 0 <= _run_ber(dataclasses_replace_channels(cfg, 256), 1) < 0.5
+
+
+def dataclasses_replace_channels(cfg, n):
+    import dataclasses
+
+    return dataclasses.replace(cfg, n_channels=n)
 
 
 # ---------------------------------------------------------------------------
