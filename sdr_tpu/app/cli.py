@@ -130,14 +130,6 @@ def _cmd_bench(args) -> int:
     iq_phase = getattr(args, "iq_phase", 0.0)
     front_end = bool(pn) or iq_gain != 1.0 or iq_phase != 0.0
     if front_end:
-        if impaired:
-            print(
-                "error: --phase-noise/--iq-gain/--iq-phase cannot be "
-                "combined with --cfo/--timing-offset (mixer tracking and "
-                "blind acquisition are separate front-end modes for now)",
-                file=sys.stderr,
-            )
-            return 2
         import dataclasses
 
         from sdr_tpu.core.config import Equalizer as _Eq

@@ -353,12 +353,6 @@ class LinkConfig:
                     "oscillator's random common phase is unknowable to "
                     "genie CSI — the tracked pilot estimator corrects it"
                 )
-            if self.channel.impaired:
-                raise NotImplementedError(
-                    "phase noise + timing/CFO acquisition is not "
-                    "supported in one link yet (the acquisition path "
-                    "applies its own front-end chain)"
-                )
         if self.channel.iq_imbalanced:
             if not self.pilot_spacing:
                 raise ValueError(
@@ -366,12 +360,6 @@ class LinkConfig:
                     "compensator leaves a residual complex direct gain "
                     "that only the pilot LS estimate can absorb — genie "
                     "CSI has no access to the mixer"
-                )
-            if self.channel.impaired:
-                raise NotImplementedError(
-                    "I/Q imbalance + timing/CFO acquisition is not "
-                    "supported in one link yet (the acquisition path "
-                    "applies its own front-end chain)"
                 )
         if self.channel.impaired:
             if not self.pilot_spacing:

@@ -261,6 +261,24 @@ def _simulate_one_acquired(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
     stream = apply_cfo(stream, cfg.channel.cfo_subcarriers, n_fft)
     if model != ChannelModel.IDENTITY:
         stream = chan.awgn(k_noise, stream, chan.time_noise_var(nv, n_fft))
+    if cfg.channel.phase_noise_std:
+        # RX-LO Wiener walk over the WHOLE stream (preamble included —
+        # the synchronizer faces it too); the tracked pilot estimator
+        # absorbs the per-symbol common phase after acquisition.
+        k_pn = prng.role_key(key, prng.ROLE_PHASE)
+        stream = stream * chan.wiener_phase(
+            k_pn, stream.shape[0], cfg.channel.phase_noise_std
+        )
+    if cfg.channel.iq_imbalanced:
+        stream = chan.apply_iq_imbalance(
+            stream, cfg.channel.iq_gain, cfg.channel.iq_phase_rad
+        )
+        # Compensate on the RAW stream, BEFORE CFO correction: the
+        # image model y = g1·x + g2·conj(x) only matches the blind
+        # properization moments while x is the as-received (still
+        # CFO-rotated, still proper) signal — correcting the carrier
+        # first would spin the conj term against the estimate.
+        stream = chan.iq_compensate(stream)
 
     start, _cfo_hat, rx_c = acquire(stream, n_fft, cp)
     payload = jax.lax.dynamic_slice_in_dim(

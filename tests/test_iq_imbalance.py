@@ -114,13 +114,14 @@ def test_iq_config_gates():
         ChannelConfig(iq_gain=3.0)
     with pytest.raises(ValueError, match="iq_phase_rad"):
         ChannelConfig(iq_phase_rad=1.0)
-    with pytest.raises(NotImplementedError):
-        LinkConfig(
-            ofdm=ofdm,
-            channel=ChannelConfig(iq_gain=1.1, cfo_subcarriers=0.1),
-            equalizer=Equalizer.MMSE,
-            pilot_spacing=4,
-        )
+    # I/Q imbalance + acquisition now composes (raw-stream
+    # properization before CFO correction) — constructing is legal.
+    LinkConfig(
+        ofdm=ofdm,
+        channel=ChannelConfig(iq_gain=1.1, cfo_subcarriers=0.1),
+        equalizer=Equalizer.MMSE,
+        pilot_spacing=4,
+    )
     assert not ChannelConfig().iq_imbalanced
     assert ChannelConfig(iq_phase_rad=0.05).iq_imbalanced
 
@@ -194,6 +195,38 @@ def test_iq_link_uncompensated_oracle():
     raw = float(np.asarray(errs).sum()) / float(np.asarray(counts).sum())
     comp = _ber(cfg)
     assert raw > 2.0 * comp + 1e-3, (raw, comp)
+
+
+def test_iq_composes_with_acquisition():
+    """CFO + unknown delay + RX I/Q imbalance in one link: raw-stream
+    image cancellation before carrier correction keeps the blind
+    receiver within a small factor of the acquisition-only BER."""
+    base = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(
+            model=ChannelModel.AWGN,
+            ebno_db=14.0,
+            cfo_subcarriers=1.3,
+            timing_offset=37,
+        ),
+        equalizer=Equalizer.MMSE,
+        pilot_spacing=4,
+        n_symbols=16,
+        n_channels=96,
+    )
+    both = dataclasses.replace(
+        base,
+        channel=dataclasses.replace(
+            base.channel, iq_gain=1.05, iq_phase_rad=0.03
+        ),
+    )
+    def run(cfg):
+        r = make_simulate_fn(cfg)(jax.random.PRNGKey(4))
+        return float(r.bit_errors.sum()) / float(r.bits_counted.sum())
+
+    b_acq, b_both = run(base), run(both)
+    assert b_both < max(2.5 * b_acq, 5e-3), (b_both, b_acq)
 
 
 def test_iq_composes_with_phase_noise_and_fading():

@@ -61,17 +61,50 @@ def test_phase_noise_config_gates():
         ChannelConfig(model=ChannelModel.AWGN, phase_noise_std=0.5)
     with pytest.raises(ValueError, match="phase_noise_std"):
         ChannelConfig(model=ChannelModel.AWGN, phase_noise_std=-0.01)
-    with pytest.raises(NotImplementedError):
-        LinkConfig(
-            ofdm=ofdm,
-            channel=ChannelConfig(
-                model=ChannelModel.AWGN,
-                phase_noise_std=0.01,
-                cfo_subcarriers=0.1,
-            ),
-            equalizer=Equalizer.MMSE,
-            pilot_spacing=4,
-        )
+    # phase noise + acquisition now composes (the acquired path applies
+    # the mixer stages to the whole stream) — constructing is legal.
+    LinkConfig(
+        ofdm=ofdm,
+        channel=ChannelConfig(
+            model=ChannelModel.AWGN,
+            phase_noise_std=0.01,
+            cfo_subcarriers=0.1,
+        ),
+        equalizer=Equalizer.MMSE,
+        pilot_spacing=4,
+    )
+
+
+def test_phase_noise_composes_with_acquisition():
+    """CFO + unknown delay + LO phase noise in ONE link: the blind
+    receiver (S&C acquisition, then tracked pilots) decodes within a
+    small factor of the acquisition-only BER."""
+    import dataclasses
+
+    base = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(
+            model=ChannelModel.AWGN,
+            ebno_db=14.0,
+            cfo_subcarriers=1.3,
+            timing_offset=37,
+        ),
+        equalizer=Equalizer.MMSE,
+        pilot_spacing=4,
+        n_symbols=16,
+        n_channels=96,
+    )
+    both = dataclasses.replace(
+        base,
+        channel=dataclasses.replace(base.channel, phase_noise_std=2e-3),
+    )
+    def run(cfg):
+        r = make_simulate_fn(cfg)(jax.random.PRNGKey(3))
+        return float(r.bit_errors.sum()) / float(r.bits_counted.sum())
+
+    b_acq, b_both = run(base), run(both)
+    assert b_both < max(2.5 * b_acq, 5e-3), (b_both, b_acq)
 
 
 def _pn_cfg(model: ChannelModel, std: float, **kw) -> LinkConfig:
