@@ -368,11 +368,6 @@ class LinkConfig:
                     "blind acquisition the channel estimate must absorb the "
                     "residual timing phase — genie CSI has no access to it"
                 )
-            if self.channel.model == ChannelModel.RAYLEIGH_TIME:
-                raise NotImplementedError(
-                    "acquisition mode + RAYLEIGH_TIME is not supported "
-                    "(per-symbol gains are defined on the aligned frame)"
-                )
         if self.mimo is not None:
             if self.channel.model not in (
                 ChannelModel.RAYLEIGH_FLAT,

@@ -184,7 +184,13 @@ def rx_chain(
             )
         else:
             base = estimate_ls_comb
-        if cfg.channel.impaired or cfg.channel.phase_noise_std:
+        if cfg.channel.model == ChannelModel.RAYLEIGH_TIME:
+            # Time-varying fading must be estimated per symbol; frame
+            # averaging is only valid for the frame-static models. The
+            # per-symbol estimate also absorbs any residual timing/CFO
+            # phase, so this branch covers the acquired case too.
+            h_est = base(y, cfg.pilot_spacing, per_symbol=True)
+        elif cfg.channel.impaired or cfg.channel.phase_noise_std:
             # Blind acquisition leaves a residual CFO (1e-2-scale
             # subcarriers), and LO phase noise a Wiener walk — either
             # way the constellation rotates a little more each symbol.
@@ -193,10 +199,7 @@ def rx_chain(
             # the channel shape.
             h_est = estimate_ls_comb_tracked(y, cfg.pilot_spacing, base=base)
         else:
-            # Time-varying fading must be estimated per symbol; frame
-            # averaging is only valid for the frame-static models.
-            per_symbol = cfg.channel.model == ChannelModel.RAYLEIGH_TIME
-            h_est = base(y, cfg.pilot_spacing, per_symbol=per_symbol)
+            h_est = base(y, cfg.pilot_spacing, per_symbol=False)
         if cfg.equalizer == Equalizer.ZF:
             s, eff_var = eq.equalize_zf(y, h_est, nv)
         else:
@@ -258,6 +261,24 @@ def _simulate_one_acquired(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
         stream = stream * chan.rayleigh_flat(k_fade, ())
     elif model == ChannelModel.RICIAN:
         stream = stream * chan.rician_flat(k_fade, (), cfg.channel.k_factor)
+    elif model == ChannelModel.RAYLEIGH_TIME:
+        # Per-symbol Jakes gains laid onto the serialized stream: the
+        # TX layout (delay | preamble | payload | tail) is known here,
+        # so each emitted OFDM symbol gets its block gain; the silent
+        # delay/tail stretches carry no signal to fade. The receiver
+        # knows none of this — it estimates per symbol from the comb
+        # after acquisition (rx_chain's RAYLEIGH_TIME branch).
+        g = chan.jakes_gains(
+            k_fade, 2 + cfg.n_symbols, cfg.channel.doppler_norm
+        )  # (2 + n_symbols,)
+        gains = jnp.concatenate(
+            [
+                jnp.ones((cfg.channel.timing_offset,), jnp.complex64),
+                jnp.repeat(g.astype(jnp.complex64), sym_len),
+                jnp.ones((sym_len,), jnp.complex64),
+            ]
+        )
+        stream = stream * gains
     stream = apply_cfo(stream, cfg.channel.cfo_subcarriers, n_fft)
     if model != ChannelModel.IDENTITY:
         stream = chan.awgn(k_noise, stream, chan.time_noise_var(nv, n_fft))

@@ -80,15 +80,28 @@ def acquisition_preamble(n_fft: int, cp_len: int, seed: int = 0x5C) -> jnp.ndarr
 
 
 def timing_metric(rx: jnp.ndarray, n_fft: int):
-    """Schmidl & Cox (P, R, M) over candidate offsets.
+    """Schmidl & Cox (P, R, M) over candidate offsets, with the
+    symmetric energy normalization (Minn's modification).
 
     rx: (..., n) complex. Returns (P, R, M), each (..., n - n_fft):
-    P(d) = Σ_{m<L} conj(r[d+m])·r[d+m+L], R(d) = Σ_{m<L} |r[d+L+m]|²,
-    M = |P|²/R², with L = n_fft/2.
+    P(d) = Σ_{m<L} conj(r[d+m])·r[d+m+L],
+    R(d) = (E1(d) + E2(d))/2 with E_i the two half-window energies,
+    M = |P|²/(R+δ)², L = n_fft/2.
+
+    Why this normalization: Cauchy–Schwarz gives |P| ≤ √(E1·E2) ≤ R,
+    so M ≤ 1 EVERYWHERE — including burst edges, where the original
+    second-half-only R collapses while P still carries half-window
+    signal (observed: M = 1.4 spikes one symbol past a burst's end,
+    beating the true plateau at M ≈ 1). The small regularizer
+    δ = 0.05·mean(R) zeroes pure-silence 0/0 windows without the hard
+    max-relative floor that would also zero a preamble sitting in a
+    deep time-selective fade (the ratio metric itself is
+    gain-invariant, so faded preambles keep M ≈ 1 as long as they
+    clear δ).
     """
     L = n_fft // 2
     a = jnp.conj(rx[..., :-L]) * rx[..., L:]  # (..., n-L)
-    e = jnp.abs(rx[..., L:]) ** 2
+    p2 = jnp.abs(rx) ** 2
 
     def slide(x, w):
         c = jnp.cumsum(x, axis=-1)
@@ -98,19 +111,12 @@ def timing_metric(rx: jnp.ndarray, n_fft: int):
         )
         return lead - lag
 
-    P = slide(a, L)[..., : rx.shape[-1] - n_fft]
-    R = slide(e, L)[..., : rx.shape[-1] - n_fft]
-    # Silent stretches (leading delay, trailing pad) drive P and R
-    # both to noise level, where the raw ratio is a 0/0 whose lucky
-    # draws can spike above the true plateau (observed: M = 1.66 on a
-    # window of trailing noise). The preamble symbol carries FULL
-    # signal energy, so any window with under 25% of the stream's peak
-    # half-symbol energy cannot contain it — zero its metric outright.
-    # The threshold is relative, so flat fading scales out of it.
-    r_floor = 0.25 * jnp.max(R, axis=-1, keepdims=True)
-    M = jnp.where(
-        R >= r_floor, jnp.abs(P) ** 2 / jnp.maximum(R, r_floor) ** 2, 0.0
-    )
+    n_valid = rx.shape[-1] - n_fft
+    P = slide(a, L)[..., :n_valid]
+    E = slide(p2, L)  # (..., n-L+1): energy of [d, d+L)
+    R = 0.5 * (E[..., :n_valid] + E[..., L : L + n_valid])
+    delta = 0.05 * jnp.mean(R, axis=-1, keepdims=True)
+    M = jnp.abs(P) ** 2 / (R + delta) ** 2
     return P, R, M
 
 
@@ -123,7 +129,20 @@ def estimate_timing_cfo(rx: jnp.ndarray, n_fft: int):
     fractional offset in subcarrier spacings, range ±1.
     """
     P, _, M = timing_metric(rx, n_fft)
-    d = jnp.argmax(M, axis=-1)
+    d0 = jnp.argmax(M, axis=-1)
+    # Center on the plateau rather than trusting the raw argmax: the
+    # regularized metric can peak at the plateau's low-energy leading
+    # edge, which would misalign the integer-CFO FFT windows. Average
+    # the indices of near-max positions WITHIN one symbol of the
+    # argmax (the local-window guard keeps a second burst's plateau
+    # from dragging the centroid between bursts).
+    idx = jnp.arange(M.shape[-1])
+    near = (M > 0.9 * jnp.max(M, axis=-1, keepdims=True)) & (
+        jnp.abs(idx - d0[..., None]) <= n_fft
+    )
+    d = jnp.round(
+        jnp.sum(idx * near, axis=-1) / jnp.maximum(jnp.sum(near, axis=-1), 1)
+    ).astype(d0.dtype)
     p_peak = jnp.take_along_axis(P, d[..., None], axis=-1)[..., 0]
     cfo = jnp.angle(p_peak) / jnp.float32(np.pi)
     return d, cfo
@@ -218,12 +237,23 @@ def acquire(
     2. fractional correction; FFT both preamble symbols AT COARSE
        timing (the integer metric tolerates the ±CP ambiguity);
     3. differential integer-CFO estimate (even shifts, ±2·max_int_shift);
-    4. full CFO correction; FFT matched-filter fine timing.
+    4. full CFO correction; FFT matched-filter fine timing against the
+       FULL two-symbol preamble (twice the captured energy — 3 dB of
+       detection margin for preambles sitting in a fade; the residual
+       CFO after correction costs <1% of the correlation magnitude
+       over the doubled template).
 
     rx: (n,) complex stream containing ``acquisition_preamble`` +
     payload. Returns (payload_start, total_cfo_subcarriers,
     corrected_stream): payload_start indexes the first sample AFTER
     the two preamble symbols in ``corrected_stream``.
+
+    Under TIME-SELECTIVE fading, bursts whose preamble falls in a deep
+    fade (preamble SNR near 0 dB) are genuinely lost — acquisition
+    outage with probability ≈ P(|g_preamble|² below the detection
+    floor), e.g. ~8% at 12 dB Eb/N0. That is physics of single-shot
+    burst acquisition, not an estimator defect; systems that must do
+    better add preamble repetition/diversity.
 
     Supersedes the reference's perfect-alignment RX (ofdm.hpp:37-54):
     the reference demo never faces a delay or oscillator offset.
@@ -238,5 +268,5 @@ def acquire(
     mu = estimate_integer_cfo(_fft(w1), _fft(w2), n_fft, max_int_shift, seed)
     total = frac + mu.astype(jnp.float32)
     rx_c = correct_cfo(rx, total, n_fft)
-    d_fine = fine_timing(rx_c, schmidl_cox_preamble(n_fft, cp_len, seed))
+    d_fine = fine_timing(rx_c, acquisition_preamble(n_fft, cp_len, seed))
     return d_fine + 2 * sym_len, total, rx_c
