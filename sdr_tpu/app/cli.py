@@ -598,6 +598,50 @@ def _cmd_waveform(args) -> int:
     return 0
 
 
+def _cmd_adapt(args) -> int:
+    """Calibrate the MCS ladder on this machine and (optionally) run an
+    adaptive link over a shadowed SNR profile."""
+    import jax
+
+    from sdr_tpu.app.baseline_configs import get_case
+    from sdr_tpu.link.adapt import calibrate, simulate_adaptive
+
+    case = get_case(args.config)
+    key = jax.random.PRNGKey(args.seed)
+    table = calibrate(case.cfg, key, target_ber=args.target_ber)
+    out = {
+        "case": case.name,
+        "target_ber": args.target_ber,
+        "table": [
+            {
+                "modulation": t.modulation.value,
+                "rate": t.rate,
+                "efficiency_bits_per_use": t.efficiency,
+                "esno_threshold_db": t.esno_db,
+                "measured_ber_at_threshold": t.measured_ber,
+            }
+            for t in table
+        ],
+    }
+    if args.profile:
+        rng = np.random.default_rng(args.seed)
+        profile = args.mean_snr + args.shadowing_std * rng.standard_normal(
+            case.cfg.n_channels
+        )
+        res = simulate_adaptive(case.cfg, key, profile, table,
+                                margin_db=args.margin)
+        out["adaptive"] = {
+            "mean_esno_db": args.mean_snr,
+            "shadowing_std_db": args.shadowing_std,
+            "achieved_efficiency": res["achieved_efficiency"],
+            "silent_channels": res["silent_channels"],
+            "info_ber": float(res["bit_errors"].sum())
+            / max(int(res["info_bits"].sum()), 1),
+        }
+    print(json.dumps(out))
+    return 0
+
+
 def _cmd_packet(args) -> int:
     """Packet-modem campaign: random payloads over an impaired channel
     through the blind receiver; reports PER and CRC statistics."""
@@ -901,6 +945,21 @@ def build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("info", help="environment and inventory")
     i.set_defaults(fn=_cmd_info)
+
+    ad = sub.add_parser(
+        "adapt", help="calibrate MCS thresholds; optional adaptive run"
+    )
+    ad.add_argument("--config", default="0", help="numerology template case")
+    ad.add_argument("--target-ber", type=float, default=1e-4)
+    ad.add_argument("--seed", type=int, default=0)
+    ad.add_argument("--profile", action="store_true",
+                    help="also run an adaptive link over a lognormal-"
+                    "shadowed SNR profile")
+    ad.add_argument("--mean-snr", type=float, default=12.0, metavar="DB")
+    ad.add_argument("--shadowing-std", type=float, default=6.0, metavar="DB")
+    ad.add_argument("--margin", type=float, default=0.0,
+                    help="selection backoff margin in dB")
+    ad.set_defaults(fn=_cmd_adapt)
 
     pk = sub.add_parser(
         "packet", help="bytes-over-the-air packet modem campaign (PER)"

@@ -1,0 +1,116 @@
+"""Link adaptation (link.adapt): calibrated thresholds + selection.
+
+Validation: thresholds measured on the real coded chain are monotone
+in efficiency, selection follows the greedy rule exactly, and the
+adaptive link delivers more per subcarrier use at high SNR while
+keeping BER at/below the calibration target.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from sdr_tpu.core.config import (
+    ChannelConfig,
+    ChannelModel,
+    Equalizer,
+    LinkConfig,
+    Modulation,
+    OFDMConfig,
+)
+from sdr_tpu.link.adapt import (
+    MCSThreshold,
+    calibrate,
+    ebno_from_esno,
+    efficiency,
+    esno_from_ebno,
+    select_mcs,
+    simulate_adaptive,
+)
+
+_BASE = LinkConfig(
+    modulation=Modulation.QPSK,
+    ofdm=OFDMConfig(n_fft=64, cp_len=16),
+    channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=10.0),
+    equalizer=Equalizer.NONE,
+    n_symbols=16,
+    n_channels=8,
+)
+
+_LADDER = (
+    (Modulation.QPSK, "1/2"),
+    (Modulation.QPSK, "3/4"),
+    (Modulation.QAM16, "1/2"),
+    (Modulation.QAM16, "3/4"),
+)
+
+
+@pytest.fixture(scope="module")
+def table():
+    return calibrate(
+        _BASE,
+        jax.random.PRNGKey(0),
+        target_ber=1e-3,
+        esno_grid=np.arange(-2.0, 20.0, 2.0),
+        ladder=_LADDER,
+    )
+
+
+def test_esno_ebno_roundtrip():
+    for mod, rate in _LADDER:
+        e = esno_from_ebno(7.0, mod, rate)
+        np.testing.assert_allclose(ebno_from_esno(e, mod, rate), 7.0)
+    assert efficiency(Modulation.QAM16, "3/4") == 3.0
+
+
+def test_calibrated_thresholds_monotone(table):
+    """More efficient rungs need more SNR; every rung met the target."""
+    assert len(table) == len(_LADDER)
+    effs = [t.efficiency for t in table]
+    ths = [t.esno_db for t in table]
+    assert effs == sorted(effs)
+    for a, b in zip(ths, ths[1:]):
+        assert b >= a, (ths)
+    for t in table:
+        assert t.measured_ber <= 1e-3
+
+
+def test_select_mcs_greedy(table):
+    """Selection picks the best feasible rung; margin shifts it down;
+    hopeless SNR selects nothing."""
+    top = max(t.efficiency for t in table)
+    assert select_mcs(30.0, table).efficiency == top
+    lowest = table[0]
+    assert select_mcs(lowest.esno_db, table) is not None
+    assert select_mcs(lowest.esno_db - 0.1, table) is None
+    # A big margin at mid SNR selects a more robust rung than no margin.
+    mid = table[-1].esno_db
+    no_m = select_mcs(mid, table)
+    with_m = select_mcs(mid, table, margin_db=6.0)
+    assert with_m is None or with_m.efficiency <= no_m.efficiency
+
+
+def test_adaptive_link_tracks_profile(table):
+    """Low-SNR channels pick robust rungs (or silence), high-SNR pick
+    dense ones; the aggregate BER stays near the calibration target and
+    achieved efficiency grows with the profile."""
+    lo = simulate_adaptive(
+        _BASE, jax.random.PRNGKey(1), np.full(8, 4.0), table
+    )
+    hi = simulate_adaptive(
+        _BASE, jax.random.PRNGKey(1), np.full(8, 18.0), table
+    )
+    assert hi["achieved_efficiency"] > 2.0 * lo["achieved_efficiency"]
+    mixed = simulate_adaptive(
+        _BASE,
+        jax.random.PRNGKey(2),
+        np.array([-6.0, 2.0, 6.0, 10.0, 14.0, 18.0, 18.0, 2.0]),
+        table,
+    )
+    eff = mixed["efficiency_per_channel"]
+    assert eff[0] == 0.0  # below the most robust threshold -> silent
+    assert eff[5] >= eff[3] >= eff[1]
+    total_ber = mixed["bit_errors"].sum() / max(mixed["info_bits"].sum(), 1)
+    assert total_ber < 5e-3, total_ber
