@@ -381,6 +381,16 @@ class LinkConfig:
                     f"RAYLEIGH_TIME — got {self.channel.model.value}"
                 )
             if (
+                self.mimo.midamble_period
+                and self.channel.model != ChannelModel.RAYLEIGH_TIME
+            ):
+                raise ValueError(
+                    "midamble_period is the TRACKING schedule for "
+                    "time-varying fading; frame-static models use the "
+                    "single head preamble (set midamble_period=0) — "
+                    f"got {self.channel.model.value}"
+                )
+            if (
                 self.channel.model == ChannelModel.RAYLEIGH_TIME
                 and self.mimo.csi == "preamble"
             ):

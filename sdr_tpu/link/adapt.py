@@ -30,7 +30,7 @@ import math
 import numpy as np
 import jax
 
-from sdr_tpu.core.config import ChannelConfig, LinkConfig, Modulation
+from sdr_tpu.core.config import LinkConfig, Modulation
 
 
 #: The default ladder: efficiency-ordered (mod, conv rate) rungs.
@@ -128,14 +128,16 @@ def simulate_adaptive(
     esno_profile_db,
     table: list,
     margin_db: float = 0.0,
+    snr_quantum_db: float = 1.0,
 ):
     """Adaptive coded link over a per-channel SNR profile.
 
     esno_profile_db: (n_channels,) per-link SNRs (e.g. a shadowing
-    draw). Channels are grouped by selected rung — each group runs the
-    coded link as ONE jitted batch (static shapes per MCS; regrouping
-    happens on the host where the profile lives anyway). Channels with
-    no feasible rung transmit nothing.
+    draw), QUANTIZED to ``snr_quantum_db`` before simulation — Eb/N0
+    is a jit-static config field, so each distinct (rung, SNR-bin)
+    pair compiles once; quantization bounds the compile count for a
+    continuous profile (selection itself uses the unquantized values).
+    Channels with no feasible rung transmit nothing.
 
     Returns a dict: per-channel selected efficiency (0 = silent),
     total info bits delivered, total bit errors, and the aggregate
@@ -150,24 +152,17 @@ def simulate_adaptive(
     eff = np.array([0.0 if p is None else p.efficiency for p in picks])
     errors = np.zeros(n_ch, np.int64)
     counted = np.zeros(n_ch, np.int64)
+    esno_q = np.round(esno / snr_quantum_db) * snr_quantum_db
     for t in {id(p): p for p in picks if p is not None}.values():
-        sel = np.array([p is t for p in picks])
-        idxs = np.nonzero(sel)[0]
-        cfg = dataclasses.replace(
-            base,
-            modulation=t.modulation,
-            n_channels=int(idxs.size),
-            channel=dataclasses.replace(base.channel, ebno_db=0.0),
-        )
-        # Per-channel Eb/N0 differs inside one group (same rung,
-        # different SNR): run the group at each distinct profile value.
-        for e_val in np.unique(esno[idxs]):
-            sub = idxs[esno[idxs] == e_val]
+        idxs = np.nonzero(np.array([p is t for p in picks]))[0]
+        for e_val in np.unique(esno_q[idxs]):
+            sub = idxs[esno_q[idxs] == e_val]
             c = dataclasses.replace(
-                cfg,
+                base,
+                modulation=t.modulation,
                 n_channels=int(sub.size),
                 channel=dataclasses.replace(
-                    cfg.channel,
+                    base.channel,
                     ebno_db=float(ebno_from_esno(float(e_val), t.modulation, t.rate)),
                 ),
             )

@@ -146,6 +146,7 @@ def rx_chain(
     rx_samples: jnp.ndarray,
     h_freq: jnp.ndarray | None,
     noise_var,
+    skip_iq: bool = False,
 ):
     """Receiver: samples → (llrs, hard_bits).
 
@@ -157,11 +158,13 @@ def rx_chain(
     comb pilots (ops.pilots.estimate_ls_comb) instead of using the
     genie ``h_freq``, and only data subcarriers are demapped.
     """
-    if cfg.channel.iq_imbalanced:
+    if cfg.channel.iq_imbalanced and not skip_iq:
         # Blind image cancellation on the raw stream (before the FFT).
         # Moments come from consecutive-symbol differences so the
         # frame-periodic deterministic pilot component cannot bias the
-        # pseudo-variance (see ops.channel.iq_compensate).
+        # pseudo-variance (see ops.channel.iq_compensate). skip_iq is
+        # set by callers that already compensated (the acquired path
+        # properizes the pre-correction serialized stream).
         rx_samples = chan.iq_compensate(rx_samples, diff_axis=-2)
     y = ofdm_rx(rx_samples, cfg.ofdm.cp_len)  # (..., n_symbols, n_fft)
     nv = jnp.maximum(jnp.asarray(noise_var, jnp.float32), 1e-12)
@@ -298,14 +301,21 @@ def _simulate_one_acquired(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
         # image model y = g1·x + g2·conj(x) only matches the blind
         # properization moments while x is the as-received (still
         # CFO-rotated, still proper) signal — correcting the carrier
-        # first would spin the conj term against the estimate.
-        stream = chan.iq_compensate(stream)
+        # first would spin the conj term against the estimate. Moments
+        # come from lag-sym_len differences so the frame-periodic
+        # deterministic part (comb pilots) cannot bias the
+        # pseudo-variance at near-zero CFO (same guard rx_chain's
+        # diff_axis provides on the aligned grid).
+        stream = chan.iq_compensate(stream, diff_lag=sym_len)
 
     start, _cfo_hat, rx_c = acquire(stream, n_fft, cp)
     payload = jax.lax.dynamic_slice_in_dim(
         rx_c, start, cfg.n_symbols * sym_len
     ).reshape(cfg.n_symbols, sym_len)
-    llrs, hard = rx_chain(cfg, payload, None, nv)
+    # skip_iq: the stream was already properized above; re-running the
+    # compensator on the CFO-corrected payload would estimate a
+    # spurious O(1/sqrt(n)) w from an already-proper signal.
+    llrs, hard = rx_chain(cfg, payload, None, nv, skip_iq=True)
     errors = jnp.sum((hard != bits).astype(jnp.int32))
     counted = jnp.int32(bits.size)
     return errors, counted, (llrs if want_llrs else None)

@@ -104,7 +104,7 @@ def apply_iq_imbalance(
 
 
 def iq_compensate(
-    r: jnp.ndarray, diff_axis: int | None = None
+    r: jnp.ndarray, diff_axis: int | None = None, diff_lag: int = 0
 ) -> jnp.ndarray:
     """Blind I/Q-image cancellation by exact properization.
 
@@ -129,8 +129,16 @@ def iq_compensate(
     data/noise parts stay proper with the same ν/μ* solution — the
     imbalance coefficients survive the differencing untouched because
     conj distributes over it.
+
+    ``diff_lag`` is the 1-D-stream analog for a SERIALIZED signal with
+    a sym_len-periodic deterministic component (the acquired path's
+    raw stream, where no symbol axis exists yet): moments come from
+    r[n+lag] - r[n]. At zero CFO the periodic part cancels exactly; at
+    larger CFO it only rotates (and the bias self-averages anyway).
     """
-    if diff_axis is None:
+    if diff_lag:
+        m = (r[..., diff_lag:] - r[..., :-diff_lag]) * jnp.float32(2 ** -0.5)
+    elif diff_axis is None:
         m = r
     else:
         n = r.shape[diff_axis]

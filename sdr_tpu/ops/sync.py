@@ -140,8 +140,11 @@ def estimate_timing_cfo(rx: jnp.ndarray, n_fft: int):
     near = (M > 0.9 * jnp.max(M, axis=-1, keepdims=True)) & (
         jnp.abs(idx - d0[..., None]) <= n_fft
     )
-    d = jnp.round(
-        jnp.sum(idx * near, axis=-1) / jnp.maximum(jnp.sum(near, axis=-1), 1)
+    # Centroid of OFFSETS from d0 (|offset| <= n_fft), not of absolute
+    # indices — absolute-index sums overflow int32 on long captures.
+    off = (idx - d0[..., None]) * near
+    d = d0 + jnp.round(
+        jnp.sum(off, axis=-1) / jnp.maximum(jnp.sum(near, axis=-1), 1)
     ).astype(d0.dtype)
     p_peak = jnp.take_along_axis(P, d[..., None], axis=-1)[..., 0]
     cfo = jnp.angle(p_peak) / jnp.float32(np.pi)
@@ -268,5 +271,18 @@ def acquire(
     mu = estimate_integer_cfo(_fft(w1), _fft(w2), n_fft, max_int_shift, seed)
     total = frac + mu.astype(jnp.float32)
     rx_c = correct_cfo(rx, total, n_fft)
-    d_fine = fine_timing(rx_c, acquisition_preamble(n_fft, cp_len, seed))
+    # Fine timing is WINDOWED around the coarse plateau: the CFO just
+    # corrected belongs to THIS burst, and a global correlation over a
+    # multi-burst capture could lock onto a stronger burst whose
+    # (different) CFO is now mis-corrected — slicing garbage AND, in
+    # the continuous receiver, cancelling the wrong burst after the
+    # CRC failure. The window spans the coarse ±CP ambiguity plus one
+    # symbol of slack on each side.
+    n = rx_c.shape[-1]
+    W = min(4 * sym_len, n)
+    win_start = jnp.clip(d - sym_len, 0, n - W)
+    win = jax.lax.dynamic_slice_in_dim(rx_c, win_start, W)
+    d_fine = win_start + fine_timing(
+        win, acquisition_preamble(n_fft, cp_len, seed)
+    )
     return d_fine + 2 * sym_len, total, rx_c

@@ -229,6 +229,35 @@ def test_iq_composes_with_acquisition():
     assert b_both < max(2.5 * b_acq, 5e-3), (b_both, b_acq)
 
 
+def test_iq_acquisition_zero_cfo_unbiased():
+    """timing offset alone (CFO ~ 0) is the worst case for raw-stream
+    properization: the frame-periodic pilot component doesn't rotate
+    away, so unlagged moments would bias w (~9x BER measured). The
+    lag-differenced moments keep the acquired path within a small
+    factor of the aligned link."""
+    base = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(64, 16),
+        channel=ChannelConfig(
+            model=ChannelModel.AWGN, ebno_db=14.0,
+            iq_gain=1.05, iq_phase_rad=0.03,
+        ),
+        equalizer=Equalizer.MMSE,
+        pilot_spacing=4,
+        n_symbols=16,
+        n_channels=96,
+    )
+    acquired = dataclasses.replace(
+        base, channel=dataclasses.replace(base.channel, timing_offset=37)
+    )
+    def run(cfg):
+        r = make_simulate_fn(cfg)(jax.random.PRNGKey(6))
+        return float(r.bit_errors.sum()) / float(r.bits_counted.sum())
+
+    b_al, b_acq = run(base), run(acquired)
+    assert b_acq < max(2.5 * b_al, 2e-4), (b_acq, b_al)
+
+
 def test_iq_composes_with_phase_noise_and_fading():
     """Mixer stack: Rayleigh fading + LO walk + I/Q mismatch, all
     corrected by blind properization + tracked pilots + MMSE."""

@@ -655,6 +655,8 @@ def test_jakes_mimo_midamble_tracks_channel():
 
 
 def test_midamble_config_roundtrip():
+    import dataclasses
+
     cfg = _jakes_cfg(
         0.02,
         MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2, csi="preamble",
@@ -662,13 +664,13 @@ def test_midamble_config_roundtrip():
     )
     assert link_config_from_dict(link_config_to_dict(cfg)) == cfg
     # The mux detectors run off the tracked per-symbol estimates too.
-    assert 0 <= _run_ber(dataclasses_replace_channels(cfg, 256), 1) < 0.5
-
-
-def dataclasses_replace_channels(cfg, n):
-    import dataclasses
-
-    return dataclasses.replace(cfg, n_channels=n)
+    assert 0 <= _run_ber(dataclasses.replace(cfg, n_channels=256), 1) < 0.5
+    with pytest.raises(ValueError):  # midamble is the TRACKING schedule
+        LinkConfig(
+            **_BASE,
+            mimo=MIMOConfig(MIMOScheme.MRC, 1, 2, csi="preamble",
+                            midamble_period=4),
+        )
 
 
 # ---------------------------------------------------------------------------
