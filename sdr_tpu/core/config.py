@@ -354,12 +354,16 @@ class LinkConfig:
                     "genie CSI — the tracked pilot estimator corrects it"
                 )
         if self.channel.iq_imbalanced:
-            if not self.pilot_spacing:
+            has_estimated_csi = bool(self.pilot_spacing) or (
+                self.mimo is not None and self.mimo.csi == "preamble"
+            )
+            if not has_estimated_csi:
                 raise ValueError(
-                    "I/Q imbalance needs pilot_spacing > 0: the blind "
-                    "compensator leaves a residual complex direct gain "
-                    "that only the pilot LS estimate can absorb — genie "
-                    "CSI has no access to the mixer"
+                    "I/Q imbalance needs estimated CSI (pilot_spacing > 0, "
+                    "or mimo.csi='preamble'): the blind compensator leaves "
+                    "a residual complex direct gain that only an estimated "
+                    "channel can absorb — genie CSI has no access to the "
+                    "mixer"
                 )
         if self.channel.impaired:
             if not self.pilot_spacing:
@@ -420,14 +424,17 @@ class LinkConfig:
                         f"{n_cand} candidates (> 4096 budget); use a "
                         "smaller constellation/n_tx or detector='linear'"
                     )
-            if (
-                self.channel.impaired
-                or self.channel.phase_noise_std
-                or self.channel.iq_imbalanced
-            ):
+            if self.channel.impaired or self.channel.phase_noise_std:
                 raise NotImplementedError(
-                    "MIMO + front-end impairments (CFO/timing/phase noise/"
-                    "I/Q imbalance) is not supported in one link yet"
+                    "MIMO + CFO/timing acquisition or LO phase noise is "
+                    "not supported in one link yet"
+                )
+            if self.channel.iq_imbalanced and self.mimo.csi != "preamble":
+                raise ValueError(
+                    "MIMO + I/Q imbalance needs csi='preamble': the blind "
+                    "per-antenna properization leaves a residual complex "
+                    "direct gain only an estimated channel can absorb — "
+                    "genie CSI has no access to the mixer"
                 )
             if self.mimo.scheme == MIMOScheme.ALAMOUTI and self.n_symbols % 2:
                 raise ValueError(

@@ -440,6 +440,19 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         rx_t = jnp.einsum("rt,tsn->rsn", H, tx).reshape(mc.n_rx, -1)
         h = H[..., None]  # flat: (n_rx, n_tx, 1) broadcasts over n_fft
     rx_t = chan.awgn(k_noise, rx_t, chan.time_noise_var(nv, n_fft))
+    if cfg.channel.iq_imbalanced:
+        # Each RX antenna owns a mixer: image + blind properization per
+        # antenna (moment-based, needs no reference). The residual
+        # complex direct gain per antenna is absorbed by the preamble
+        # estimate (config validation requires csi='preamble').
+        rx_t = chan.apply_iq_imbalance(
+            rx_t, cfg.channel.iq_gain, cfg.channel.iq_phase_rad
+        )
+        rx_t = jax.vmap(
+            lambda r: chan.iq_compensate(
+                r.reshape(n_syms_tx, cfg.ofdm.symbol_len), diff_axis=-2
+            ).reshape(-1)
+        )(rx_t)
     y = ofdm_rx(
         rx_t.reshape(mc.n_rx, n_syms_tx, cfg.ofdm.symbol_len), cp
     )  # (n_rx, n_syms_tx, N)

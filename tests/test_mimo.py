@@ -673,6 +673,46 @@ def test_midamble_config_roundtrip():
         )
 
 
+def test_mimo_iq_imbalance_compensated():
+    """MIMO + per-antenna RX I/Q imbalance: blind properization per
+    antenna + preamble CSI lands within a small factor of the
+    matched-mixer link; genie CSI is rejected (it can't absorb the
+    compensator's residual direct gain)."""
+    import dataclasses
+
+    from sdr_tpu.core.config import ChannelEstimator
+
+    base = LinkConfig(
+        **{
+            **_BASE,
+            "estimator": ChannelEstimator.DFT,
+            "channel": ChannelConfig(
+                model=ChannelModel.RAYLEIGH_FLAT, ebno_db=8.0
+            ),
+        },
+        mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2, csi="preamble"),
+    )
+    imb = dataclasses.replace(
+        base,
+        channel=dataclasses.replace(
+            base.channel, iq_gain=1.05, iq_phase_rad=0.03
+        ),
+    )
+    b_clean, b_imb = _run_ber(base, 1), _run_ber(imb, 1)
+    assert b_imb < 1.6 * b_clean, (b_imb, b_clean)
+    with pytest.raises(ValueError):  # genie CSI can't absorb the mixer
+        LinkConfig(
+            **{
+                **_BASE,
+                "channel": ChannelConfig(
+                    model=ChannelModel.RAYLEIGH_FLAT, ebno_db=8.0,
+                    iq_gain=1.05,
+                ),
+            },
+            mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2),
+        )
+
+
 # ---------------------------------------------------------------------------
 # Coded MIMO (FEC over the multi-antenna link)
 # ---------------------------------------------------------------------------
