@@ -347,11 +347,17 @@ class LinkConfig:
         if self.n_symbols < 1 or self.n_channels < 1:
             raise ValueError("n_symbols and n_channels must be >= 1")
         if self.channel.phase_noise_std:
-            if not self.pilot_spacing:
+            tracked = bool(self.pilot_spacing) or (
+                self.mimo is not None
+                and self.mimo.csi == "preamble"
+                and self.mimo.midamble_period
+            )
+            if not tracked:
                 raise ValueError(
-                    "phase_noise_std > 0 needs pilot_spacing > 0: the "
-                    "oscillator's random common phase is unknowable to "
-                    "genie CSI — the tracked pilot estimator corrects it"
+                    "phase_noise_std > 0 needs a phase-tracking estimate "
+                    "(pilot_spacing > 0, or a MIMO midamble schedule): "
+                    "the oscillator's random common phase is unknowable "
+                    "to genie CSI"
                 )
         if self.channel.iq_imbalanced:
             has_estimated_csi = bool(self.pilot_spacing) or (
@@ -384,15 +390,16 @@ class LinkConfig:
                     "matrix: RAYLEIGH_FLAT, RICIAN, MULTIPATH or "
                     f"RAYLEIGH_TIME — got {self.channel.model.value}"
                 )
-            if (
-                self.mimo.midamble_period
-                and self.channel.model != ChannelModel.RAYLEIGH_TIME
+            if self.mimo.midamble_period and not (
+                self.channel.model == ChannelModel.RAYLEIGH_TIME
+                or self.channel.phase_noise_std
             ):
                 raise ValueError(
-                    "midamble_period is the TRACKING schedule for "
-                    "time-varying fading; frame-static models use the "
-                    "single head preamble (set midamble_period=0) — "
-                    f"got {self.channel.model.value}"
+                    "midamble_period is the TRACKING schedule for a "
+                    "time-varying composite channel (Jakes fading or LO "
+                    "phase noise); a frame-static link uses the single "
+                    "head preamble (set midamble_period=0) — got "
+                    f"{self.channel.model.value} with no phase noise"
                 )
             if (
                 self.channel.model == ChannelModel.RAYLEIGH_TIME
@@ -424,10 +431,20 @@ class LinkConfig:
                         f"{n_cand} candidates (> 4096 budget); use a "
                         "smaller constellation/n_tx or detector='linear'"
                     )
-            if self.channel.impaired or self.channel.phase_noise_std:
+            if self.channel.impaired:
                 raise NotImplementedError(
-                    "MIMO + CFO/timing acquisition or LO phase noise is "
-                    "not supported in one link yet"
+                    "MIMO + CFO/timing acquisition is not supported in "
+                    "one link yet"
+                )
+            if self.channel.phase_noise_std and not (
+                self.mimo.csi == "preamble" and self.mimo.midamble_period
+            ):
+                raise ValueError(
+                    "MIMO + LO phase noise needs csi='preamble' with a "
+                    "midamble_period: the shared-LO Wiener walk rides the "
+                    "per-block channel estimates (interpolated between "
+                    "midambles) — genie CSI has no access to the "
+                    "oscillator"
                 )
             if self.channel.iq_imbalanced and self.mimo.csi != "preamble":
                 raise ValueError(

@@ -372,9 +372,9 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         ant = points  # (1, S, N)
     else:
         ant = mo.mux_encode(points)  # (n_tx, S, N)
-    midamble = (
-        mc.csi == "preamble"
-        and cfg.channel.model == ChannelModel.RAYLEIGH_TIME
+    midamble = mc.csi == "preamble" and (
+        cfg.channel.model == ChannelModel.RAYLEIGH_TIME
+        or bool(cfg.channel.phase_noise_std)
     )
     pre = (
         jnp.eye(mc.n_tx, dtype=ant.dtype)[:, :, None]
@@ -440,6 +440,17 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         rx_t = jnp.einsum("rt,tsn->rsn", H, tx).reshape(mc.n_rx, -1)
         h = H[..., None]  # flat: (n_rx, n_tx, 1) broadcasts over n_fft
     rx_t = chan.awgn(k_noise, rx_t, chan.time_noise_var(nv, n_fft))
+    if cfg.channel.phase_noise_std:
+        # Shared RX LO: ONE Wiener walk rotates every antenna alike
+        # (post-noise rotation of circularly-symmetric noise is
+        # statistically exact, as in the SISO path). The walk rides the
+        # composite channel the midamble estimates interpolate — config
+        # validation requires the midamble schedule here.
+        k_pn = prng.role_key(key, prng.ROLE_PHASE)
+        ph = chan.wiener_phase(
+            k_pn, rx_t.shape[-1], cfg.channel.phase_noise_std
+        )
+        rx_t = rx_t * ph[None, :]
     if cfg.channel.iq_imbalanced:
         # Each RX antenna owns a mixer: image + blind properization per
         # antenna (moment-based, needs no reference). The residual
@@ -463,14 +474,22 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         B = cfg.n_symbols // K
         period = mc.n_tx + K
         yb = y.reshape(mc.n_rx, B, period, n_fft)
-        # Per-block LS, averaged over subcarriers: RAYLEIGH_TIME is
-        # flat, so the average cuts estimation noise n_fft-fold (the
-        # 1-tap analog of the DFT/CP-subspace projection).
-        h_b = jnp.mean(
-            yb[:, :, : mc.n_tx] / jnp.asarray(pi.PILOT_VALUE, y.dtype),
-            axis=-1,
-        )  # (n_rx, B, n_tx)
-        h_b = jnp.moveaxis(h_b, 1, 0)  # (B, n_rx, n_tx)
+        raw = yb[:, :, : mc.n_tx] / jnp.asarray(
+            pi.PILOT_VALUE, y.dtype
+        )  # (n_rx, B, n_tx, N) per-block LS
+        if cfg.channel.model == ChannelModel.RAYLEIGH_TIME:
+            # Jakes is flat: averaging over subcarriers cuts estimation
+            # noise n_fft-fold (the 1-tap analog of the DFT projection).
+            h_b = jnp.mean(raw, axis=-1, keepdims=True)  # (..., 1)
+        elif cfg.estimator == ChannelEstimator.DFT:
+            # Frequency-selective composite (e.g. multipath + LO phase
+            # noise): keep the shape, denoise onto the CP subspace.
+            h_b = raw @ jnp.asarray(
+                pi._dft_projection_full(n_fft, min(cp + 1, n_fft))
+            )
+        else:
+            h_b = raw  # (..., N) raw per-subcarrier LS
+        h_b = jnp.moveaxis(h_b, 1, 0)  # (B, n_rx, n_tx, N')
         y = yb[:, :, mc.n_tx :].reshape(mc.n_rx, cfg.n_symbols, n_fft)
         # Linear interpolation between consecutive midamble estimates
         # (taken at each preamble's center symbol); the final block
@@ -481,11 +500,10 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         t_b = b_of * period + (mc.n_tx - 1) / 2.0
         w = np.clip((g - t_b) / period, 0.0, 1.0).astype(np.float32)
         b_next = np.minimum(b_of + 1, B - 1)
-        wj = jnp.asarray(w)[:, None, None]
+        wj = jnp.asarray(w)[:, None, None, None]
         h_t = (1.0 - wj) * h_b[jnp.asarray(b_of)] + wj * h_b[
             jnp.asarray(b_next)
-        ]  # (S, n_rx, n_tx) — overrides the genie track
-        h_t = h_t[..., None]
+        ]  # (S, n_rx, n_tx, N') — overrides any genie track
     elif n_pre:
         n_taps = (
             min(cp + 1, n_fft)
@@ -537,7 +555,7 @@ def _mimo_detect_per_symbol(cfg: LinkConfig, y, h_t, nvf):
     if mc.scheme == MIMOScheme.ALAMOUTI:
         yp = y.reshape(n_rx, S // 2, 2, N)
         yp = jnp.moveaxis(yp, 1, 0)  # (P, n_rx, 2, N)
-        h_pair = jnp.mean(h_t.reshape(S // 2, 2, n_rx, 2, 1), axis=1)
+        h_pair = jnp.mean(h_t.reshape(S // 2, 2, n_rx, 2, -1), axis=1)
         s, eff = jax.vmap(lambda yy, hh: mo.alamouti_combine(yy, hh, nvf))(
             yp, h_pair
         )  # s (P, 2, N), eff (P, 1, N')

@@ -673,6 +673,68 @@ def test_midamble_config_roundtrip():
         )
 
 
+def test_mimo_phase_noise_midamble_tracked():
+    """MIMO + shared-LO phase noise: the Wiener walk rides the
+    midamble-interpolated composite estimates — BER within a small
+    factor of the clean-LO midamble link; genie CSI and head-preamble
+    configs are rejected."""
+    import dataclasses
+
+    from sdr_tpu.core.config import ChannelEstimator
+
+    # The clean-LO baseline uses the single head preamble (a clean
+    # frame-static link must not pay midamble overhead — the config
+    # layer enforces that); the phase-noise link adds the midamble
+    # schedule the walk requires.
+    base = LinkConfig(
+        **{
+            **_BASE,
+            "channel": ChannelConfig(
+                model=ChannelModel.RAYLEIGH_FLAT, ebno_db=8.0
+            ),
+            "n_channels": 1024,
+        },
+        mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2, csi="preamble"),
+    )
+    pn = dataclasses.replace(
+        base,
+        channel=dataclasses.replace(base.channel, phase_noise_std=2e-3),
+        mimo=dataclasses.replace(base.mimo, midamble_period=4),
+    )
+    b_clean, b_pn = _run_ber(base, 1), _run_ber(pn, 1)
+    assert b_pn < 1.8 * b_clean, (b_pn, b_clean)
+    with pytest.raises(ValueError):  # genie CSI can't see the LO
+        LinkConfig(
+            **{**_BASE, "channel": ChannelConfig(
+                model=ChannelModel.RAYLEIGH_FLAT, ebno_db=8.0,
+                phase_noise_std=2e-3)},
+            mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2),
+        )
+    with pytest.raises(ValueError):  # head preamble alone goes stale
+        LinkConfig(
+            **{**_BASE, "channel": ChannelConfig(
+                model=ChannelModel.RAYLEIGH_FLAT, ebno_db=8.0,
+                phase_noise_std=2e-3)},
+            mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2, csi="preamble"),
+        )
+    # Frequency-selective composite: multipath + phase noise through
+    # the DFT-denoised midamble estimates runs with sane BER.
+    sel = LinkConfig(
+        **{
+            **_BASE,
+            "channel": ChannelConfig(
+                model=ChannelModel.MULTIPATH, ebno_db=14.0,
+                pdp=(1.0, 0.5), phase_noise_std=2e-3,
+            ),
+            "estimator": ChannelEstimator.DFT,
+            "n_channels": 256,
+        },
+        mimo=MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2, detector="ml",
+                        csi="preamble", midamble_period=4),
+    )
+    assert 0 < _run_ber(sel, 1) < 0.1
+
+
 def test_mimo_iq_imbalance_compensated():
     """MIMO + per-antenna RX I/Q imbalance: blind properization per
     antenna + preamble CSI lands within a small factor of the
