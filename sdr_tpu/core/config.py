@@ -372,11 +372,16 @@ class LinkConfig:
                     "mixer"
                 )
         if self.channel.impaired:
-            if not self.pilot_spacing:
+            has_estimated_csi = bool(self.pilot_spacing) or (
+                self.mimo is not None and self.mimo.csi == "preamble"
+            )
+            if not has_estimated_csi:
                 raise ValueError(
-                    "timing/CFO impairments need pilot_spacing > 0: after "
-                    "blind acquisition the channel estimate must absorb the "
-                    "residual timing phase — genie CSI has no access to it"
+                    "timing/CFO impairments need estimated CSI "
+                    "(pilot_spacing > 0, or mimo.csi='preamble'): after "
+                    "blind acquisition the channel estimate must absorb "
+                    "the residual timing phase — genie CSI has no access "
+                    "to it"
                 )
         if self.mimo is not None:
             if self.channel.model not in (
@@ -393,13 +398,16 @@ class LinkConfig:
             if self.mimo.midamble_period and not (
                 self.channel.model == ChannelModel.RAYLEIGH_TIME
                 or self.channel.phase_noise_std
+                or self.channel.impaired
             ):
                 raise ValueError(
                     "midamble_period is the TRACKING schedule for a "
-                    "time-varying composite channel (Jakes fading or LO "
-                    "phase noise); a frame-static link uses the single "
-                    "head preamble (set midamble_period=0) — got "
-                    f"{self.channel.model.value} with no phase noise"
+                    "time-varying composite channel (Jakes fading, LO "
+                    "phase noise, or residual CFO after acquisition); a "
+                    "frame-static link uses the single head preamble "
+                    "(set midamble_period=0) — got "
+                    f"{self.channel.model.value} with no phase noise or "
+                    "impairments"
                 )
             if (
                 self.channel.model == ChannelModel.RAYLEIGH_TIME
@@ -432,10 +440,28 @@ class LinkConfig:
                         "smaller constellation/n_tx or detector='linear'"
                     )
             if self.channel.impaired:
-                raise NotImplementedError(
-                    "MIMO + CFO/timing acquisition is not supported in "
-                    "one link yet"
-                )
+                if not (
+                    self.mimo.csi == "preamble" and self.mimo.midamble_period
+                ):
+                    raise ValueError(
+                        "MIMO + CFO/timing acquisition needs "
+                        "csi='preamble' WITH a midamble_period: the "
+                        "residual post-acquisition CFO (~1e-2 "
+                        "subcarriers) rotates the constellation a little "
+                        "more each symbol, and only the interpolated "
+                        "midamble estimates track it — genie CSI or a "
+                        "single head preamble cannot"
+                    )
+                if self.channel.model == ChannelModel.RAYLEIGH_TIME:
+                    raise NotImplementedError(
+                        "MIMO acquisition + RAYLEIGH_TIME is not "
+                        "supported in one link yet"
+                    )
+                if self.channel.phase_noise_std or self.channel.iq_imbalanced:
+                    raise NotImplementedError(
+                        "MIMO acquisition + mixer impairments is not "
+                        "supported in one link yet"
+                    )
             if self.channel.phase_noise_std and not (
                 self.mimo.csi == "preamble" and self.mimo.midamble_period
             ):

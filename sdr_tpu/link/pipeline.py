@@ -375,6 +375,7 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
     midamble = mc.csi == "preamble" and (
         cfg.channel.model == ChannelModel.RAYLEIGH_TIME
         or bool(cfg.channel.phase_noise_std)
+        or cfg.channel.impaired
     )
     pre = (
         jnp.eye(mc.n_tx, dtype=ant.dtype)[:, :, None]
@@ -405,6 +406,30 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
             )
     n_syms_tx = ant.shape[-2]
     tx = ofdm_tx(ant, cp)  # (n_tx, n_syms_tx, sym_len)
+    sym_len = cfg.ofdm.symbol_len
+
+    impaired = cfg.channel.impaired
+    if impaired:
+        # Blind-acquisition mode: antenna 0 transmits the two-symbol
+        # S&C preamble ALONE ahead of the MIMO body (one sync reference
+        # suffices — timing and carrier are common to the array), with
+        # the unknown delay and a tail margin around everything.
+        from sdr_tpu.ops.sync import acquisition_preamble
+
+        sync_pre = acquisition_preamble(n_fft, cp)
+        head = jnp.zeros((mc.n_tx, sync_pre.shape[0]), jnp.complex64)
+        head = head.at[0].set(sync_pre)
+        tx_flat = jnp.concatenate(
+            [
+                jnp.zeros((mc.n_tx, cfg.channel.timing_offset), jnp.complex64),
+                head,
+                tx.reshape(mc.n_tx, -1),
+                jnp.zeros((mc.n_tx, sym_len), jnp.complex64),
+            ],
+            axis=-1,
+        )
+    else:
+        tx_flat = tx.reshape(mc.n_tx, -1)
 
     nv = chan.ebno_db_to_noise_var(
         cfg.channel.ebno_db, bps * mc.n_streams
@@ -416,8 +441,7 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         taps = chan.multipath_taps(
             k_fade, cfg.channel.pdp, batch_shape=(mc.n_rx, mc.n_tx)
         )  # (n_rx, n_tx, L) — i.i.d. PDP per antenna pair
-        stream = tx.reshape(mc.n_tx, -1)[None]  # (1, n_tx, total)
-        rx_t = jnp.sum(chan.apply_multipath(stream, taps), axis=1)
+        rx_t = jnp.sum(chan.apply_multipath(tx_flat[None], taps), axis=1)
         h = chan.freq_response(taps, n_fft)  # (n_rx, n_tx, n_fft)
     elif cfg.channel.model == ChannelModel.RAYLEIGH_TIME:
         # Jakes Doppler per antenna pair, block fading per OFDM symbol
@@ -437,8 +461,12 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
             H = chan.rician_flat(
                 k_fade, (mc.n_rx, mc.n_tx), cfg.channel.k_factor
             )
-        rx_t = jnp.einsum("rt,tsn->rsn", H, tx).reshape(mc.n_rx, -1)
+        rx_t = jnp.einsum("rt,tn->rn", H, tx_flat)
         h = H[..., None]  # flat: (n_rx, n_tx, 1) broadcasts over n_fft
+    if impaired:
+        from sdr_tpu.ops.sync import apply_cfo
+
+        rx_t = apply_cfo(rx_t, cfg.channel.cfo_subcarriers, n_fft)
     rx_t = chan.awgn(k_noise, rx_t, chan.time_noise_var(nv, n_fft))
     if cfg.channel.phase_noise_std:
         # Shared RX LO: ONE Wiener walk rotates every antenna alike
@@ -464,6 +492,17 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
                 r.reshape(n_syms_tx, cfg.ofdm.symbol_len), diff_axis=-2
             ).reshape(-1)
         )(rx_t)
+    if impaired:
+        # Array acquisition: metrics combine across RX antennas (see
+        # ops.sync.acquire_array); the slice realigns every antenna at
+        # once, and the MIMO preamble estimate downstream absorbs the
+        # residual timing phase (csi='preamble' enforced by config).
+        from sdr_tpu.ops.sync import acquire_array
+
+        start, _cfo_hat, rx_c = acquire_array(rx_t, n_fft, cp)
+        rx_t = jax.lax.dynamic_slice_in_dim(
+            rx_c, start, n_syms_tx * sym_len, axis=-1
+        )
     y = ofdm_rx(
         rx_t.reshape(mc.n_rx, n_syms_tx, cfg.ofdm.symbol_len), cp
     )  # (n_rx, n_syms_tx, N)
@@ -491,19 +530,55 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
             h_b = raw  # (..., N) raw per-subcarrier LS
         h_b = jnp.moveaxis(h_b, 1, 0)  # (B, n_rx, n_tx, N')
         y = yb[:, :, mc.n_tx :].reshape(mc.n_rx, cfg.n_symbols, n_fft)
+        # Common-phase slope across midambles (residual CFO after
+        # acquisition, or the mean LO drift): the channel cancels in
+        # the block-to-block conj product, leaving the per-period
+        # rotation. Derotate the estimates before interpolating (the
+        # interpolation then only has to track the SLOW channel part)
+        # and re-apply the exact per-symbol phase — this also
+        # extrapolates the final block instead of holding it stale.
+        if B >= 2:
+            dphi = jnp.angle(
+                jnp.sum(h_b[1:] * jnp.conj(h_b[:-1]))
+            )  # rad per period
+        else:
+            dphi = jnp.float32(0.0)
+        h_b = h_b * jnp.exp(
+            jax.lax.complex(
+                jnp.zeros((B,), jnp.float32),
+                -dphi * jnp.arange(B, dtype=jnp.float32),
+            )
+        )[:, None, None, None]
+        # The time-orthogonal preamble measures TX antenna t one symbol
+        # later than antenna t-1, so each estimate carries a t-slot
+        # phase skew of dphi/period — which would break the combiners'
+        # inter-antenna phase relations (Alamouti orthogonality decays
+        # with the skew). Align every antenna's estimate to slot 0.
+        slot = jnp.arange(mc.n_tx, dtype=jnp.float32) * (dphi / period)
+        h_b = h_b * jnp.exp(
+            jax.lax.complex(jnp.zeros_like(slot), -slot)
+        )[None, None, :, None]
         # Linear interpolation between consecutive midamble estimates
         # (taken at each preamble's center symbol); the final block
         # holds its own estimate. All index math is static.
         s_idx = np.arange(cfg.n_symbols)
         b_of = s_idx // K
         g = b_of * period + mc.n_tx + (s_idx % K)  # global symbol index
-        t_b = b_of * period + (mc.n_tx - 1) / 2.0
+        # Slot-0 reference: the slot-skew derotation above aligned every
+        # antenna's estimate to its block's FIRST preamble symbol.
+        t_b = b_of * period + 0.0
         w = np.clip((g - t_b) / period, 0.0, 1.0).astype(np.float32)
         b_next = np.minimum(b_of + 1, B - 1)
         wj = jnp.asarray(w)[:, None, None, None]
         h_t = (1.0 - wj) * h_b[jnp.asarray(b_of)] + wj * h_b[
             jnp.asarray(b_next)
         ]  # (S, n_rx, n_tx, N') — overrides any genie track
+        # Exact per-symbol common phase (slope fitted above): evaluated
+        # at the symbol's own time, including past the last midamble.
+        phi_s = dphi * jnp.asarray((g - t_b[0]) / period, jnp.float32)
+        h_t = h_t * jnp.exp(
+            jax.lax.complex(jnp.zeros_like(phi_s), phi_s)
+        )[:, None, None, None]
     elif n_pre:
         n_taps = (
             min(cp + 1, n_fft)

@@ -164,7 +164,9 @@ def correct_cfo(samples: jnp.ndarray, cfo_subcarriers, n_fft: int) -> jnp.ndarra
     return apply_cfo(samples, -jnp.asarray(cfo_subcarriers), n_fft)
 
 
-def fine_timing(rx: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
+def fine_timing(
+    rx: jnp.ndarray, template: jnp.ndarray, combine_axis: int | None = None
+) -> jnp.ndarray:
     """Matched-filter fine timing: argmax_d |Σ_m conj(t[m])·rx[d+m]|².
 
     The S&C metric plateaus over the CP (coarse, ±CP ambiguity); the
@@ -187,6 +189,10 @@ def fine_timing(rx: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
     tf = _fft(jnp.pad(template.astype(jnp.complex64), (0, L - m)))
     corr = ifft(rf * jnp.conj(tf))  # corr[d] = Σ_m rx[d+m]·conj(t[m])
     score = jnp.abs(corr[..., : n - m + 1]) ** 2
+    if combine_axis is not None:
+        # Non-coherent combining across an antenna axis: per-branch
+        # channel phases are unknown, so magnitudes sum.
+        score = jnp.sum(score, axis=combine_axis)
     return jnp.argmax(score, axis=-1).astype(jnp.int32)
 
 
@@ -196,6 +202,7 @@ def estimate_integer_cfo(
     n_fft: int,
     max_shift: int = 2,
     seed: int = 0x5C,
+    noncoherent_axis: int | None = None,
 ) -> jnp.ndarray:
     """Even integer CFO from the two preamble symbols' FFT grids.
 
@@ -210,6 +217,11 @@ def estimate_integer_cfo(
     slope (same k in both factors), leaving |H|²·v alignment — so the
     metric works from COARSE timing, before fine sync. Returns the
     estimated offset in subcarriers (int32, even, in ±2·max_shift).
+
+    ``noncoherent_axis``: antenna axis of y1/y2 to combine over — each
+    antenna's inner sum is coherent (its own |H|²·v alignment), the
+    per-antenna magnitudes then add (array diversity for the integer
+    decision; one argmax over the combined scores).
     """
     g1, g2 = _preamble_grids(n_fft, seed)
     even = np.arange(0, n_fft, 2)
@@ -222,8 +234,74 @@ def estimate_integer_cfo(
         scores.append(
             jnp.abs(jnp.sum(shifted[..., even] * jnp.conj(vj), axis=-1)) ** 2
         )
-    idx = jnp.argmax(jnp.stack(scores, axis=-1), axis=-1)
+    stacked = jnp.stack(scores, axis=-1)
+    if noncoherent_axis is not None:
+        stacked = jnp.sum(stacked, axis=noncoherent_axis)
+    idx = jnp.argmax(stacked, axis=-1)
     return (2 * (idx - max_shift)).astype(jnp.int32)
+
+
+def acquire_array(
+    rx: jnp.ndarray,
+    n_fft: int,
+    cp_len: int,
+    max_int_shift: int = 2,
+    seed: int = 0x5C,
+):
+    """Blind acquisition from an ANTENNA ARRAY (n_rx, n) — the MIMO
+    receiver's front end, with RX diversity folded into every stage.
+
+    Combining rules follow what the channel phase does to each
+    statistic: the S&C timing metric and the matched-filter correlation
+    are combined NON-coherently (|·|² summed across antennas — each
+    antenna's channel phase is unknown and would cancel a coherent
+    sum), while the half-symbol correlation P and the integer-CFO
+    differential both CANCEL the channel phase by construction
+    (conj-product at equal frequency), so those sum COHERENTLY across
+    antennas for the full array gain. A preamble faded on one antenna
+    is caught by the others — array acquisition outage needs ALL
+    branches faded at once.
+
+    Returns (payload_start, total_cfo_subcarriers, corrected (n_rx, n)).
+    """
+    from sdr_tpu.ops.fft import fft as _fft
+
+    sym_len = n_fft + cp_len
+    P, _, M = timing_metric(rx, n_fft)  # (n_rx, n - n_fft)
+    Mc = jnp.mean(M, axis=0)
+    d0 = jnp.argmax(Mc)
+    idx = jnp.arange(Mc.shape[-1])
+    near = (Mc > 0.9 * jnp.max(Mc)) & (jnp.abs(idx - d0) <= n_fft)
+    off = (idx - d0) * near
+    d = d0 + jnp.round(
+        jnp.sum(off) / jnp.maximum(jnp.sum(near), 1)
+    ).astype(d0.dtype)
+    # P's phase is constant over the whole plateau (it measures CFO,
+    # not timing), so average across the CP-wide plateau AND the
+    # antennas coherently — ~sqrt(cp) less phase noise than one sample.
+    half = max(cp_len // 2, 1)
+    win_p = jax.lax.dynamic_slice_in_dim(
+        P, jnp.clip(d - half, 0, P.shape[-1] - cp_len), cp_len, axis=-1
+    )
+    p_peak = jnp.sum(win_p)
+    frac = jnp.angle(p_peak) / jnp.float32(np.pi)
+    rx_f = correct_cfo(rx, frac, n_fft)
+    w1 = jax.lax.dynamic_slice_in_dim(rx_f, d, n_fft, axis=-1)
+    w2 = jax.lax.dynamic_slice_in_dim(rx_f, d + sym_len, n_fft, axis=-1)
+    mu = estimate_integer_cfo(
+        _fft(w1), _fft(w2), n_fft, max_int_shift, seed,
+        noncoherent_axis=0,
+    )
+    total = frac + mu.astype(jnp.float32)
+    rx_c = correct_cfo(rx, total, n_fft)
+    n = rx_c.shape[-1]
+    W = min(4 * sym_len, n)
+    win_start = jnp.clip(d - sym_len, 0, n - W)
+    win = jax.lax.dynamic_slice_in_dim(rx_c, win_start, W, axis=-1)
+    d_fine = win_start + fine_timing(
+        win, acquisition_preamble(n_fft, cp_len, seed), combine_axis=0
+    )
+    return d_fine + 2 * sym_len, total, rx_c
 
 
 def acquire(

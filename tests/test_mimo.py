@@ -673,6 +673,80 @@ def test_midamble_config_roundtrip():
         )
 
 
+def test_mimo_acquisition_blind():
+    """MIMO + unknown delay + CFO: the array-combined S&C front end
+    (antenna-0 sync preamble, non-coherent metric combining) realigns
+    every RX antenna; preamble CSI absorbs the residual timing phase.
+    BER within a small factor of the genie-aligned preamble link."""
+    import dataclasses
+
+    from sdr_tpu.core.config import ChannelEstimator
+
+    base = LinkConfig(
+        **{
+            **_BASE,
+            "estimator": ChannelEstimator.DFT,
+            "channel": ChannelConfig(
+                model=ChannelModel.RAYLEIGH_FLAT, ebno_db=8.0
+            ),
+            "n_channels": 1024,
+        },
+        mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2, csi="preamble"),
+    )
+    acq = dataclasses.replace(
+        base,
+        channel=dataclasses.replace(
+            base.channel, cfo_subcarriers=1.3, timing_offset=37
+        ),
+        mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2, csi="preamble",
+                        midamble_period=4),
+    )
+    # Outage vs in-lock, separately (as in the SISO Jakes-acquisition
+    # test): the sync preamble radiates from TX antenna 0 alone, so a
+    # burst is lost when EVERY RX branch of that column fades at once —
+    # ~p^n_rx, a physics floor, not an estimator defect.
+    r_al = make_simulate_fn(base)(jax.random.PRNGKey(0))
+    r_acq = make_simulate_fn(acq)(jax.random.PRNGKey(0))
+    ba = np.asarray(r_al.bit_errors) / np.asarray(r_al.bits_counted)
+    bq = np.asarray(r_acq.bit_errors) / np.asarray(r_acq.bits_counted)
+    outage = float((bq > 0.25).mean())
+    assert outage < 0.05, outage
+    in_lock = bq[bq <= 0.25]
+    assert in_lock.mean() < 3.0 * max(ba.mean(), 5e-4), (
+        in_lock.mean(), ba.mean()
+    )
+    # Spatial mux + ML through the same blind front end.
+    mux = dataclasses.replace(
+        acq,
+        mimo=MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2, csi="preamble",
+                        detector="ml", midamble_period=4),
+        n_channels=256,
+    )
+    assert 0 < _run_ber(mux, 1) < 0.2
+    with pytest.raises(ValueError):  # head preamble alone can't track
+        dataclasses.replace(
+            acq,
+            mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2, csi="preamble"),
+        )
+    with pytest.raises(ValueError):  # genie CSI can't absorb timing phase
+        LinkConfig(
+            **{**_BASE, "channel": ChannelConfig(
+                model=ChannelModel.RAYLEIGH_FLAT, ebno_db=8.0,
+                cfo_subcarriers=1.0)},
+            mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2),
+        )
+    with pytest.raises(NotImplementedError):  # Jakes + acquisition
+        _jakes_cfg(
+            0.02,
+            MIMOConfig(MIMOScheme.MRC, 1, 2, csi="preamble",
+                       midamble_period=4),
+            channel=ChannelConfig(
+                model=ChannelModel.RAYLEIGH_TIME, ebno_db=8.0,
+                doppler_norm=0.02, cfo_subcarriers=1.0,
+            ),
+        )
+
+
 def test_mimo_phase_noise_midamble_tracked():
     """MIMO + shared-LO phase noise: the Wiener walk rides the
     midamble-interpolated composite estimates — BER within a small
