@@ -193,6 +193,53 @@ def _cmd_bench(args) -> int:
                 case.cfg, estimator=ChannelEstimator(args.estimator)
             ),
         )
+    pa_ibo = getattr(args, "pa_ibo", None)
+    spread = getattr(args, "dft_spread", False)
+    if pa_ibo is not None or spread:
+        import dataclasses
+
+        try:
+            cfg = case.cfg
+            if spread:
+                cfg = dataclasses.replace(cfg, dft_spread=True)
+            if pa_ibo is not None:
+                # The PA needs pilot estimation (Bussgang gain); promote
+                # the case like the mixer impairments above. With
+                # dft_spread the spacing is a SYMBOL period and must
+                # divide n_symbols.
+                spacing = cfg.pilot_spacing or 8
+                if cfg.dft_spread:
+                    while spacing > 1 and cfg.n_symbols % spacing:
+                        spacing //= 2
+                    if spacing < 2:
+                        print(
+                            "error: no pilot-symbol period divides "
+                            f"n_symbols={cfg.n_symbols}",
+                            file=sys.stderr,
+                        )
+                        return 2
+                cfg = dataclasses.replace(
+                    cfg,
+                    channel=dataclasses.replace(
+                        cfg.channel,
+                        pa_ibo_db=pa_ibo,
+                        pa_smoothness=getattr(args, "pa_p", 2.0),
+                        pa_dpd=getattr(args, "pa_dpd", False),
+                    ),
+                    pilot_spacing=spacing,
+                    equalizer=(
+                        cfg.equalizer
+                        if cfg.equalizer != Equalizer.NONE
+                        else Equalizer.MMSE
+                    ),
+                )
+        except (ValueError, NotImplementedError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        tag = ("+scfdma" if spread else "") + (
+            f"+pa{pa_ibo:g}dB" if pa_ibo is not None else ""
+        )
+        case = dataclasses.replace(case, name=case.name + tag, cfg=cfg)
     try:
         case = _apply_mimo_flag(case, args)
     except (ValueError, NotImplementedError) as e:
@@ -265,6 +312,18 @@ def _cmd_bench(args) -> int:
             code_desc = (
                 f"QC-LDPC nb=24 Z=128 rate {rate}, offset min-sum "
                 f"x{args.ldpc_iters} + interleaver"
+            )
+        elif getattr(args, "code", "conv") == "polar":
+            from sdr_tpu.link.coded import make_polar_fn, polar_params
+
+            N_pc = getattr(args, "polar_n", 256)
+            _, k_pc = polar_params(rate, N_pc)
+            errors, counted = make_polar_fn(
+                case.cfg, rate=rate, block_len=N_pc
+            )(key)
+            code_desc = (
+                f"polar ({N_pc},{k_pc}) Bhattacharyya construction, "
+                "SC min-sum + interleaver"
             )
         else:
             from sdr_tpu.link.coded import make_coded_fn
@@ -896,13 +955,36 @@ def build_parser() -> argparse.ArgumentParser:
         help="FEC code rate via 802.11a puncturing (with --coded)",
     )
     b.add_argument(
-        "--code", default="conv", choices=["conv", "ldpc"],
-        help="FEC family for --coded: convolutional+Viterbi or "
-             "QC-LDPC+min-sum (rates via --rate on either)",
+        "--code", default="conv", choices=["conv", "ldpc", "polar"],
+        help="FEC family for --coded: convolutional+Viterbi, "
+             "QC-LDPC+min-sum, or polar+SC (rates via --rate on any)",
     )
     b.add_argument(
         "--ldpc-iters", type=int, default=25,
         help="min-sum iterations for --code ldpc",
+    )
+    b.add_argument(
+        "--polar-n", type=int, default=256,
+        help="polar block length (power of 2, with --code polar)",
+    )
+    b.add_argument(
+        "--pa-ibo", type=float, default=None, metavar="DB",
+        help="TX Rapp PA input backoff in dB (promotes the case to "
+        "pilot estimation — the estimate absorbs the Bussgang gain)",
+    )
+    b.add_argument(
+        "--pa-p", type=float, default=2.0,
+        help="Rapp smoothness p (with --pa-ibo; large p = hard limiter)",
+    )
+    b.add_argument(
+        "--pa-dpd", action="store_true",
+        help="ideal digital predistortion ahead of the PA (with --pa-ibo)",
+    )
+    b.add_argument(
+        "--dft-spread", action="store_true",
+        help="SC-FDMA waveform: DFT-precode the data (low-PAPR, the "
+        "PA-friendly uplink choice); pilots become time-multiplexed "
+        "Zadoff-Chu symbols",
     )
     b.add_argument(
         "--fast", action="store_true",

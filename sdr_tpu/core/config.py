@@ -261,6 +261,16 @@ class ChannelConfig:
     # pilot_spacing is required (validated in LinkConfig).
     iq_gain: float = 1.0
     iq_phase_rad: float = 0.0
+    # TX power-amplifier nonlinearity (ops.pa, Rapp SSPA model): input
+    # backoff in dB over the nominal mean TX power (None = ideal linear
+    # transmitter, the reference's implicit assumption). Lower IBO =
+    # more compression = more nonlinear distortion. ``pa_smoothness``
+    # is the Rapp p parameter (p → ∞ is an ideal limiter);
+    # ``pa_dpd`` enables ideal digital predistortion (the exact Rapp
+    # inverse — the cascade becomes a pure peak clipper).
+    pa_ibo_db: float | None = None
+    pa_smoothness: float = 2.0
+    pa_dpd: bool = False
 
     def __post_init__(self) -> None:
         if len(self.pdp) < 1:
@@ -291,6 +301,18 @@ class ChannelConfig:
             raise ValueError(
                 f"|iq_phase_rad| must be <= 0.5, got {self.iq_phase_rad}"
             )
+        if self.pa_ibo_db is not None and not -10.0 <= self.pa_ibo_db <= 30.0:
+            raise ValueError(
+                f"pa_ibo_db must be in [-10, 30] dB, got {self.pa_ibo_db}"
+            )
+        if not 0.5 <= self.pa_smoothness <= 16.0:
+            raise ValueError(
+                f"pa_smoothness must be in [0.5, 16], got {self.pa_smoothness}"
+            )
+        if self.pa_dpd and self.pa_ibo_db is None:
+            raise ValueError(
+                "pa_dpd is predistortion FOR the PA: set pa_ibo_db too"
+            )
         if abs(self.cfo_subcarriers) > 4.99:
             # Fractional estimator covers +-1; the even-integer search
             # covers +-4 with the default window (ops.sync.acquire).
@@ -301,6 +323,10 @@ class ChannelConfig:
     @property
     def impaired(self) -> bool:
         return bool(self.cfo_subcarriers) or bool(self.timing_offset)
+
+    @property
+    def has_pa(self) -> bool:
+        return self.pa_ibo_db is not None
 
     @property
     def iq_imbalanced(self) -> bool:
@@ -326,10 +352,30 @@ class LinkConfig:
     estimator: ChannelEstimator = ChannelEstimator.LS
     # Multi-antenna configuration; None = SISO (the reference's mode).
     mimo: MIMOConfig | None = None
+    # DFT-spread OFDM (SC-FDMA, the LTE-uplink waveform): data points
+    # are DFT-precoded across the full grid before mapping, and
+    # de-spread after equalization. Single-carrier statistics cut the
+    # waveform's PAPR by several dB (obs.waveform), which is what makes
+    # it the PA-friendly (pa_ibo_db) uplink choice. With
+    # ``pilot_spacing`` set, pilots are TIME-multiplexed (LTE-style):
+    # every pilot_spacing-th OFDM symbol is a full-grid constant-modulus
+    # Zadoff-Chu reference symbol — a frequency comb would re-inject
+    # the impulse-train peaks the precode exists to remove.
+    dft_spread: bool = False
 
     def __post_init__(self) -> None:
         if self.pilot_spacing:
-            if self.pilot_spacing < 2 or self.pilot_spacing > self.ofdm.n_fft:
+            if self.dft_spread:
+                # Time-multiplexed pilot SYMBOLS: spacing counts OFDM
+                # symbols, one reference symbol leading each block.
+                if self.pilot_spacing < 2 or self.n_symbols % self.pilot_spacing:
+                    raise ValueError(
+                        "with dft_spread, pilot_spacing is the pilot-"
+                        "SYMBOL period: need >= 2 and n_symbols % "
+                        f"pilot_spacing == 0, got {self.pilot_spacing} "
+                        f"(n_symbols={self.n_symbols})"
+                    )
+            elif self.pilot_spacing < 2 or self.pilot_spacing > self.ofdm.n_fft:
                 raise ValueError(
                     f"pilot_spacing must be 0 or in [2, n_fft], got {self.pilot_spacing}"
                 )
@@ -337,6 +383,39 @@ class LinkConfig:
                 raise ValueError(
                     "pilot_spacing requires an equalizer (ZF or MMSE): "
                     "estimated CSI is only used through equalization"
+                )
+        if self.channel.has_pa:
+            if self.mimo is not None:
+                raise NotImplementedError(
+                    "PA nonlinearity + MIMO is not supported in one link "
+                    "yet (per-antenna Bussgang gains under the preamble "
+                    "estimators are unvalidated)"
+                )
+            if not self.pilot_spacing:
+                raise ValueError(
+                    "pa_ibo_db needs estimated CSI (pilot_spacing > 0): "
+                    "the pilot LS absorbs the PA's Bussgang gain — genie "
+                    "CSI has no access to the amplifier's compression"
+                )
+        if self.dft_spread and self.mimo is not None:
+            raise NotImplementedError(
+                "DFT-spread (SC-FDMA) + MIMO is not supported in one "
+                "link yet; set mimo=None or dft_spread=False"
+            )
+        if self.dft_spread and self.pilot_spacing:
+            # Block pilots estimate once per pilot_spacing symbols —
+            # a frame-static composite channel is what they can see.
+            if (
+                self.channel.model == ChannelModel.RAYLEIGH_TIME
+                or self.channel.impaired
+                or self.channel.phase_noise_std
+                or self.channel.iq_imbalanced
+            ):
+                raise NotImplementedError(
+                    "dft_spread uses time-multiplexed pilot symbols, "
+                    "which cannot track per-symbol variation: Jakes "
+                    "fading, CFO/timing acquisition, LO phase noise and "
+                    "I/Q imbalance are not supported with SC-FDMA yet"
                 )
         if self.channel.model == ChannelModel.MULTIPATH:
             if len(self.channel.pdp) > self.ofdm.cp_len + 1:
@@ -500,16 +579,32 @@ class LinkConfig:
 
     @property
     def n_data_subcarriers(self) -> int:
-        """Subcarriers carrying payload (n_fft minus the pilot comb)."""
+        """Subcarriers carrying payload (n_fft minus the pilot comb).
+
+        DFT-spread frames multiplex pilots in TIME (whole Zadoff-Chu
+        symbols), so their data symbols always load the full grid."""
         n = self.ofdm.n_fft
-        if not self.pilot_spacing:
+        if self.dft_spread or not self.pilot_spacing:
             return n
         n_pilots = (n + self.pilot_spacing - 1) // self.pilot_spacing
         return n - n_pilots
 
     @property
+    def n_pilot_symbols(self) -> int:
+        """Whole OFDM symbols spent on reference signals (SC-FDMA block
+        pilots); comb-pilot frames spend subcarriers instead."""
+        if self.dft_spread and self.pilot_spacing:
+            return self.n_symbols // self.pilot_spacing
+        return 0
+
+    @property
+    def n_data_symbols(self) -> int:
+        """OFDM symbols carrying payload out of the n_symbols frame."""
+        return self.n_symbols - self.n_pilot_symbols
+
+    @property
     def bits_per_ofdm_symbol(self) -> int:
-        """Payload bits per OFDM symbol PERIOD (all spatial streams)."""
+        """Payload bits per DATA symbol period (all spatial streams)."""
         return (
             self.n_data_subcarriers
             * self.modulation.bits_per_symbol
@@ -518,7 +613,7 @@ class LinkConfig:
 
     @property
     def bits_total(self) -> int:
-        return self.n_channels * self.n_symbols * self.bits_per_ofdm_symbol
+        return self.n_channels * self.n_data_symbols * self.bits_per_ofdm_symbol
 
     @property
     def samples_per_symbol(self) -> int:
@@ -541,7 +636,11 @@ def link_config_to_dict(cfg: LinkConfig) -> dict:
             "phase_noise_std": cfg.channel.phase_noise_std,
             "iq_gain": cfg.channel.iq_gain,
             "iq_phase_rad": cfg.channel.iq_phase_rad,
+            "pa_ibo_db": cfg.channel.pa_ibo_db,
+            "pa_smoothness": cfg.channel.pa_smoothness,
+            "pa_dpd": cfg.channel.pa_dpd,
         },
+        "dft_spread": cfg.dft_spread,
         "equalizer": cfg.equalizer.value,
         "estimator": cfg.estimator.value,
         "n_symbols": cfg.n_symbols,
@@ -594,7 +693,11 @@ def link_config_from_dict(d: dict) -> LinkConfig:
             phase_noise_std=ch.get("phase_noise_std", 0.0),
             iq_gain=ch.get("iq_gain", 1.0),
             iq_phase_rad=ch.get("iq_phase_rad", 0.0),
+            pa_ibo_db=ch.get("pa_ibo_db"),
+            pa_smoothness=ch.get("pa_smoothness", 2.0),
+            pa_dpd=ch.get("pa_dpd", False),
         ),
+        dft_spread=d.get("dft_spread", False),
         equalizer=Equalizer(d.get("equalizer", "none")),
         estimator=ChannelEstimator(d.get("estimator", "ls")),
         n_symbols=d.get("n_symbols", 16),

@@ -92,6 +92,8 @@ def supported(cfg: LinkConfig) -> bool:
         and cfg.mimo is None
         and cfg.channel.cfo_subcarriers == 0.0
         and cfg.channel.timing_offset == 0
+        and not cfg.dft_spread
+        and not cfg.channel.has_pa
         and (cfg.n_channels * cfg.n_symbols) % 8 == 0
     )
     if not common:

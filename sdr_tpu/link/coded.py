@@ -46,7 +46,7 @@ def info_bits_per_channel(
     one frame (``rate``: "1/2", "2/3" or "3/4" — the 802.11a family).
     MIMO frames carry n_streams x the bits (bits_per_ofdm_symbol
     already accounts for it)."""
-    frame_bits = cfg.n_symbols * cfg.bits_per_ofdm_symbol
+    frame_bits = cfg.n_data_symbols * cfg.bits_per_ofdm_symbol
     R = len(polys)
     # Upper bound from the average punctured rate, then trim exactly.
     n_info = (frame_bits * int(rate[0])) // int(rate[2]) - (K - 1)
@@ -72,14 +72,14 @@ def _frame_llrs(cfg: LinkConfig, key: jax.Array, frame: jnp.ndarray):
 
         bits = frame.reshape(cfg.mimo.n_streams, cfg.n_symbols, -1)
         return mimo_llr_link(cfg, key, bits).reshape(-1)
-    tx = tx_chain(cfg, frame.reshape(cfg.n_symbols, cfg.bits_per_ofdm_symbol))
+    tx = tx_chain(cfg, frame.reshape(cfg.n_data_symbols, cfg.bits_per_ofdm_symbol))
     rx, h_freq, nv = apply_channel(cfg, key, tx)
     llrs, _ = rx_chain(cfg, rx, h_freq, nv)
     return llrs.reshape(-1)[:frame_bits]
 
 
 def _coded_one(cfg: LinkConfig, key: jax.Array, n_info: int, polys, K, rate):
-    frame_bits = cfg.n_symbols * cfg.bits_per_ofdm_symbol
+    frame_bits = cfg.n_data_symbols * cfg.bits_per_ofdm_symbol
     n_steps = n_info + K - 1
     sent = punctured_len(n_info, rate, polys, K)
 
@@ -145,7 +145,7 @@ def ldpc_code_for(rate: str = "1/2", z: int = 128):
 def ldpc_codewords_per_channel(cfg: LinkConfig, code) -> int:
     """Whole codewords per frame (the remainder of the frame is zero
     padding — known bits the receiver never counts)."""
-    frame_bits = cfg.n_symbols * cfg.bits_per_ofdm_symbol
+    frame_bits = cfg.n_data_symbols * cfg.bits_per_ofdm_symbol
     n_cw = frame_bits // code.n
     if n_cw < 1:
         raise ValueError(
@@ -157,7 +157,7 @@ def ldpc_codewords_per_channel(cfg: LinkConfig, code) -> int:
 def _ldpc_one(cfg: LinkConfig, key: jax.Array, code, n_cw: int, iters: int):
     from sdr_tpu.ops.ldpc import ldpc_decode, ldpc_encode
 
-    frame_bits = cfg.n_symbols * cfg.bits_per_ofdm_symbol
+    frame_bits = cfg.n_data_symbols * cfg.bits_per_ofdm_symbol
     sent = n_cw * code.n
 
     kbits = prng.role_key(key, prng.ROLE_PAYLOAD)
@@ -198,4 +198,70 @@ def make_ldpc_fn(
 ):
     return jax.jit(
         functools.partial(simulate_ldpc, cfg, rate=rate, iters=iters, z=z)
+    )
+
+
+def polar_params(rate: str = "1/2", block_len: int = 256):
+    """(block_len, k) for a nominal rate from the 802.11a-style rate
+    strings the other code families use; non-dyadic rates round to the
+    nearest k (actual rate printed by the CLI is k/block_len)."""
+    num, den = int(rate[0]), int(rate[2])
+    k = max(1, round(block_len * num / den))
+    return block_len, k
+
+
+def polar_codewords_per_channel(cfg: LinkConfig, block_len: int) -> int:
+    frame_bits = cfg.n_data_symbols * cfg.bits_per_ofdm_symbol
+    n_cw = frame_bits // block_len
+    if n_cw < 1:
+        raise ValueError(
+            f"frame of {frame_bits} bits cannot fit an N={block_len} "
+            "polar codeword"
+        )
+    return n_cw
+
+
+def _polar_one(cfg: LinkConfig, key: jax.Array, block_len: int, k: int,
+               n_cw: int):
+    from sdr_tpu.ops.polar import polar_decode_sc, polar_encode_info
+
+    frame_bits = cfg.n_data_symbols * cfg.bits_per_ofdm_symbol
+    sent = n_cw * block_len
+
+    kbits = prng.role_key(key, prng.ROLE_PAYLOAD)
+    info = jax.random.bernoulli(kbits, 0.5, (n_cw, k)).astype(jnp.int8)
+    cw = polar_encode_info(info, block_len).reshape(-1)
+    # Whole-frame interleave, same convention as the conv/LDPC paths.
+    frame = interleave(jnp.zeros((frame_bits,), jnp.int8).at[:sent].set(cw))
+    llr_cw = deinterleave(_frame_llrs(cfg, key, frame))[:sent]
+    decoded = polar_decode_sc(
+        llr_cw.reshape(n_cw, block_len), block_len, k
+    )
+    errors = jnp.sum((decoded != info).astype(jnp.int32))
+    return errors, jnp.int32(n_cw * k)
+
+
+def simulate_polar(
+    cfg: LinkConfig,
+    key: jax.Array,
+    rate: str = "1/2",
+    block_len: int = 256,
+):
+    """Polar-coded link (SC decoding) over cfg.n_channels; returns
+    (errors, counted) per channel, counting INFORMATION bits."""
+    block_len, k = polar_params(rate, block_len)
+    n_cw = polar_codewords_per_channel(cfg, block_len)
+    ch_keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(
+        jnp.arange(cfg.n_channels)
+    )
+    return jax.vmap(
+        functools.partial(
+            _polar_one, cfg, block_len=block_len, k=k, n_cw=n_cw
+        )
+    )(ch_keys)
+
+
+def make_polar_fn(cfg: LinkConfig, rate: str = "1/2", block_len: int = 256):
+    return jax.jit(
+        functools.partial(simulate_polar, cfg, rate=rate, block_len=block_len)
     )

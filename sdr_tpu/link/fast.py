@@ -221,6 +221,11 @@ def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto"):
             "fast_simulate is SISO; MIMO links run in "
             "link.pipeline.simulate (set mimo=None here)"
         )
+    if cfg.dft_spread:
+        raise NotImplementedError(
+            "fast_simulate's fused kernels demap per subcarrier; the "
+            "DFT-spread (SC-FDMA) waveform runs in link.pipeline.simulate"
+        )
     return fast_core(cfg, key, jnp.arange(cfg.n_channels), backend)
 
 

@@ -51,8 +51,10 @@ class LinkResult:
 
 
 def generate_bits(cfg: LinkConfig, key: jax.Array) -> jnp.ndarray:
-    """Source bits (n_symbols, bits_per_ofdm_symbol), int8, for ONE channel."""
-    shape = (cfg.n_symbols, cfg.bits_per_ofdm_symbol)
+    """Source bits (n_data_symbols, bits_per_ofdm_symbol), int8, for ONE
+    channel (n_data_symbols == n_symbols except for SC-FDMA block-pilot
+    frames, whose reference symbols carry no payload)."""
+    shape = (cfg.n_data_symbols, cfg.bits_per_ofdm_symbol)
     return jax.random.bernoulli(key, 0.5, shape).astype(jnp.int8)
 
 
@@ -62,9 +64,42 @@ def tx_chain(cfg: LinkConfig, bits: jnp.ndarray) -> jnp.ndarray:
     With ``cfg.pilot_spacing`` set, data points fill the non-pilot
     subcarriers and the known comb pilot occupies the rest
     (ops.pilots) — bits/sym shrinks accordingly (cfg.bits_per_ofdm_symbol).
+
+    With ``cfg.dft_spread`` (SC-FDMA), the data points are DFT-precoded
+    across the data set first (unitary scaling, so Es stays 1 and the
+    noise calibration is untouched); pilots are NOT spread — they are
+    known per-subcarrier references. The precoder is a plain unitary
+    DFT over however many data positions exist (any length — this is
+    not the reference-contract OFDM transform, which stays power-of-2).
     """
-    points = modulate(bits, cfg.modulation)  # (..., n_symbols, n_data)
-    if cfg.pilot_spacing:
+    points = modulate(bits, cfg.modulation)  # (..., n_data_symbols, n_data)
+    if cfg.dft_spread:
+        m = points.shape[-1]
+        points = (jnp.fft.fft(points, axis=-1) * jnp.float32(m**-0.5)).astype(
+            jnp.complex64
+        )
+        if cfg.pilot_spacing:
+            # Time-multiplexed reference symbols: each block is
+            # [Zadoff-Chu pilot | pilot_spacing-1 spread-data symbols].
+            # The chirp is CAZAC, so the pilot symbol is just as
+            # constant-modulus through the PA as the data symbols —
+            # a frequency comb here would re-inject the impulse-train
+            # peaks the precode removes (and its clipping products land
+            # exactly back on the comb tones, biasing the estimate).
+            from sdr_tpu.ops.pilots import zadoff_chu
+
+            p = cfg.pilot_spacing
+            B = cfg.n_symbols // p
+            n_fft = cfg.ofdm.n_fft
+            batch = points.shape[:-2]
+            blocks = points.reshape(batch + (B, p - 1, n_fft))
+            zc = jnp.broadcast_to(
+                jnp.asarray(zadoff_chu(n_fft)), batch + (B, 1, n_fft)
+            )
+            points = jnp.concatenate([zc, blocks], axis=-2).reshape(
+                batch + (cfg.n_symbols, n_fft)
+            )
+    elif cfg.pilot_spacing:
         from sdr_tpu.ops.pilots import insert_pilots
 
         points = insert_pilots(points, cfg.ofdm.n_fft, cfg.pilot_spacing)
@@ -85,6 +120,21 @@ def apply_channel(cfg: LinkConfig, key: jax.Array, tx: jnp.ndarray):
     is exact. Config validation guarantees pilots are present to track
     the resulting common phase.
     """
+    if cfg.channel.has_pa:
+        # TX front-end runs BEFORE the air: Rapp compression (optionally
+        # predistorted) of the time-domain waveform. Nominal input power
+        # is 1/n_fft — unit-power subcarriers through the reference's
+        # 1/N inverse FFT (fft.hpp:197-204) — a static design constant,
+        # so the PA characteristic is sharding/batching-invariant.
+        from sdr_tpu.ops import pa
+
+        tx = pa.apply_pa(
+            tx,
+            cfg.channel.pa_ibo_db,
+            1.0 / cfg.ofdm.n_fft,
+            cfg.channel.pa_smoothness,
+            cfg.channel.pa_dpd,
+        )
     rx, h_freq, nv = _apply_channel_model(cfg, key, tx)
     std = cfg.channel.phase_noise_std
     if std:
@@ -169,7 +219,30 @@ def rx_chain(
     y = ofdm_rx(rx_samples, cfg.ofdm.cp_len)  # (..., n_symbols, n_fft)
     nv = jnp.maximum(jnp.asarray(noise_var, jnp.float32), 1e-12)
 
-    if cfg.pilot_spacing:
+    if cfg.pilot_spacing and cfg.dft_spread:
+        # SC-FDMA block pilots: strip the Zadoff-Chu reference symbols,
+        # LS-estimate from them (ops.pilots.estimate_block_pilots), and
+        # equalize the full-grid data symbols with the frame estimate.
+        from sdr_tpu.ops.pilots import estimate_block_pilots
+
+        p = cfg.pilot_spacing
+        B = cfg.n_symbols // p
+        n_fft = y.shape[-1]
+        batch = y.shape[:-2]
+        yb = y.reshape(batch + (B, p, n_fft))
+        y_pil = yb[..., 0, :]
+        y = yb[..., 1:, :].reshape(batch + (cfg.n_data_symbols, n_fft))
+        n_taps = (
+            min(cfg.ofdm.cp_len + 1, n_fft)
+            if cfg.estimator == ChannelEstimator.DFT
+            else 0
+        )
+        h_est = estimate_block_pilots(y_pil, n_taps)[..., None, :]
+        if cfg.equalizer == Equalizer.ZF:
+            s, eff_var = eq.equalize_zf(y, h_est, nv)
+        else:
+            s, eff_var = eq.equalize_mmse(y, h_est, nv)
+    elif cfg.pilot_spacing:
         from sdr_tpu.ops.pilots import (
             dft_n_taps,
             estimate_dft_comb,
@@ -219,6 +292,21 @@ def rx_chain(
     else:
         s, eff_var = y, nv
 
+    if cfg.dft_spread:
+        # SC-FDMA de-spread: unitary IDFT over the equalized data set.
+        # The despread noise variance is EXACTLY the mean of the
+        # per-subcarrier post-equalizer variances (each IDFT row has
+        # uniform magnitude 1/sqrt(M) and subcarrier noise is
+        # independent) — the classic SC-FDMA noise-averaging behavior
+        # that trades OFDM's per-tone outage for a uniform floor.
+        m = s.shape[-1]
+        eff_var = jnp.mean(
+            jnp.broadcast_to(eff_var, s.shape), axis=-1, keepdims=True
+        )
+        s = (jnp.fft.ifft(s, axis=-1) * jnp.float32(m**0.5)).astype(
+            jnp.complex64
+        )
+
     llrs = llr_maxlog(s, cfg.modulation, eff_var)
     return llrs, llr_to_hard_bits(llrs)
 
@@ -252,6 +340,20 @@ def _simulate_one_acquired(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
             jnp.zeros((sym_len,), jnp.complex64),
         ]
     )
+    if cfg.channel.has_pa:
+        # The PA compresses everything the antenna radiates — the S&C
+        # preamble included (its half-symbol repetition survives any
+        # memoryless nonlinearity, so acquisition still locks). The
+        # zero-padding stretches map to zero through the odd AM/AM.
+        from sdr_tpu.ops import pa
+
+        stream = pa.apply_pa(
+            stream,
+            cfg.channel.pa_ibo_db,
+            1.0 / n_fft,
+            cfg.channel.pa_smoothness,
+            cfg.channel.pa_dpd,
+        )
 
     model = cfg.channel.model
     nv = chan.ebno_db_to_noise_var(cfg.channel.ebno_db, cfg.modulation.bits_per_symbol)

@@ -48,6 +48,11 @@ def _check_blocking(cfg: LinkConfig, n_blocks: int) -> int:
             "the blocked-stream path is SISO; MIMO links run in "
             "link.pipeline.simulate (set mimo=None here)"
         )
+    if cfg.dft_spread:
+        raise NotImplementedError(
+            "the blocked-stream path demaps per subcarrier; the "
+            "DFT-spread (SC-FDMA) waveform runs in link.pipeline.simulate"
+        )
     if cfg.n_symbols % n_blocks != 0:
         raise ValueError(
             f"n_symbols={cfg.n_symbols} not divisible by n_blocks={n_blocks}"

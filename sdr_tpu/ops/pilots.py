@@ -25,6 +25,41 @@ PILOT_VALUE = complex(2 ** -0.5, 2 ** -0.5)
 
 
 @functools.lru_cache(maxsize=None)
+def zadoff_chu(n: int, root: int = 1) -> np.ndarray:
+    """Length-n Zadoff-Chu sequence (unit power per element), complex64.
+
+    x[k] = exp(-jπ·u·k²/n) for even n (all our grids are powers of 2);
+    exp(-jπ·u·k(k+1)/n) for odd n. CAZAC: constant amplitude in BOTH
+    domains (its DFT is again a scaled chirp), which is exactly what a
+    full-grid SC-FDMA reference symbol needs — every subcarrier
+    observed at unit power for LS estimation, while the time-domain
+    waveform stays constant-modulus through the PA. NUMPY result (see
+    _dft_projection_full's tracer note).
+    """
+    k = np.arange(n, dtype=np.float64)
+    quad = k * k if n % 2 == 0 else k * (k + 1)
+    return np.exp(-1j * np.pi * root * quad / n).astype(np.complex64)
+
+
+def estimate_block_pilots(y_pil: jnp.ndarray, n_taps: int = 0) -> jnp.ndarray:
+    """LS channel estimate from full-grid Zadoff-Chu pilot SYMBOLS.
+
+    y_pil: (..., n_blocks, n_fft) received reference symbols (one per
+    SC-FDMA pilot block). Per-tone LS against the known chirp, averaged
+    over the blocks (frame-static channels — config validation gates
+    time-varying models out of this mode), optionally projected onto
+    the n_taps-tap impulse-response subspace (the DFT denoiser —
+    estimation noise outside the delay spread is discarded).
+    Returns (..., n_fft).
+    """
+    zc = jnp.asarray(zadoff_chu(y_pil.shape[-1]))
+    h = jnp.mean(y_pil * jnp.conj(zc), axis=-2)  # |zc|=1: conj == divide
+    if n_taps:
+        h = h @ jnp.asarray(_dft_projection_full(h.shape[-1], n_taps))
+    return h
+
+
+@functools.lru_cache(maxsize=None)
 def pilot_indices(n_fft: int, spacing: int) -> tuple:
     """Static comb indices 0, spacing, 2·spacing, ... (< n_fft)."""
     if spacing < 2:
