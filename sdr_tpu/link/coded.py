@@ -221,24 +221,39 @@ def polar_codewords_per_channel(cfg: LinkConfig, block_len: int) -> int:
     return n_cw
 
 
-def _polar_one(cfg: LinkConfig, key: jax.Array, block_len: int, k: int,
-               n_cw: int):
-    from sdr_tpu.ops.polar import polar_decode_sc, polar_encode_info
+def _polar_one(cfg: LinkConfig, key: jax.Array, code, n_cw: int,
+               list_size: int):
+    from sdr_tpu.ops.polar import polar_decode_scl, polar_encode_payload
 
     frame_bits = cfg.n_data_symbols * cfg.bits_per_ofdm_symbol
-    sent = n_cw * block_len
+    sent = n_cw * code.block_len
 
     kbits = prng.role_key(key, prng.ROLE_PAYLOAD)
-    info = jax.random.bernoulli(kbits, 0.5, (n_cw, k)).astype(jnp.int8)
-    cw = polar_encode_info(info, block_len).reshape(-1)
+    payload = jax.random.bernoulli(
+        kbits, 0.5, (n_cw, code.payload_len)
+    ).astype(jnp.int8)
+    cw = polar_encode_payload(payload, code).reshape(-1)
     # Whole-frame interleave, same convention as the conv/LDPC paths.
     frame = interleave(jnp.zeros((frame_bits,), jnp.int8).at[:sent].set(cw))
     llr_cw = deinterleave(_frame_llrs(cfg, key, frame))[:sent]
-    decoded = polar_decode_sc(
-        llr_cw.reshape(n_cw, block_len), block_len, k
+    decoded = polar_decode_scl(
+        llr_cw.reshape(n_cw, code.block_len), code, list_size=list_size
     )
-    errors = jnp.sum((decoded != info).astype(jnp.int32))
-    return errors, jnp.int32(n_cw * k)
+    errors = jnp.sum((decoded != payload).astype(jnp.int32))
+    return errors, jnp.int32(n_cw * code.payload_len)
+
+
+def polar_code_for(rate: str = "1/2", block_len: int = 256,
+                   crc: str | None = "crc11"):
+    """The framework's stock CA-polar code for a nominal rate string.
+
+    k counts info POSITIONS (payload + CRC); the realized info rate is
+    (k - crc_len)/block_len — the CRC overhead is the price of list
+    selection, exactly as in 5G control channels."""
+    from sdr_tpu.ops.polar import make_polar_code
+
+    block_len, k = polar_params(rate, block_len)
+    return make_polar_code(block_len, k, crc=crc)
 
 
 def simulate_polar(
@@ -246,22 +261,34 @@ def simulate_polar(
     key: jax.Array,
     rate: str = "1/2",
     block_len: int = 256,
+    list_size: int = 8,
+    crc: str | None = "crc11",
 ):
-    """Polar-coded link (SC decoding) over cfg.n_channels; returns
-    (errors, counted) per channel, counting INFORMATION bits."""
-    block_len, k = polar_params(rate, block_len)
-    n_cw = polar_codewords_per_channel(cfg, block_len)
+    """Polar-coded link (CRC-aided SC-list decoding) over
+    cfg.n_channels; returns (errors, counted) per channel, counting
+    PAYLOAD bits (info positions minus the CRC)."""
+    code = polar_code_for(rate, block_len, crc)
+    n_cw = polar_codewords_per_channel(cfg, code.block_len)
     ch_keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(
         jnp.arange(cfg.n_channels)
     )
     return jax.vmap(
         functools.partial(
-            _polar_one, cfg, block_len=block_len, k=k, n_cw=n_cw
+            _polar_one, cfg, code=code, n_cw=n_cw, list_size=list_size
         )
     )(ch_keys)
 
 
-def make_polar_fn(cfg: LinkConfig, rate: str = "1/2", block_len: int = 256):
+def make_polar_fn(
+    cfg: LinkConfig,
+    rate: str = "1/2",
+    block_len: int = 256,
+    list_size: int = 8,
+    crc: str | None = "crc11",
+):
     return jax.jit(
-        functools.partial(simulate_polar, cfg, rate=rate, block_len=block_len)
+        functools.partial(
+            simulate_polar, cfg, rate=rate, block_len=block_len,
+            list_size=list_size, crc=crc,
+        )
     )

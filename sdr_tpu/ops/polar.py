@@ -1,10 +1,12 @@
-"""Polar codes: Arikan construction, butterfly encoder, SC decoder.
+"""Polar codes: construction, butterfly encoder, SC and CA-SCL decoders.
 
 The third FEC family (next to the convolutional code + Viterbi in
 ops.fec and the QC-LDPC + min-sum in ops.ldpc — together the classic /
 5G-data / 5G-control roster). The reference has no channel coding at
 all (its loopback decodes exactly, QFDemoWindow.cpp:201-224); this is
-north-star capability.
+north-star capability. As soft-decision FEC it replaces the
+reference's hard-decision nearest-point scan
+(/root/reference/lib/inc/modulation.hpp:50-67).
 
 TPU shape discipline:
 - the ENCODER is the n-stage butterfly x = u·F^{⊗n} (F = [[1,0],[1,1]],
@@ -18,22 +20,40 @@ TPU shape discipline:
   the bit INDEX — so it is precomputed as static tables and dispatched
   with ``lax.switch`` over n+1 fixed-shape branches. All segment
   widths are static Python ints (N/2^d at depth d).
+- the SCL DECODER treats the LIST as one more leading batch axis on
+  the same planes ((L, n+1, N)); forking is a concatenation of the
+  stay/flip path metrics and one ``lax.top_k`` per bit, survivor
+  states gathered by parent index. Inactive list slots are modelled as
+  paths with a huge metric — no dynamic list growth, static shapes
+  throughout. CRC-aided selection is a GF(2) syndrome matmul over the
+  final list (the CRC is linear, so validity is ``info @ M == 0`` for
+  a precomputed matrix M).
 - min-sum (max-log) f/g updates in float32, the same approximation
-  family as the max-log LLR demapper and the min-sum LDPC decoder.
+  family as the max-log LLR demapper and the min-sum LDPC decoder;
+  path-metric penalties use the standard |LLR|-on-disagreement
+  approximation.
 
-SC is inherently bit-serial (the decision for bit i feeds the partial
-sums bit i+1 needs) — the scan IS the algorithm, not a compromise; the
-codeword axis provides the data parallelism (vmap/batch), which is
-where the TPU lanes go. This decoder is the capability/BER-parity
-path, not a throughput kernel.
+SC/SCL are inherently bit-serial (the decision for bit i feeds the
+partial sums bit i+1 needs) — the scan IS the algorithm, not a
+compromise; the codeword and list axes provide the data parallelism
+(vmap/batch), which is where the TPU lanes go. This decoder is the
+capability/BER-parity path, not a throughput kernel.
 
-Construction: Bhattacharyya-parameter recursion (Arikan's heuristic
-for the BEC): z -> {2z - z², z²}, deterministic and cached per (N, K).
+Constructions:
+- Bhattacharyya-parameter recursion (Arikan's BEC heuristic):
+  z -> {2z - z², z²} (``polar_construct``), kept for the SC oracle
+  tests;
+- Gaussian approximation for BPSK-AWGN density evolution
+  (``polar_construct_ga``): track the mean LLR m, worse child
+  phi_inv(1 - (1 - phi(m))²), better child 2m, with Chung's phi
+  approximation — the production default (``make_polar_code``).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import math
 
 import numpy as np
 import jax
@@ -62,7 +82,16 @@ def polar_construct(block_len: int, k: int, design_z: float = 0.5):
         raise ValueError(f"k must be in [1, {block_len}], got {k}")
     z = np.array([design_z], dtype=np.float64)
     for _ in range(n):
-        z = np.concatenate([2.0 * z - z * z, z * z])
+        nz = np.empty(2 * z.size, np.float64)
+        # Standard recursion W_{2N}^{(2j)} = worse(W_N^{(j)}),
+        # W_{2N}^{(2j+1)} = better(W_N^{(j)}) — INTERLEAVED, not
+        # concatenated: worse/better do not commute, and genie-aided
+        # per-position error measurements on this encoder match the
+        # interleaved order (concat permutes reliabilities and costs
+        # several dB at N >= 512).
+        nz[0::2] = 2.0 * z - z * z
+        nz[1::2] = z * z
+        z = nz
     # z[i] is the Bhattacharyya parameter of synthetic channel i in
     # natural (encoder-input) order. Stable argsort keeps ties
     # deterministic.
@@ -240,3 +269,330 @@ def polar_decode_sc(
     u_all = jax.vmap(decode_one)(flat)
     info = u_all[:, jnp.asarray(info_idx)]
     return info.reshape(batch + (k,))
+
+
+# ---------------------------------------------------------------------------
+# Gaussian-approximation construction (BPSK-AWGN density evolution).
+
+# phi() underflows to exactly 0.0 past ~3000 (exp(-m/4) leaves float64
+# range); clamping keeps phi_inv's bracket well-conditioned. Channels
+# at the clamp are "perfect" — their relative order no longer matters.
+_GA_M_MAX = 2800.0
+
+
+def _ga_phi(m: float) -> float:
+    """Chung et al.'s approximation of E[tanh(L/2)]-style phi(m):
+    decreasing, phi(0)=1, phi(inf)=0."""
+    if m <= 1e-12:
+        return 1.0
+    if m < 10.0:
+        return math.exp(-0.4527 * m**0.86 + 0.0218)
+    return math.sqrt(math.pi / m) * math.exp(-m / 4.0) * (1.0 - 10.0 / (7.0 * m))
+
+
+def _ga_phi_inv(y: float) -> float:
+    """Inverse of _ga_phi on [0, _GA_M_MAX] by bisection (phi is
+    strictly decreasing)."""
+    if y >= 1.0:
+        return 0.0
+    lo, hi = 0.0, _GA_M_MAX
+    if _ga_phi(hi) >= y:
+        return hi
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if _ga_phi(mid) > y:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+@functools.lru_cache(maxsize=None)
+def polar_construct_ga(block_len: int, k: int, design_snr_db: float = 2.0):
+    """Info-bit positions via the Gaussian approximation.
+
+    Models each synthetic channel's LLR as N(m, 2m) and density-evolves
+    the mean: worse (f) child m' = phi_inv(1 - (1 - phi(m))²), better
+    (g) child m' = 2m, from the channel mean m0 = 4·Es/N0 (BPSK, Es=1,
+    sigma² = N0/2 per dim → E[2y/sigma²] = 4·Es/N0). The k positions
+    with the LARGEST final mean carry information. design_snr_db is
+    Es/N0 per coded bit in dB.
+    """
+    n = _require_pow2(block_len)
+    if not 1 <= k <= block_len:
+        raise ValueError(f"k must be in [1, {block_len}], got {k}")
+    m0 = 4.0 * 10.0 ** (design_snr_db / 10.0)
+    m = np.array([min(m0, _GA_M_MAX)], dtype=np.float64)
+    for _ in range(n):
+        nm = np.empty(2 * m.size, np.float64)
+        # Interleaved recursion (see polar_construct): index parity,
+        # not half, selects worse/better — validated against
+        # genie-aided per-position error rates on this encoder.
+        nm[0::2] = [_ga_phi_inv(1.0 - (1.0 - _ga_phi(x)) ** 2) for x in m]
+        nm[1::2] = np.minimum(2.0 * m, _GA_M_MAX)
+        m = nm
+    # Largest mean = most reliable; stable sort keeps ties (clamped
+    # channels) deterministic.
+    order = np.argsort(-m, kind="stable")
+    info_idx = np.sort(order[:k]).astype(np.int32)
+    frozen = np.ones(block_len, dtype=bool)
+    frozen[info_idx] = False
+    return info_idx, frozen
+
+
+# ---------------------------------------------------------------------------
+# CRC as GF(2) linear algebra (the CRC of a zero-initialized LFSR is
+# linear in the message, so both generation and syndrome checking are
+# precomputed matrices — one int matmul per codeword on device).
+
+#: CRC polynomials by name: (degree, coefficient bits below the top
+#: term, MSB first). crc11 is 5G NR's g(x)=x^11+x^10+x^9+x^5+1.
+_CRC_POLYS = {
+    "crc8": (8, 0x9B),   # x^8+x^4+x^3+x+1 (ITU I.432.1 without the +1 form)
+    "crc11": (11, 0x621),
+    "crc16": (16, 0x1021),  # CCITT x^16+x^12+x^5+1
+}
+
+
+def _crc_lfsr_matrix(msg_len: int, crc_name: str) -> np.ndarray:
+    """(msg_len, c) GF(2) matrix M with CRC(msg) = msg @ M (mod 2):
+    column j of row i is the j-th CRC bit of the i-th unit message.
+    Computed by running the MSB-first LFSR over each basis vector."""
+    c, low = _CRC_POLYS[crc_name]
+    taps = np.array([(low >> (c - 1 - j)) & 1 for j in range(c)], np.int8)
+    M = np.zeros((msg_len, c), np.int8)
+    for i in range(msg_len):
+        reg = np.zeros(c, np.int8)
+        for pos in range(msg_len):
+            b = 1 if pos == i else 0
+            fb = reg[0] ^ b
+            reg = np.concatenate([reg[1:], np.zeros(1, np.int8)])
+            if fb:
+                reg ^= taps
+        M[i] = reg
+    return M
+
+
+@functools.lru_cache(maxsize=None)
+def crc_matrices(payload_len: int, crc_name: str):
+    """(gen, chk): gen (payload_len, c) with crc = payload @ gen; chk
+    (payload_len + c, c) with syndrome = (payload‖crc) @ chk == 0 iff
+    the CRC is consistent (appending the remainder zeroes the LFSR)."""
+    c, _ = _CRC_POLYS[crc_name]
+    gen = _crc_lfsr_matrix(payload_len, crc_name)
+    chk = _crc_lfsr_matrix(payload_len + c, crc_name)
+    return gen, chk
+
+
+# ---------------------------------------------------------------------------
+# PolarCode: the static descriptor the encoder/decoder pair shares.
+
+
+@dataclasses.dataclass(frozen=True)
+class PolarCode:
+    """Static (trace-time) polar code descriptor.
+
+    block_len = N, k = info POSITIONS (payload + CRC bits), crc: name
+    from _CRC_POLYS or None. payload_len = k - crc_len is what users
+    send/count. Arrays are numpy (static tables baked into the jitted
+    program).
+    """
+
+    block_len: int
+    k: int
+    crc: str | None
+    info_idx: np.ndarray = dataclasses.field(compare=False)
+    frozen: np.ndarray = dataclasses.field(compare=False)
+
+    @property
+    def crc_len(self) -> int:
+        return _CRC_POLYS[self.crc][0] if self.crc else 0
+
+    @property
+    def payload_len(self) -> int:
+        return self.k - self.crc_len
+
+    @property
+    def rate(self) -> float:
+        return self.payload_len / self.block_len
+
+
+@functools.lru_cache(maxsize=None)
+def make_polar_code(
+    block_len: int,
+    k: int,
+    crc: str | None = "crc11",
+    design_snr_db: float = 2.0,
+    construction: str = "ga",
+) -> PolarCode:
+    """Build the production code: GA construction by default, CRC-11
+    inside the k info positions (payload = k - 11 bits)."""
+    if crc is not None and crc not in _CRC_POLYS:
+        raise ValueError(f"crc must be one of {sorted(_CRC_POLYS)} or None")
+    c = _CRC_POLYS[crc][0] if crc else 0
+    if k - c < 1:
+        raise ValueError(
+            f"k={k} leaves no payload after a {c}-bit CRC"
+        )
+    if construction == "ga":
+        info_idx, frozen = polar_construct_ga(block_len, k, design_snr_db)
+    elif construction == "bhattacharyya":
+        info_idx, frozen = polar_construct(block_len, k)
+    else:
+        raise ValueError("construction must be 'ga' or 'bhattacharyya'")
+    return PolarCode(block_len, k, crc, info_idx, frozen)
+
+
+def polar_encode_payload(payload: jnp.ndarray, code: PolarCode) -> jnp.ndarray:
+    """Payload bits (..., payload_len) → codeword (..., N): append the
+    CRC (GF(2) matmul), scatter into the info positions, butterfly."""
+    if payload.shape[-1] != code.payload_len:
+        raise ValueError(
+            f"payload last axis {payload.shape[-1]} != {code.payload_len}"
+        )
+    info = payload.astype(jnp.int8)
+    if code.crc_len:
+        gen, _ = crc_matrices(code.payload_len, code.crc)
+        crc = jnp.mod(
+            payload.astype(jnp.int32) @ jnp.asarray(gen, jnp.int32), 2
+        ).astype(jnp.int8)
+        info = jnp.concatenate([info, crc], axis=-1)
+    u = jnp.zeros(payload.shape[:-1] + (code.block_len,), jnp.int8)
+    u = u.at[..., jnp.asarray(code.info_idx)].set(info)
+    return polar_encode(u)
+
+
+def polar_decode_scl(
+    llr: jnp.ndarray, code: PolarCode, list_size: int = 8
+) -> jnp.ndarray:
+    """CRC-aided successive-cancellation LIST decode.
+
+    llr: float32 (..., N) channel LLRs (positive ⇒ bit 0). Returns the
+    decoded PAYLOAD bits int8 (..., payload_len): the lowest-metric
+    path whose CRC checks, falling back to the lowest-metric path if
+    none does (plain SCL when code.crc is None; plain SC at
+    list_size=1).
+
+    The list is a leading axis of the same (n+1, N) LLR/partial-sum
+    planes the SC decoder scans; each bit forks every path into
+    stay/flip with path-metric penalty |leaf LLR| on the decision that
+    disagrees with the LLR sign, and one lax.top_k keeps the best
+    list_size of the 2·list_size candidates (frozen bits force the
+    flip candidates out with a huge penalty — the scan body stays
+    uniform, no per-bit cond). Inactive slots start at metric BIG so
+    the list "grows" implicitly while shapes stay static.
+    """
+    N, k = code.block_len, code.k
+    if llr.shape[-1] != N:
+        raise ValueError(f"llr last axis {llr.shape[-1]} != block_len {N}")
+    if list_size < 1:
+        raise ValueError(f"list_size must be >= 1, got {list_size}")
+    n = _require_pow2(N)
+    Lw = int(list_size)
+    BIG = jnp.float32(1e30)
+    CRC_PENALTY = jnp.float32(1e15)
+
+    frozen_j = jnp.asarray(code.frozen)
+    info_idx_j = jnp.asarray(code.info_idx)
+
+    _, tz_tab, to_tab = _sc_tables(N)
+    tz_tab = np.minimum(tz_tab, n)
+    tz_tab[0] = n  # bit 0 takes the full-descent branch (see below)
+    tz_tab = jnp.asarray(tz_tab)
+    to_tab = jnp.asarray(to_tab)
+
+    batch = llr.shape[:-1]
+    flat = llr.reshape((-1, N)).astype(jnp.float32)
+
+    def f_descend(L, d_from):
+        for d in range(d_from, n + 1):
+            w = N >> d
+            seg = L[d - 1, : 2 * w]
+            L = L.at[d, :w].set(_f_minsum(seg[:w], seg[w : 2 * w]))
+        return L
+
+    def make_g_branch(t):
+        a = n - t
+
+        def branch(i, L, B):
+            w = N >> a
+            j = lax.shift_right_logical(i, n - a)
+            left = lax.dynamic_slice(B[a], ((j - 1) * w,), (w,))
+            seg = L[a - 1, : 2 * w]
+            L = L.at[a, :w].set(_g(seg[:w], seg[w : 2 * w], left))
+            return f_descend(L, a + 1)
+
+        return branch
+
+    def make_merge_branch(t):
+        def branch(i, B):
+            for d in range(n, n - t, -1):
+                w = N >> d
+                j = lax.shift_right_logical(i, n - d)
+                start = (j - 1) * w
+                pair = lax.dynamic_slice(B[d], (start,), (2 * w,))
+                merged = jnp.concatenate(
+                    [jnp.bitwise_xor(pair[:w], pair[w:]), pair[w:]]
+                )
+                B = B.at[d - 1].set(
+                    lax.dynamic_update_slice(B[d - 1], merged, (start,))
+                )
+            return B
+
+        return branch
+
+    # List-vmapped branch roster: the t = n slot (only bit 0) is the
+    # initial full descent, so ONE uniform scan covers i = 0..N-1.
+    g_branches = [
+        jax.vmap(make_g_branch(t), in_axes=(None, 0, 0)) for t in range(n)
+    ] + [jax.vmap(lambda i, L, B: f_descend(L, 1), in_axes=(None, 0, 0))]
+    merge_branches = [
+        jax.vmap(make_merge_branch(t), in_axes=(None, 0))
+        for t in range(n + 1)
+    ]
+
+    def decode_one(ch_llr):
+        Lp = jnp.zeros((Lw, n + 1, N), jnp.float32).at[:, 0, :].set(ch_llr)
+        B = jnp.zeros((Lw, n + 1, N), jnp.int8)
+        u = jnp.zeros((Lw, N), jnp.int8)
+        pm = jnp.full((Lw,), BIG, jnp.float32).at[0].set(0.0)
+
+        def step(carry, i):
+            Lp, B, u, pm = carry
+            Lp = lax.switch(tz_tab[i], g_branches, i, Lp, B)
+            leaf = Lp[:, n, 0]
+            # Penalty |LLR| for deciding against the LLR's sign.
+            c0 = pm + jnp.maximum(-leaf, 0.0)
+            c1 = (
+                pm
+                + jnp.maximum(leaf, 0.0)
+                + jnp.where(frozen_j[i], BIG, jnp.float32(0.0))
+            )
+            neg_top, idx = lax.top_k(-jnp.concatenate([c0, c1]), Lw)
+            parent = jnp.mod(idx, Lw)
+            dec = (idx >= Lw).astype(jnp.int8)
+            Lp, B, u = Lp[parent], B[parent], u[parent]
+            u = u.at[:, i].set(dec)
+            B = B.at[:, n, i].set(dec)
+            B = lax.switch(to_tab[i], merge_branches, i, B)
+            return (Lp, B, u, -neg_top), ()
+
+        (Lp, B, u, pm), _ = lax.scan(
+            step, (Lp, B, u, pm), jnp.arange(N, dtype=jnp.int32)
+        )
+
+        info = u[:, info_idx_j]  # (Lw, k)
+        if code.crc_len:
+            _, chk = crc_matrices(code.payload_len, code.crc)
+            syn = jnp.mod(
+                info.astype(jnp.int32) @ jnp.asarray(chk, jnp.int32), 2
+            )
+            ok = jnp.all(syn == 0, axis=-1)
+            sel = pm + jnp.where(ok, jnp.float32(0.0), CRC_PENALTY)
+        else:
+            sel = pm
+        best = jnp.argmin(sel)
+        return info[best, : code.payload_len]
+
+    payload = jax.vmap(decode_one)(flat)
+    return payload.reshape(batch + (code.payload_len,))
