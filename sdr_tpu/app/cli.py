@@ -314,16 +314,17 @@ def _cmd_bench(args) -> int:
                 f"x{args.ldpc_iters} + interleaver"
             )
         elif getattr(args, "code", "conv") == "polar":
-            from sdr_tpu.link.coded import make_polar_fn, polar_params
+            from sdr_tpu.link.coded import make_polar_fn, polar_code_for
 
             N_pc = getattr(args, "polar_n", 256)
-            _, k_pc = polar_params(rate, N_pc)
+            L_pc = getattr(args, "polar_list", 8)
+            pc = polar_code_for(rate, N_pc)
             errors, counted = make_polar_fn(
-                case.cfg, rate=rate, block_len=N_pc
+                case.cfg, rate=rate, block_len=N_pc, list_size=L_pc
             )(key)
             code_desc = (
-                f"polar ({N_pc},{k_pc}) Bhattacharyya construction, "
-                "SC min-sum + interleaver"
+                f"polar ({N_pc},{pc.k}) GA construction, CA-SCL-{L_pc} "
+                f"+ CRC-11 + interleaver (payload {pc.payload_len}/cw)"
             )
         else:
             from sdr_tpu.link.coded import make_coded_fn
@@ -440,6 +441,13 @@ def _cmd_sweep(args) -> int:
         if args.ebno_grid
         else list(case.ebno_sweep_db) or [0, 2, 4, 6, 8, 10]
     )
+    code = getattr(args, "code", None)
+    if code is not None and engine != "pipeline":
+        print(
+            "error: --code sweeps use the pipeline engine",
+            file=sys.stderr,
+        )
+        return 2
     res = ebno_sweep(
         case.cfg,
         grid,
@@ -449,6 +457,8 @@ def _cmd_sweep(args) -> int:
         checkpoint_path=args.checkpoint,
         engine=engine,
         mc_iters=getattr(args, "mc_iters", 16),
+        code=code,
+        code_rate=getattr(args, "rate", "1/2"),
         progress=lambda p: print(
             f"# ebno={p.ebno_db:5.1f} dB  ber={p.ber:.3e}  "
             f"({p.bit_errors}/{p.bits_counted})",
@@ -674,6 +684,7 @@ def _cmd_adapt(args) -> int:
         "table": [
             {
                 "modulation": t.modulation.value,
+                "family": t.family,
                 "rate": t.rate,
                 "efficiency_bits_per_use": t.efficiency,
                 "esno_threshold_db": t.esno_db,
@@ -694,6 +705,9 @@ def _cmd_adapt(args) -> int:
             "shadowing_std_db": args.shadowing_std,
             "achieved_efficiency": res["achieved_efficiency"],
             "silent_channels": res["silent_channels"],
+            "families_used": sorted(
+                {f for f in res["family_per_channel"] if f}
+            ),
             "info_ber": float(res["bit_errors"].sum())
             / max(int(res["info_bits"].sum()), 1),
         }
@@ -957,7 +971,7 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument(
         "--code", default="conv", choices=["conv", "ldpc", "polar"],
         help="FEC family for --coded: convolutional+Viterbi, "
-             "QC-LDPC+min-sum, or polar+SC (rates via --rate on any)",
+             "QC-LDPC+min-sum, or polar+CA-SCL (rates via --rate on any)",
     )
     b.add_argument(
         "--ldpc-iters", type=int, default=25,
@@ -966,6 +980,10 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument(
         "--polar-n", type=int, default=256,
         help="polar block length (power of 2, with --code polar)",
+    )
+    b.add_argument(
+        "--polar-list", type=int, default=8,
+        help="CA-SCL list size (with --code polar)",
     )
     b.add_argument(
         "--pa-ibo", type=float, default=None, metavar="DB",
@@ -1011,6 +1029,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="fast = fused-kernel link (full-grid configs, "
         "jax.random stream); mc = fully-fused Monte-Carlo kernel "
         "(hardware PRNG, TPU only; orders faster per bit)",
+    )
+    s.add_argument(
+        "--code", default=None, choices=["conv", "ldpc", "polar"],
+        help="CODED BER sweep: count decoded info bits through the "
+        "chosen FEC family (pipeline engine only)",
+    )
+    s.add_argument(
+        "--rate", default="1/2", choices=["1/2", "2/3", "3/4"],
+        help="FEC rate for --code",
     )
     s.add_argument(
         "--mimo", default=None, choices=["alamouti", "mrc", "mux"],

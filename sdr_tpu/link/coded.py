@@ -292,3 +292,43 @@ def make_polar_fn(
             list_size=list_size, crc=crc,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Family dispatch: one entry point over the three code families, used
+# by the adapt ladder, the sweep engine, and the CLI.
+
+CODE_FAMILIES = ("conv", "ldpc", "polar")
+
+
+def family_info_rate(family: str, rate: str, block_len: int = 256) -> float:
+    """The REALIZED info rate of a family at a nominal rate string —
+    what efficiency calculations must use. conv/LDPC realize the
+    nominal exactly; polar pays the CRC-11 overhead
+    ((k - 11)/block_len)."""
+    nominal = int(rate[0]) / int(rate[2])
+    if family in ("conv", "ldpc"):
+        return nominal
+    if family == "polar":
+        return polar_code_for(rate, block_len).rate
+    raise ValueError(f"family must be one of {CODE_FAMILIES}, got {family!r}")
+
+
+def make_family_fn(cfg: LinkConfig, family: str, rate: str = "1/2", **kw):
+    """Jitted (errors, counted) coded-link fn for any code family.
+
+    kw passes through family-specific knobs: conv (polys, K), ldpc
+    (iters, z), polar (block_len, list_size, crc). Raises ValueError
+    when the frame cannot fit the family's codeword — callers
+    (calibrate) treat that as an infeasible rung."""
+    if family == "conv":
+        info_bits_per_channel(cfg, rate=rate)  # eager frame-fit check
+        return make_coded_fn(cfg, rate=rate, **kw)
+    if family == "ldpc":
+        ldpc_codewords_per_channel(cfg, ldpc_code_for(rate, kw.get("z", 128)))
+        return make_ldpc_fn(cfg, rate=rate, **kw)
+    if family == "polar":
+        code = polar_code_for(rate, kw.get("block_len", 256), kw.get("crc", "crc11"))
+        polar_codewords_per_channel(cfg, code.block_len)
+        return make_polar_fn(cfg, rate=rate, **kw)
+    raise ValueError(f"family must be one of {CODE_FAMILIES}, got {family!r}")

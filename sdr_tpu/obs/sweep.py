@@ -140,6 +140,8 @@ def ebno_sweep(
     progress=None,
     engine: str = "pipeline",
     mc_iters: int = 16,
+    code: Optional[str] = None,
+    code_rate: str = "1/2",
 ) -> SweepResult:
     """BER over an Eb/N0 grid with stop-at-target-errors accumulation.
 
@@ -165,7 +167,14 @@ def ebno_sweep(
             "engine='fast' needs a full-grid config (no pilots or "
             "timing/CFO impairments — use engine='pipeline')"
         )
+    if code is not None and engine != "pipeline":
+        raise ValueError(
+            "coded sweeps run on the pipeline engine (the fast/mc "
+            "engines count channel bits, not decoded info bits)"
+        )
     summary = _cfg_summary(cfg) + {"pipeline": "", "fast": "/fast", "mc": "/mc"}[engine]
+    if code is not None:
+        summary += f"/{code}-{code_rate}"
     done: dict[float, SweepPoint] = {}
     if checkpoint_path and os.path.exists(checkpoint_path):
         with open(checkpoint_path) as f:
@@ -213,6 +222,15 @@ def ebno_sweep(
             pt_key = jax.random.fold_in(key, i)
 
             def invoke(batch, _fn=ffn, _k=pt_key):
+                e, c = _fn(jax.random.fold_in(_k, batch))
+                return int(np.asarray(e).sum()), int(np.asarray(c).sum())
+        elif code is not None:
+            from sdr_tpu.link.coded import make_family_fn
+
+            cfn = make_family_fn(pt_cfg, code, rate=code_rate)
+            pt_key = jax.random.fold_in(key, i)
+
+            def invoke(batch, _fn=cfn, _k=pt_key):
                 e, c = _fn(jax.random.fold_in(_k, batch))
                 return int(np.asarray(e).sum()), int(np.asarray(c).sum())
         else:

@@ -288,17 +288,20 @@ def make_sharded_coded_fn(
     code: str = "conv",
     rate: str = "1/2",
     ldpc_iters: int = 25,
+    polar_n: int = 256,
+    polar_list: int = 8,
 ):
-    """Channel-batch data parallelism for the CODED links (conv/LDPC).
+    """Channel-batch data parallelism for the CODED links
+    (conv/LDPC/polar).
 
     Each device runs the per-channel coded chain (link.coded) on its
-    channel shard. Both coded paths key every draw by the GLOBAL
+    channel shard. All coded paths key every draw by the GLOBAL
     channel index (fold_in(key, c)), so each device reconstructing its
     own global ids makes the result bit-exact vs the unsharded
-    ``simulate_coded`` / ``simulate_ldpc`` for any channel layout —
-    the same invariant as the uncoded DP paths. Decoding (Viterbi /
-    min-sum) runs entirely device-local: the only communication is the
-    sharded count output.
+    ``simulate_coded`` / ``simulate_ldpc`` / ``simulate_polar`` for
+    any channel layout — the same invariant as the uncoded DP paths.
+    Decoding (Viterbi / min-sum / CA-SCL) runs entirely device-local:
+    the only communication is the sharded count output.
     """
     import functools
 
@@ -316,8 +319,17 @@ def make_sharded_coded_fn(
         one = functools.partial(
             _coded._ldpc_one, cfg, code=ldpc, n_cw=n_cw, iters=ldpc_iters
         )
+    elif code == "polar":
+        pc = _coded.polar_code_for(rate, polar_n)
+        n_cw = _coded.polar_codewords_per_channel(cfg, pc.block_len)
+        one = functools.partial(
+            _coded._polar_one, cfg, code=pc, n_cw=n_cw,
+            list_size=polar_list,
+        )
     else:
-        raise ValueError(f"code must be 'conv' or 'ldpc', got {code!r}")
+        raise ValueError(
+            f"code must be 'conv', 'ldpc' or 'polar', got {code!r}"
+        )
 
     # Like the fast path, the coded chain has no time-axis structure:
     # every device is a DP worker over the flattened mesh.

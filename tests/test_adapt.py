@@ -114,3 +114,72 @@ def test_adaptive_link_tracks_profile(table):
     assert eff[5] >= eff[3] >= eff[1]
     total_ber = mixed["bit_errors"].sum() / max(mixed["info_bits"].sum(), 1)
     assert total_ber < 5e-3, total_ber
+
+
+# ---------------------------------------------------------------------------
+# Mixed-family ladder (v2): conv / LDPC / polar rungs coexist.
+
+_MIXED_BASE = LinkConfig(
+    modulation=Modulation.QPSK,
+    ofdm=OFDMConfig(n_fft=128, cp_len=16),
+    channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=10.0),
+    equalizer=Equalizer.NONE,
+    n_symbols=16,  # 4096-bit QPSK frame: fits one LDPC codeword
+    n_channels=4,
+)
+
+_MIXED_LADDER = (
+    (Modulation.QPSK, "conv", "1/2"),
+    (Modulation.QPSK, "ldpc", "1/2"),
+    (Modulation.QPSK, "polar", "1/2"),
+)
+
+
+@pytest.fixture(scope="module")
+def mixed_table():
+    return calibrate(
+        _MIXED_BASE,
+        jax.random.PRNGKey(3),
+        target_ber=1e-3,
+        esno_grid=np.arange(-2.0, 14.0, 1.0),
+        ladder=_MIXED_LADDER,
+    )
+
+
+def test_mixed_family_calibration(mixed_table):
+    """All three families calibrate on the same chain; the block codes
+    (LDPC at nominal rate, polar despite its CRC overhead) must not be
+    WEAKER than the conv rung — the ladder exists because they win."""
+    fams = {t.family: t for t in mixed_table}
+    assert set(fams) == {"conv", "ldpc", "polar"}
+    assert fams["ldpc"].esno_db <= fams["conv"].esno_db
+    assert fams["polar"].esno_db <= fams["conv"].esno_db + 1.0
+
+
+def test_select_prefers_stronger_family_on_tie():
+    """Equal-efficiency rungs: the lower calibrated threshold wins."""
+    from sdr_tpu.link.adapt import MCSThreshold
+
+    t_conv = MCSThreshold(Modulation.QPSK, "1/2", 1.0, 4.0, 1e-4, "conv")
+    t_ldpc = MCSThreshold(Modulation.QPSK, "1/2", 1.0, 2.0, 1e-4, "ldpc")
+    pick = select_mcs(10.0, [t_conv, t_ldpc])
+    assert pick.family == "ldpc"
+    # Below the LDPC threshold neither is feasible.
+    assert select_mcs(1.0, [t_conv, t_ldpc]) is None
+
+
+def test_adaptive_uses_block_codes_where_they_win(mixed_table):
+    """Between the block-code and conv thresholds, the adaptive link
+    must transmit with the stronger family (a mixed-family staircase),
+    and report the family per channel."""
+    ordered = sorted(mixed_table, key=lambda t: t.esno_db)
+    best, runner_up = ordered[0], ordered[1]
+    if best.family == "conv" or best.esno_db == runner_up.esno_db:
+        pytest.skip("no SNR window where a block code wins alone")
+    snr = (best.esno_db + runner_up.esno_db) / 2.0
+    # All channels inside the window where ONLY the strongest family
+    # clears its threshold.
+    res = simulate_adaptive(
+        _MIXED_BASE, jax.random.PRNGKey(4), np.full(4, snr), mixed_table
+    )
+    assert set(res["family_per_channel"]) == {best.family}

@@ -1,6 +1,7 @@
 """Observability layer: roofline model, sweep accumulation math."""
 
 import numpy as np
+import pytest
 import jax
 
 from sdr_tpu.core.config import (
@@ -59,6 +60,32 @@ def test_sweep_accumulates_until_target(tmp_path):
     assert pt.bits_counted % cfg.bits_total == 0  # whole batches only
     th = res.theory(Modulation.QPSK)[0]
     assert 0.5 * th < pt.ber < 2.0 * th
+
+
+def test_sweep_coded_families():
+    """Coded sweeps (code=...) count decoded info bits: at a waterfall
+    SNR each family's BER lands below uncoded theory, and the config
+    summary distinguishes families (checkpoint separation)."""
+    cfg = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(128, 16),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=5.0),
+        n_symbols=16,
+        n_channels=4,
+    )
+    summaries = set()
+    for fam in ("conv", "polar"):
+        res = ebno_sweep(
+            cfg, [5.0], jax.random.PRNGKey(1),
+            target_errors=1, max_bits=10_000, code=fam,
+        )
+        summaries.add(res.config_summary)
+        th = res.theory(Modulation.QPSK)[0]
+        assert res.points[0].ber < th  # coding gain at 5 dB
+    assert len(summaries) == 2
+    with pytest.raises(ValueError, match="pipeline"):
+        ebno_sweep(cfg, [5.0], jax.random.PRNGKey(1), code="conv",
+                   engine="fast")
 
 
 def test_sweep_summary_keys_every_mimo_distinction():

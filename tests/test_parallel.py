@@ -314,11 +314,12 @@ def test_sharded_fast_jnp_backend_bit_exact():
     np.testing.assert_array_equal(np.asarray(e_sh), np.asarray(e_ref))
 
 
-@pytest.mark.parametrize("code", ["conv", "ldpc"])
+@pytest.mark.parametrize("code", ["conv", "ldpc", "polar"])
 def test_sharded_coded_bit_exact(code):
-    """Coded-link channel DP (conv/Viterbi and LDPC/min-sum decode
-    entirely device-local): bit-exact vs the unsharded coded link."""
-    from sdr_tpu.link.coded import make_coded_fn, make_ldpc_fn
+    """Coded-link channel DP (conv/Viterbi, LDPC/min-sum and
+    polar/CA-SCL decode entirely device-local): bit-exact vs the
+    unsharded coded link."""
+    from sdr_tpu.link.coded import make_coded_fn, make_ldpc_fn, make_polar_fn
     from sdr_tpu.parallel import make_sharded_coded_fn
 
     cfg = LinkConfig(
@@ -334,10 +335,15 @@ def test_sharded_coded_bit_exact(code):
     if code == "conv":
         ref_err, ref_cnt = make_coded_fn(cfg)(key)
         got_err, got_cnt = make_sharded_coded_fn(cfg, mesh, code="conv")(key)
-    else:
+    elif code == "ldpc":
         ref_err, ref_cnt = make_ldpc_fn(cfg, iters=10)(key)
         got_err, got_cnt = make_sharded_coded_fn(
             cfg, mesh, code="ldpc", ldpc_iters=10
+        )(key)
+    else:
+        ref_err, ref_cnt = make_polar_fn(cfg, list_size=4)(key)
+        got_err, got_cnt = make_sharded_coded_fn(
+            cfg, mesh, code="polar", polar_list=4
         )(key)
     np.testing.assert_array_equal(np.asarray(got_err), np.asarray(ref_err))
     np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(ref_cnt))
