@@ -201,7 +201,22 @@ def _cmd_bench(args) -> int:
         try:
             cfg = case.cfg
             if spread:
-                cfg = dataclasses.replace(cfg, dft_spread=True)
+                # An earlier acquisition/mixer promotion may have set a
+                # COMB spacing; under dft_spread the spacing becomes a
+                # pilot-SYMBOL period and must divide n_symbols.
+                spacing = cfg.pilot_spacing
+                while spacing > 1 and cfg.n_symbols % spacing:
+                    spacing //= 2
+                if cfg.pilot_spacing and spacing < 2:
+                    print(
+                        "error: no pilot-symbol period divides "
+                        f"n_symbols={cfg.n_symbols}",
+                        file=sys.stderr,
+                    )
+                    return 2
+                cfg = dataclasses.replace(
+                    cfg, dft_spread=True, pilot_spacing=spacing
+                )
             if pa_ibo is not None:
                 # The PA needs pilot estimation (Bussgang gain); promote
                 # the case like the mixer impairments above. With

@@ -403,19 +403,25 @@ class LinkConfig:
                 "link yet; set mimo=None or dft_spread=False"
             )
         if self.dft_spread and self.pilot_spacing:
-            # Block pilots estimate once per pilot_spacing symbols —
-            # a frame-static composite channel is what they can see.
+            # Block pilots estimate once per pilot_spacing symbols.
+            # CFO/timing acquisition IS supported: the residual CFO's
+            # per-symbol common phase is LINEAR, so the tracked
+            # block-pilot estimator interpolates it between pilot
+            # symbols exactly (ops.pilots.estimate_block_pilots_tracked
+            # — the LTE-uplink composition). What the interpolation
+            # cannot represent is variation that is NOT linear within
+            # a block:
             if (
                 self.channel.model == ChannelModel.RAYLEIGH_TIME
-                or self.channel.impaired
                 or self.channel.phase_noise_std
                 or self.channel.iq_imbalanced
             ):
                 raise NotImplementedError(
-                    "dft_spread uses time-multiplexed pilot symbols, "
-                    "which cannot track per-symbol variation: Jakes "
-                    "fading, CFO/timing acquisition, LO phase noise and "
-                    "I/Q imbalance are not supported with SC-FDMA yet"
+                    "dft_spread's time-multiplexed pilots track only a "
+                    "LINEAR per-symbol common phase (residual CFO): "
+                    "Jakes fading, LO phase noise and I/Q imbalance "
+                    "vary nonlinearly between pilot symbols and are "
+                    "not supported with SC-FDMA yet"
                 )
         if self.channel.model == ChannelModel.MULTIPATH:
             if len(self.channel.pdp) > self.ofdm.cp_len + 1:

@@ -216,6 +216,18 @@ def rx_chain(
         # set by callers that already compensated (the acquired path
         # properizes the pre-correction serialized stream).
         rx_samples = chan.iq_compensate(rx_samples, diff_axis=-2)
+    if cfg.dft_spread and cfg.pilot_spacing and cfg.channel.impaired:
+        # CP-based residual-CFO refinement BEFORE the FFT: the S&C
+        # fractional estimate can leave ~0.05-subcarrier residuals,
+        # whose per-block pilot phase (p symbol periods apart) would
+        # exceed the tracker's ±π wrap limit; the van de Beek
+        # correlation over all symbols × cp samples shrinks the
+        # residual two orders below it (ops.sync.cp_residual_cfo).
+        from sdr_tpu.ops.sync import correct_residual_cfo
+
+        rx_samples = correct_residual_cfo(
+            rx_samples, cfg.ofdm.n_fft, cfg.ofdm.cp_len
+        )
     y = ofdm_rx(rx_samples, cfg.ofdm.cp_len)  # (..., n_symbols, n_fft)
     nv = jnp.maximum(jnp.asarray(noise_var, jnp.float32), 1e-12)
 
@@ -223,7 +235,10 @@ def rx_chain(
         # SC-FDMA block pilots: strip the Zadoff-Chu reference symbols,
         # LS-estimate from them (ops.pilots.estimate_block_pilots), and
         # equalize the full-grid data symbols with the frame estimate.
-        from sdr_tpu.ops.pilots import estimate_block_pilots
+        from sdr_tpu.ops.pilots import (
+            estimate_block_pilots,
+            estimate_block_pilots_tracked,
+        )
 
         p = cfg.pilot_spacing
         B = cfg.n_symbols // p
@@ -237,7 +252,16 @@ def rx_chain(
             if cfg.estimator == ChannelEstimator.DFT
             else 0
         )
-        h_est = estimate_block_pilots(y_pil, n_taps)[..., None, :]
+        if cfg.channel.impaired:
+            # Residual post-acquisition CFO rotates the whole grid a
+            # little more each symbol; the tracked estimator
+            # interpolates the common phase between pilot symbols
+            # (LTE-uplink composition: SC-FDMA + blind acquisition).
+            h_est = estimate_block_pilots_tracked(y_pil, p, n_taps).reshape(
+                batch + (cfg.n_data_symbols, n_fft)
+            )
+        else:
+            h_est = estimate_block_pilots(y_pil, n_taps)[..., None, :]
         if cfg.equalizer == Equalizer.ZF:
             s, eff_var = eq.equalize_zf(y, h_est, nv)
         else:
@@ -411,8 +435,20 @@ def _simulate_one_acquired(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
         stream = chan.iq_compensate(stream, diff_lag=sym_len)
 
     start, _cfo_hat, rx_c = acquire(stream, n_fft, cp)
+    # Timing backoff: under multipath the matched filter sometimes
+    # peaks one sample LATE (a strong second tap), which slides the
+    # FFT window into the next symbol — ISI on every symbol of that
+    # channel. Starting 2 samples EARLY instead lands inside the CP's
+    # ISI-free region (delay spread ≤ cp−2 is config-validated), a
+    # pure circular shift. ONLY the full-grid pilot modes can afford
+    # it: the shift's linear phase (2π·2k/n_fft across tones) is
+    # measured at EVERY tone by the SC-FDMA Zadoff-Chu symbols, but a
+    # comb estimator must INTERPOLATE it between pilots — at spacing 8
+    # on a 64-FFT the phase turns ~90° per pilot gap and the lerp
+    # breaks down, costing far more than the late-lock ISI it avoids.
+    backoff = 2 if (cfg.dft_spread and cp >= 4) else 0
     payload = jax.lax.dynamic_slice_in_dim(
-        rx_c, start, cfg.n_symbols * sym_len
+        rx_c, jnp.maximum(start - backoff, 0), cfg.n_symbols * sym_len
     ).reshape(cfg.n_symbols, sym_len)
     # skip_iq: the stream was already properized above; re-running the
     # compensator on the CFO-corrected payload would estimate a

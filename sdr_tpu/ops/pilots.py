@@ -59,6 +59,62 @@ def estimate_block_pilots(y_pil: jnp.ndarray, n_taps: int = 0) -> jnp.ndarray:
     return h
 
 
+def estimate_block_pilots_tracked(
+    y_pil: jnp.ndarray, spacing: int, n_taps: int = 0
+) -> jnp.ndarray:
+    """Block-pilot LS estimate + per-symbol common-phase tracking.
+
+    The SC-FDMA twin of estimate_ls_comb_tracked: after blind
+    acquisition a residual CFO (~1e-2 subcarriers) rotates every tone
+    by the same phase, a little more each symbol — but SC-FDMA pilots
+    are whole SYMBOLS every ``spacing`` periods, so the phase between
+    them must be INTERPOLATED, not differenced per symbol:
+
+    1. per-block raw LS h_b = y_pil·conj(ZC) (..., B, n_fft);
+    2. differential phase between consecutive pilot blocks
+       Δφ_b = angle(Σ_k h_{b+1}[k]·conj(h_b[k])) — the channel shape
+       cancels; Δφ_b spans ``spacing`` symbol periods, so tracking is
+       unambiguous while the residual CFO stays under
+       1/(2·spacing·(1+cp/n)) subcarriers (far above the acquisition
+       residual);
+    3. cumulative pilot phases φ_b; derotate, average ALL blocks →
+       one noise-averaged channel shape (optional n_taps DFT
+       projection);
+    4. each data symbol (block b, offset o = 1..spacing-1) gets
+       h = shape · e^{i(φ_b + o·Δφ_b/spacing)} — linear interpolation
+       of the common phase, the exact model for a constant residual
+       CFO (the last block reuses the previous slope).
+
+    y_pil: (..., B, n_fft). Returns (..., B, spacing-1, n_fft) aligned
+    with the data symbols of each block.
+    """
+    p = int(spacing)
+    zc = jnp.asarray(zadoff_chu(y_pil.shape[-1]))
+    hb = y_pil * jnp.conj(zc)  # (..., B, n_fft)
+    B = hb.shape[-2]
+    if B > 1:
+        d = jnp.sum(hb[..., 1:, :] * jnp.conj(hb[..., :-1, :]), axis=-1)
+        dphi = jnp.angle(d)  # (..., B-1) phase per p symbol periods
+        phi = jnp.concatenate(
+            [jnp.zeros_like(dphi[..., :1]), jnp.cumsum(dphi, axis=-1)],
+            axis=-1,
+        )  # (..., B)
+        slope = jnp.concatenate([dphi, dphi[..., -1:]], axis=-1) / p
+    else:
+        phi = jnp.zeros(hb.shape[:-1], jnp.float32)
+        slope = jnp.zeros_like(phi)
+    rot = jnp.exp(jax.lax.complex(jnp.zeros_like(phi), -phi))[..., None]
+    shape = jnp.mean(hb * rot, axis=-2)  # (..., n_fft)
+    if n_taps:
+        shape = shape @ jnp.asarray(
+            _dft_projection_full(shape.shape[-1], n_taps)
+        )
+    offs = jnp.arange(1, p, dtype=jnp.float32)  # (p-1,)
+    ph = phi[..., :, None] + slope[..., :, None] * offs  # (..., B, p-1)
+    track = jnp.exp(jax.lax.complex(jnp.zeros_like(ph), ph))
+    return shape[..., None, None, :] * track[..., None]
+
+
 @functools.lru_cache(maxsize=None)
 def pilot_indices(n_fft: int, spacing: int) -> tuple:
     """Static comb indices 0, spacing, 2·spacing, ... (< n_fft)."""

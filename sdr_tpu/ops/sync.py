@@ -364,3 +364,40 @@ def acquire(
         win, acquisition_preamble(n_fft, cp_len, seed)
     )
     return d_fine + 2 * sym_len, total, rx_c
+
+
+def cp_residual_cfo(payload: jnp.ndarray, n_fft: int, cp_len: int):
+    """Residual fractional CFO from cyclic-prefix correlation
+    (van de Beek): unambiguous for |eps| < 0.5 subcarrier.
+
+    payload: (..., n_symbols, n_fft + cp_len) aligned OFDM symbols
+    (post-acquisition). Each CP sample equals its body copy n_fft
+    samples later rotated by e^{i·2π·eps}; correlating over ALL symbols
+    × cp samples averages the estimate's noise down by
+    1/sqrt(n_symbols·cp_len·SNR) — a far tighter residual than the
+    S&C half-symbol estimate, tight enough that downstream per-block
+    phase tracking (SC-FDMA pilot symbols every p periods) never hits
+    its ±π/p wrap limit. Under multipath the first delay-spread CP
+    samples carry ISI; the average dilutes it (refinement, not the
+    primary estimate). Returns eps in subcarriers (scalar per batch).
+    """
+    c = jnp.sum(
+        jnp.conj(payload[..., :cp_len]) * payload[..., n_fft:],
+        axis=(-2, -1),
+    )
+    return jnp.angle(c) / (2.0 * jnp.pi)
+
+
+def correct_residual_cfo(payload: jnp.ndarray, n_fft: int, cp_len: int):
+    """Estimate (cp_residual_cfo) and derotate an aligned payload's
+    residual carrier offset in one step. payload: (..., n_symbols,
+    n_fft + cp_len), contiguous in time. Returns the derotated payload.
+    """
+    sym_len = n_fft + cp_len
+    eps = cp_residual_cfo(payload, n_fft, cp_len)
+    n_sym = payload.shape[-2]
+    t = jnp.arange(n_sym * sym_len, dtype=jnp.float32).reshape(
+        n_sym, sym_len
+    )
+    ph = (-2.0 * jnp.pi / n_fft) * eps[..., None, None] * t
+    return payload * jnp.exp(jax.lax.complex(jnp.zeros_like(ph), ph))

@@ -1,0 +1,150 @@
+"""SC-FDMA (DFT-spread) + blind acquisition: the LTE-uplink composition.
+
+Round-3 capability (VERDICT #5): the S&C preamble is waveform-agnostic,
+the van de Beek CP correlation refines the residual CFO below the
+block-pilot tracker's wrap limit, and the tracked Zadoff-Chu block
+pilots interpolate the remaining linear common phase between pilot
+symbols. Validation: estimator accuracy on synthetic inputs, the
+acquired link within 0.5 dB of the aligned SC-FDMA link on AWGN and
+multipath, and the config gate narrowed to exactly the nonlinear
+time-variations the interpolation cannot represent.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sdr_tpu.core.config import (
+    ChannelConfig,
+    ChannelModel,
+    Equalizer,
+    LinkConfig,
+    Modulation,
+    OFDMConfig,
+)
+from sdr_tpu.link.pipeline import make_simulate_fn
+from sdr_tpu.ops.pilots import estimate_block_pilots_tracked, zadoff_chu
+from sdr_tpu.ops.sync import cp_residual_cfo, correct_residual_cfo
+
+
+def _ber(cfg, key=6):
+    r = make_simulate_fn(cfg)(jax.random.PRNGKey(key))
+    e = np.asarray(r.bit_errors)
+    return float(e.sum()) / float(np.asarray(r.bits_counted).sum()), e
+
+
+def test_cp_residual_cfo_recovers_offset():
+    """Synthetic OFDM symbols with a known small CFO: the CP
+    correlation estimate lands within 1e-3 subcarrier (noiseless) and
+    the corrector leaves < 1e-4 residual."""
+    n_fft, cp, n_sym = 64, 16, 16
+    rng = np.random.default_rng(0)
+    body = (
+        rng.standard_normal((n_sym, n_fft)) + 1j * rng.standard_normal((n_sym, n_fft))
+    ).astype(np.complex64) / np.sqrt(2 * n_fft)
+    sym = np.concatenate([body[:, -cp:], body], axis=1)  # CP insert
+    for eps_true in (-0.11, 0.004, 0.057):
+        t = np.arange(n_sym * (n_fft + cp)).reshape(n_sym, n_fft + cp)
+        rot = np.exp(2j * np.pi * eps_true * t / n_fft)
+        rx = jnp.asarray(sym * rot)
+        eps = float(cp_residual_cfo(rx, n_fft, cp))
+        assert abs(eps - eps_true) < 1e-3, (eps, eps_true)
+        fixed = np.asarray(correct_residual_cfo(rx, n_fft, cp))
+        eps2 = float(cp_residual_cfo(jnp.asarray(fixed), n_fft, cp))
+        assert abs(eps2) < 1e-4
+
+
+def test_block_pilot_tracker_recovers_linear_phase():
+    """ZC pilot symbols through a static channel with a linear
+    per-symbol common phase (residual CFO model): the tracked estimate
+    at every data symbol matches h·e^{iφ(t)} closely."""
+    n_fft, p, B = 64, 8, 4
+    rng = np.random.default_rng(1)
+    h = (rng.standard_normal(n_fft) + 1j * rng.standard_normal(n_fft)).astype(
+        np.complex64
+    )
+    slope = 0.05  # rad per symbol
+    zc = zadoff_chu(n_fft)
+    y_pil = np.stack(
+        [h * zc * np.exp(1j * slope * (b * p)) for b in range(B)]
+    )
+    got = np.asarray(estimate_block_pilots_tracked(jnp.asarray(y_pil), p))
+    # got: (B, p-1, n_fft); truth at block b, offset o: h·e^{iφ}·e^{iφ0}
+    # up to the common reference phase of block 0 (φ_0 := 0).
+    for b in range(B):
+        for o in range(1, p):
+            want = h * np.exp(1j * slope * (b * p + o))
+            err = np.abs(got[b, o - 1] - want).max() / np.abs(h).max()
+            assert err < 1e-3, (b, o, err)
+
+
+_AWGN = dict(
+    modulation=Modulation.QPSK,
+    ofdm=OFDMConfig(64, 16),
+    equalizer=Equalizer.MMSE,
+    pilot_spacing=8,
+    n_symbols=32,
+    n_channels=64,
+    dft_spread=True,
+)
+
+
+def test_scfdma_acquired_within_half_db_awgn():
+    """SC-FDMA + CFO 2.3 + unknown delay at 6 dB decodes better than
+    the ALIGNED SC-FDMA link at 5.5 dB — the acquisition costs less
+    than 0.5 dB. Also: no per-channel outages (the round-3 CP
+    refinement removed the block-phase wrap failures)."""
+    aligned_low = LinkConfig(
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=5.5), **_AWGN
+    )
+    acq = LinkConfig(
+        channel=ChannelConfig(
+            model=ChannelModel.AWGN, ebno_db=6.0,
+            cfo_subcarriers=2.3, timing_offset=33,
+        ),
+        **_AWGN,
+    )
+    b_low, _ = _ber(aligned_low)
+    b_acq, e = _ber(acq)
+    assert b_acq < b_low, (b_acq, b_low)
+    counted_per_ch = 32 * 7 // 8 * 64 * 2  # data syms × n_fft × bits
+    assert e.max() < 0.1 * counted_per_ch  # no acquisition outages
+
+
+def test_scfdma_acquired_within_half_db_multipath():
+    base = dict(_AWGN, modulation=Modulation.QAM16)
+    mk = lambda ebno, cfo, to: LinkConfig(
+        channel=ChannelConfig(
+            model=ChannelModel.MULTIPATH, ebno_db=ebno, pdp=(1.0, 0.3),
+            cfo_subcarriers=cfo, timing_offset=to,
+        ),
+        **base,
+    )
+    b_low, _ = _ber(mk(11.5, 0.0, 0), key=5)
+    b_acq, _ = _ber(mk(12.0, 2.3, 33), key=5)
+    assert b_acq < b_low, (b_acq, b_low)
+
+
+def test_scfdma_gate_narrowed():
+    """CFO/timing acquisition now composes with SC-FDMA; Jakes, phase
+    noise and I/Q imbalance stay gated (nonlinear between pilots)."""
+    ok = LinkConfig(
+        channel=ChannelConfig(
+            model=ChannelModel.AWGN, ebno_db=8.0, cfo_subcarriers=1.2
+        ),
+        **_AWGN,
+    )
+    assert ok.channel.impaired
+    for bad_channel in (
+        ChannelConfig(
+            model=ChannelModel.RAYLEIGH_TIME, ebno_db=8.0, doppler_norm=0.01
+        ),
+        ChannelConfig(model=ChannelModel.AWGN, ebno_db=8.0,
+                      phase_noise_std=0.01),
+        ChannelConfig(model=ChannelModel.AWGN, ebno_db=8.0, iq_gain=1.05),
+    ):
+        with pytest.raises(NotImplementedError, match="SC-FDMA"):
+            LinkConfig(channel=bad_channel, **_AWGN)
