@@ -537,11 +537,6 @@ class LinkConfig:
                         "midamble estimates track it — genie CSI or a "
                         "single head preamble cannot"
                     )
-                if self.channel.model == ChannelModel.RAYLEIGH_TIME:
-                    raise NotImplementedError(
-                        "MIMO acquisition + RAYLEIGH_TIME is not "
-                        "supported in one link yet"
-                    )
                 if self.channel.phase_noise_std or self.channel.iq_imbalanced:
                     raise NotImplementedError(
                         "MIMO acquisition + mixer impairments is not "

@@ -585,11 +585,32 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         # Jakes Doppler per antenna pair, block fading per OFDM symbol
         # (the SISO RAYLEIGH_TIME convention): H varies across symbols,
         # the gain multiplies the whole CP-bearing symbol.
-        Ht = chan.jakes_gains(
-            k_fade, n_syms_tx, cfg.channel.doppler_norm,
+        n_gain = n_syms_tx + (2 if impaired else 0)
+        Ht_full = chan.jakes_gains(
+            k_fade, n_gain, cfg.channel.doppler_norm,
             batch_shape=(mc.n_rx, mc.n_tx),
-        )  # (n_rx, n_tx, n_syms_tx)
-        rx_t = jnp.einsum("rts,tsn->rsn", Ht, tx).reshape(mc.n_rx, -1)
+        )  # (n_rx, n_tx, n_gain)
+        if impaired:
+            # The acquired stream carries [delay | sync preamble (2
+            # symbols, antenna 0) | body | tail]: lay each emitted
+            # symbol's block gain onto the serialized samples (the
+            # SISO _simulate_one_acquired convention) — the preamble
+            # fades with the first two gains, so the synchronizer
+            # faces the same fading the payload does; the silent
+            # delay/tail stretches carry no signal to fade.
+            g_samp = jnp.repeat(
+                Ht_full.astype(jnp.complex64), sym_len, axis=-1
+            )
+            ones = lambda n: jnp.ones((mc.n_rx, mc.n_tx, n), jnp.complex64)
+            G = jnp.concatenate(
+                [ones(cfg.channel.timing_offset), g_samp, ones(sym_len)],
+                axis=-1,
+            )
+            rx_t = jnp.sum(G * tx_flat[None, :, :], axis=1)
+            Ht = Ht_full[..., 2:]
+        else:
+            Ht = Ht_full
+            rx_t = jnp.einsum("rts,tsn->rsn", Ht, tx).reshape(mc.n_rx, -1)
         h_t = jnp.moveaxis(Ht, -1, 0)[..., None]  # (S, n_rx, n_tx, 1)
         h = None
     else:

@@ -735,16 +735,52 @@ def test_mimo_acquisition_blind():
                 cfo_subcarriers=1.0)},
             mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2),
         )
-    with pytest.raises(NotImplementedError):  # Jakes + acquisition
-        _jakes_cfg(
+    # Jakes + acquisition composes since round 3 (gate removed) — see
+    # test_mimo_acquisition_composes_with_jakes.
+
+
+def test_mimo_acquisition_composes_with_jakes():
+    """MIMO blind acquisition under Jakes fading (fD·T = 0.02): the
+    array-combined S&C front end acquires through the time-varying
+    channel and the midamble schedule tracks it afterwards.
+
+    Acceptance (the round-2 verdict's #6 bar, with the SISO fading-
+    acquisition outage treatment): in-lock channels within 2x of the
+    GENIE-aligned Jakes link; outages (the genuinely-faded antenna-0
+    preambles, a physics floor ~p^n_rx) bounded; and acquisition
+    itself costs ~nothing over the aligned midamble-tracked link."""
+    import dataclasses
+
+    def cfg(csi, cfo=0.0, to=0, midamble=0):
+        return _jakes_cfg(
             0.02,
-            MIMOConfig(MIMOScheme.MRC, 1, 2, csi="preamble",
-                       midamble_period=4),
+            MIMOConfig(MIMOScheme.MRC, 1, 2, csi=csi,
+                       midamble_period=midamble),
+            n_channels=64,
+            n_symbols=32,
             channel=ChannelConfig(
-                model=ChannelModel.RAYLEIGH_TIME, ebno_db=8.0,
-                doppler_norm=0.02, cfo_subcarriers=1.0,
+                model=ChannelModel.RAYLEIGH_TIME, ebno_db=5.0,
+                doppler_norm=0.02, cfo_subcarriers=cfo,
+                timing_offset=to,
             ),
         )
+
+    key = jax.random.PRNGKey(3)
+    r_g = make_simulate_fn(cfg("genie"))(key)
+    r_m = make_simulate_fn(cfg("preamble", midamble=4))(key)
+    r_a = make_simulate_fn(cfg("preamble", 1.7, 21, midamble=4))(key)
+    t = float(np.asarray(r_g.bits_counted)[0])
+    e_g = np.asarray(r_g.bit_errors)
+    e_m = np.asarray(r_m.bit_errors)
+    e_a = np.asarray(r_a.bit_errors)
+    in_lock = e_a[e_a / t <= 0.25]
+    outages = int((e_a / t > 0.25).sum())
+    assert outages <= 3, outages  # array preamble diversity: ~1/64
+    assert in_lock.mean() <= 2.0 * max(e_g.mean(), 1.0), (
+        in_lock.mean(), e_g.mean()
+    )
+    # Acquisition adds little on top of midamble estimation itself.
+    assert in_lock.sum() <= 1.5 * e_m.sum(), (in_lock.sum(), e_m.sum())
 
 
 def test_mimo_phase_noise_midamble_tracked():
