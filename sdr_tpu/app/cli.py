@@ -91,12 +91,76 @@ def _apply_mimo_flag(case, args):
     )
 
 
+def _run_sanity(args) -> int:
+    """Replay the round-2 measurement-methodology corrections as an
+    automatic check (docs/PERF.md "Measurement methodology lessons"):
+
+    1. BATCH-AXIS SCAN before model fitting — measure the same kernel
+       at batch B and 4B; if throughput has genuinely saturated the
+       ratio is ~1, but a ratio well above 1 means any
+       "asymptote"/serialization model fitted at B was a small-batch
+       artifact (the round-2 "~20 GS/s structural asymptote" error).
+    2. PROBE = WINDOW LABEL, NOT KERNEL BOUND — compare the kernel's
+       implied streaming bandwidth (GS/s x 8 B/sample) against the
+       strided HBM probe; the kernel exceeding the probe proves the
+       probe labels the window, it does not bound compute-path
+       kernels (the round-2 roofline correction).
+
+    Prints ONE JSON line with both measurements and the two boolean
+    lessons; exits 0 if the kernel still scales sanely with batch.
+    """
+    import jax
+
+    from sdr_tpu.obs.autotune import tune_demod
+    from sdr_tpu.obs.health import hbm_bandwidth_gbps
+
+    b = int(getattr(args, "sanity_batch", 0) or 2048)
+    n_syms = 64 if b >= 512 else 8
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    small = tune_demod(256, 64, batch=b, n_syms=n_syms, iters=4,
+                       reps=2, backends=(backend,))[0]
+    large = tune_demod(256, 64, batch=4 * b, n_syms=n_syms, iters=4,
+                       reps=2, backends=(backend,))[0]
+    if small.error or large.error:
+        print(f"error: sanity bench failed: {small.error or large.error}",
+              file=sys.stderr)
+        return 2
+    scaling = large.gs_per_s / max(small.gs_per_s, 1e-12)
+    try:
+        probe = float(hbm_bandwidth_gbps())
+    except Exception:
+        probe = -1.0
+    implied_gbps = large.gs_per_s * 8.0
+    out = {
+        "sanity": True,
+        "backend": backend,
+        "batch_pair": [b, 4 * b],
+        "gs_per_s": [small.gs_per_s, large.gs_per_s],
+        "batch_scaling": scaling,
+        # Lesson 1: if this is visibly > 1 the smaller batch was NOT
+        # the asymptote — never fit ceilings without a batch scan.
+        "small_batch_was_asymptote": scaling < 1.1,
+        "hbm_probe_gbps": probe,
+        "implied_stream_gbps": implied_gbps,
+        # Lesson 2: kernel bandwidth above the probe == the probe is a
+        # window label, not a bound on compute-path kernels.
+        "probe_is_window_label_not_bound": implied_gbps > probe > 0,
+    }
+    print(json.dumps(out))
+    # The hard gate: throughput must not REGRESS with batch (a real
+    # regression, not window noise — 20% slack).
+    return 0 if scaling > 0.8 else 1
+
+
 def _cmd_bench(args) -> int:
     import jax
 
     from sdr_tpu.app.baseline_configs import baseline_cases, get_case
     from sdr_tpu.link.ber import ber_awgn_exact
     from sdr_tpu.core.config import ChannelModel, Equalizer
+
+    if getattr(args, "sanity", False):
+        return _run_sanity(args)
 
     if args.list:
         for i, c in enumerate(baseline_cases()):
@@ -999,6 +1063,16 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument(
         "--polar-list", type=int, default=8,
         help="CA-SCL list size (with --code polar)",
+    )
+    b.add_argument(
+        "--sanity", action="store_true",
+        help="replay the measurement-methodology checks (batch-axis "
+        "scaling + probe-vs-kernel bandwidth) and print one JSON line",
+    )
+    b.add_argument(
+        "--sanity-batch", type=int, default=0,
+        help="base batch for --sanity (default 2048; the check runs "
+        "the pair [B, 4B])",
     )
     b.add_argument(
         "--pa-ibo", type=float, default=None, metavar="DB",

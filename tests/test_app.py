@@ -64,6 +64,19 @@ def test_cli_bench_list(capsys):
     assert "qpsk64-awgn" in capsys.readouterr().out
 
 
+def test_cli_bench_sanity(capsys):
+    """bench --sanity replays the round-2 methodology corrections:
+    a batch-pair scaling measurement and the probe-vs-kernel-bandwidth
+    comparison, as one JSON line (docs/PERF.md lessons)."""
+    assert main(["bench", "--sanity", "--sanity-batch", "64"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["sanity"] is True
+    assert out["batch_pair"] == [64, 256]
+    assert len(out["gs_per_s"]) == 2 and all(g > 0 for g in out["gs_per_s"])
+    assert "small_batch_was_asymptote" in out
+    assert "probe_is_window_label_not_bound" in out
+
+
 def test_cli_bench_runs_config0_small(capsys, monkeypatch):
     """Config 0 semantics via CLI (shrunk: full 1e6-bit run is covered
     by the TPU drive in the verify recipe)."""
