@@ -386,12 +386,14 @@ class LinkConfig:
                 )
         if self.channel.has_pa:
             if self.mimo is not None:
-                raise NotImplementedError(
-                    "PA nonlinearity + MIMO is not supported in one link "
-                    "yet (per-antenna Bussgang gains under the preamble "
-                    "estimators are unvalidated)"
-                )
-            if not self.pilot_spacing:
+                if self.mimo.csi != "preamble":
+                    raise ValueError(
+                        "pa_ibo_db + MIMO needs mimo.csi='preamble': "
+                        "the per-pair preamble LS absorbs each "
+                        "antenna PA's Bussgang gain — genie CSI has "
+                        "no access to the amplifiers' compression"
+                    )
+            elif not self.pilot_spacing:
                 raise ValueError(
                     "pa_ibo_db needs estimated CSI (pilot_spacing > 0): "
                     "the pilot LS absorbs the PA's Bussgang gain — genie "
@@ -537,11 +539,11 @@ class LinkConfig:
                         "midamble estimates track it — genie CSI or a "
                         "single head preamble cannot"
                     )
-                if self.channel.phase_noise_std or self.channel.iq_imbalanced:
-                    raise NotImplementedError(
-                        "MIMO acquisition + mixer impairments is not "
-                        "supported in one link yet"
-                    )
+                # Mixer impairments compose: per-antenna blind I/Q
+                # properization runs on the raw stream (lag-sym_len
+                # moments) before the synchronizer, and the midamble
+                # schedule — already required here — tracks the LO
+                # walk and residual-CFO common phase afterwards.
             if self.channel.phase_noise_std and not (
                 self.mimo.csi == "preamble" and self.mimo.midamble_period
             ):

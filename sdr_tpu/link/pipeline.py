@@ -515,11 +515,28 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         or bool(cfg.channel.phase_noise_std)
         or cfg.channel.impaired
     )
+    # Per-antenna subcarrier power of the DATA symbols: the encoders
+    # split total unit power across antennas (1/n_tx for Alamouti and
+    # spatial mux; MRC's single antenna radiates at 1).
+    ant_pwr = 1.0 / mc.n_tx if mc.scheme != MIMOScheme.MRC else 1.0
+    if cfg.channel.has_pa:
+        # PA mode: the preamble must drive the amplifier EXACTLY like
+        # a data symbol — same per-antenna power (scale to ant_pwr)
+        # AND the same time-domain amplitude statistics (a PN QPSK
+        # grid; the constant grid is a time impulse the PA clips, and
+        # Bussgang gain depends on the envelope distribution). The
+        # known reference pre_ref divides back out at the estimators.
+        pre_ref = jnp.asarray(
+            pi.pn_preamble_grid(n_fft) * ant_pwr**0.5, ant.dtype
+        )  # (n_fft,)
+    else:
+        # Linear front end: the full-power constant pilot maximizes
+        # estimation SNR (no envelope concerns).
+        pre_ref = jnp.asarray(pi.PILOT_VALUE, ant.dtype)
     pre = (
-        jnp.eye(mc.n_tx, dtype=ant.dtype)[:, :, None]
-        * jnp.asarray(pi.PILOT_VALUE, ant.dtype)
+        jnp.eye(mc.n_tx, dtype=ant.dtype)[:, :, None] * pre_ref
     )  # time-orthogonal: symbol t radiates the full pilot grid from
-    # antenna t ALONE at unit power; (n_tx, n_tx, 1)
+    # antenna t ALONE; (n_tx, n_tx, n_fft or 1)
     if midamble:
         # Re-insert the preamble every midamble_period data symbols:
         # [pre | K data] x B blocks. Estimates are interpolated across
@@ -568,6 +585,30 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         )
     else:
         tx_flat = tx.reshape(mc.n_tx, -1)
+
+    if cfg.channel.has_pa:
+        # One PA per TX antenna, identical characteristics: nominal
+        # input power is the true per-antenna time power ant_pwr/n_fft
+        # (the encoders split unit subcarrier power 1/n_tx ways), and
+        # the preamble was scaled to that same power above, so the
+        # Bussgang gain is common across antennas and symbols — the
+        # per-pair preamble LS absorbs it exactly like the SISO pilot
+        # LS does (config requires csi='preamble'). The sync preamble
+        # and silent stretches compress/zero-map through the same odd
+        # AM/AM.
+        from sdr_tpu.ops import pa
+
+        tx_flat = pa.apply_pa(
+            tx_flat,
+            cfg.channel.pa_ibo_db,
+            ant_pwr / n_fft,
+            cfg.channel.pa_smoothness,
+            cfg.channel.pa_dpd,
+        )
+        if cfg.channel.model == ChannelModel.RAYLEIGH_TIME and not impaired:
+            # The un-impaired Jakes branch fades `tx` (symbol-shaped),
+            # not tx_flat — keep them consistent.
+            tx = tx_flat.reshape(tx.shape)
 
     nv = chan.ebno_db_to_noise_var(
         cfg.channel.ebno_db, bps * mc.n_streams
@@ -646,11 +687,23 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         rx_t = chan.apply_iq_imbalance(
             rx_t, cfg.channel.iq_gain, cfg.channel.iq_phase_rad
         )
-        rx_t = jax.vmap(
-            lambda r: chan.iq_compensate(
-                r.reshape(n_syms_tx, cfg.ofdm.symbol_len), diff_axis=-2
-            ).reshape(-1)
-        )(rx_t)
+        if impaired:
+            # The stream is not symbol-aligned yet (unknown delay);
+            # moments come from lag-sym_len differences, the SISO
+            # acquired-path convention — compensation must run on the
+            # RAW stream BEFORE the synchronizer's CFO correction
+            # (the conj-image model only matches while the carrier
+            # still rotates the signal as received).
+            rx_t = jax.vmap(
+                lambda r: chan.iq_compensate(r, diff_lag=sym_len)
+            )(rx_t)
+        else:
+            rx_t = jax.vmap(
+                lambda r: chan.iq_compensate(
+                    r.reshape(n_syms_tx, cfg.ofdm.symbol_len),
+                    diff_axis=-2,
+                ).reshape(-1)
+            )(rx_t)
     if impaired:
         # Array acquisition: metrics combine across RX antennas (see
         # ops.sync.acquire_array); the slice realigns every antenna at
@@ -672,9 +725,8 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         B = cfg.n_symbols // K
         period = mc.n_tx + K
         yb = y.reshape(mc.n_rx, B, period, n_fft)
-        raw = yb[:, :, : mc.n_tx] / jnp.asarray(
-            pi.PILOT_VALUE, y.dtype
-        )  # (n_rx, B, n_tx, N) per-block LS
+        raw = yb[:, :, : mc.n_tx] / pre_ref  # (n_rx, B, n_tx, N)
+        # per-block LS (pre_ref folds out the PA-mode PN grid/power)
         if cfg.channel.model == ChannelModel.RAYLEIGH_TIME:
             # Jakes is flat: averaging over subcarriers cuts estimation
             # noise n_fft-fold (the 1-tap analog of the DFT projection).
@@ -744,7 +796,10 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
             if cfg.estimator == ChannelEstimator.DFT
             else 0
         )
-        h = pi.estimate_mimo_preamble(y[:, :n_pre], n_taps)
+        # Normalize the received preamble so the estimator's internal
+        # PILOT_VALUE division yields y/pre_ref (identity without PA).
+        y_pre = y[:, :n_pre] * (jnp.asarray(pi.PILOT_VALUE, y.dtype) / pre_ref)
+        h = pi.estimate_mimo_preamble(y_pre, n_taps)
         y = y[:, n_pre:]  # (n_rx, S, N)
 
     nvf = jnp.maximum(jnp.asarray(nv, jnp.float32), 1e-12)

@@ -59,6 +59,22 @@ def estimate_block_pilots(y_pil: jnp.ndarray, n_taps: int = 0) -> jnp.ndarray:
     return h
 
 
+@functools.lru_cache(maxsize=None)
+def pn_preamble_grid(n_fft: int, seed: int = 0xA11) -> np.ndarray:
+    """Unit-power pseudo-random QPSK pilot grid (n_fft,), complex64.
+
+    The PA-safe alternative to a constant pilot grid: a constant grid
+    IFFTs to a time-domain IMPULSE (all energy in one sample) that a
+    nonlinear PA clips catastrophically, while a PN grid's time
+    waveform has the same complex-Gaussian statistics as a data OFDM
+    symbol — so the pilot experiences the SAME Bussgang compression
+    the data does and the LS estimate absorbs the right gain. NUMPY
+    (static table)."""
+    rng = np.random.default_rng(seed)
+    q = rng.integers(0, 4, n_fft)
+    return np.exp(1j * (np.pi / 4 + np.pi / 2 * q)).astype(np.complex64)
+
+
 def estimate_block_pilots_tracked(
     y_pil: jnp.ndarray, spacing: int, n_taps: int = 0
 ) -> jnp.ndarray:

@@ -739,6 +739,44 @@ def test_mimo_acquisition_blind():
     # test_mimo_acquisition_composes_with_jakes.
 
 
+def test_mimo_acquisition_composes_with_mixer_impairments():
+    """MIMO blind acquisition + LO phase noise + per-antenna I/Q
+    imbalance in ONE link (round-3 gate removal): per-antenna blind
+    properization runs on the raw unaligned stream (lag-sym_len
+    moments, the SISO acquired convention), the midamble schedule
+    tracks the walk afterwards — BER within a small factor of the
+    clean-mixer acquired link."""
+    import dataclasses
+
+    def mk(pn=0.0, iqg=1.0, iqp=0.0):
+        return LinkConfig(
+            modulation=Modulation.QPSK,
+            ofdm=OFDMConfig(64, 16),
+            channel=ChannelConfig(
+                model=ChannelModel.RAYLEIGH_FLAT, ebno_db=8.0,
+                cfo_subcarriers=1.3, timing_offset=37,
+                phase_noise_std=pn, iq_gain=iqg, iq_phase_rad=iqp,
+            ),
+            mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2, csi="preamble",
+                            midamble_period=4),
+            equalizer=Equalizer.MMSE,
+            n_symbols=32,
+            n_channels=256,
+        )
+
+    def ber(cfg):
+        r = make_simulate_fn(cfg)(jax.random.PRNGKey(1))
+        return float(np.asarray(r.bit_errors).sum()) / float(
+            np.asarray(r.bits_counted).sum()
+        )
+
+    b_clean = ber(mk())
+    b_full = ber(mk(pn=2e-3, iqg=1.05, iqp=0.03))
+    # Measured: the impairments are fully compensated (ratio ~1.0 —
+    # the 1.5 bound leaves room for realization noise only).
+    assert b_full < 1.5 * b_clean, (b_full, b_clean)
+
+
 def test_mimo_acquisition_composes_with_jakes():
     """MIMO blind acquisition under Jakes fading (fD·T = 0.02): the
     array-combined S&C front end acquires through the time-varying

@@ -262,6 +262,61 @@ def test_pa_composes_with_blind_acquisition():
     assert errors / total < 5e-3
 
 
+def test_pa_composes_with_mimo():
+    """Round-3 gate removal: one Rapp PA per TX antenna. The preamble
+    radiates a PN QPSK grid at the per-antenna DATA power in PA mode
+    (a constant grid is a time impulse the PA clips; matched envelope
+    statistics give the pilot the same Bussgang gain the data sees),
+    and the per-pair LS absorbs the common compression — so a 2x2
+    Alamouti link with an 8 dB-backoff PA stays within a small factor
+    of the PA-free link, and DPD at 4 dB matches 6 dB without.
+    Genie CSI (no amplifier knowledge) stays rejected."""
+    from sdr_tpu.core.config import MIMOConfig, MIMOScheme
+    from sdr_tpu.link.pipeline import make_simulate_fn
+
+    def mk(ibo=None, dpd=False):
+        return LinkConfig(
+            modulation=Modulation.QPSK,
+            ofdm=OFDMConfig(64, 16),
+            channel=ChannelConfig(
+                model=ChannelModel.RAYLEIGH_FLAT, ebno_db=10.0,
+                pa_ibo_db=ibo, pa_dpd=dpd,
+            ),
+            mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2, csi="preamble"),
+            equalizer=Equalizer.MMSE,
+            n_symbols=16,
+            n_channels=512,
+        )
+
+    def ber(cfg):
+        r = make_simulate_fn(cfg)(jax.random.PRNGKey(2))
+        import numpy as np
+
+        return float(np.asarray(r.bit_errors).sum()) / float(
+            np.asarray(r.bits_counted).sum()
+        )
+
+    b_lin = ber(mk())
+    b_pa8 = ber(mk(8.0))
+    b_dpd4 = ber(mk(4.0, True))
+    # Measured: 1.2e-3 / 4.0e-3 / 4.6e-3 — the residual is the PA's
+    # in-band clipping distortion, not estimator bias (which read
+    # ~100x worse with the impulse preamble).
+    assert b_pa8 < 6.0 * max(b_lin, 1e-4), (b_pa8, b_lin)
+    assert b_dpd4 < 8.0 * max(b_lin, 1e-4), (b_dpd4, b_lin)
+    with pytest.raises(ValueError, match="preamble"):
+        LinkConfig(
+            modulation=Modulation.QPSK,
+            ofdm=OFDMConfig(64, 16),
+            channel=ChannelConfig(
+                model=ChannelModel.RAYLEIGH_FLAT, ebno_db=10.0,
+                pa_ibo_db=6.0,
+            ),
+            mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2, csi="genie"),
+            n_symbols=16,
+        )
+
+
 def test_pa_and_spread_config_gates():
     with pytest.raises(ValueError, match="pilot_spacing"):
         LinkConfig(
