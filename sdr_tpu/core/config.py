@@ -413,17 +413,25 @@ class LinkConfig:
             # — the LTE-uplink composition). What the interpolation
             # cannot represent is variation that is NOT linear within
             # a block:
-            if (
-                self.channel.model == ChannelModel.RAYLEIGH_TIME
-                or self.channel.phase_noise_std
-                or self.channel.iq_imbalanced
-            ):
+            # LO phase noise composes (a Wiener walk is locally linear
+            # between pilot symbols), and flat Jakes fading composes
+            # too (per-block scalar gains, complex-chord interpolation
+            # — estimate_block_pilots_interp). Validity needs the
+            # pilot period inside the coherence time:
+            if self.channel.model == ChannelModel.RAYLEIGH_TIME:
+                if self.pilot_spacing * self.channel.doppler_norm > 0.25:
+                    raise ValueError(
+                        "SC-FDMA block pilots cannot track fading "
+                        "faster than their own period: need "
+                        "pilot_spacing·doppler_norm <= 0.25, got "
+                        f"{self.pilot_spacing}·{self.channel.doppler_norm}"
+                    )
+            if self.channel.iq_imbalanced:
                 raise NotImplementedError(
-                    "dft_spread's time-multiplexed pilots track only a "
-                    "LINEAR per-symbol common phase (residual CFO): "
-                    "Jakes fading, LO phase noise and I/Q imbalance "
-                    "vary nonlinearly between pilot symbols and are "
-                    "not supported with SC-FDMA yet"
+                    "dft_spread + I/Q imbalance is not supported yet "
+                    "(the blind properization moments assume an "
+                    "OFDM-style proper signal structure per symbol "
+                    "period)"
                 )
         if self.channel.model == ChannelModel.MULTIPATH:
             if len(self.channel.pdp) > self.ofdm.cp_len + 1:

@@ -237,6 +237,7 @@ def rx_chain(
         # equalize the full-grid data symbols with the frame estimate.
         from sdr_tpu.ops.pilots import (
             estimate_block_pilots,
+            estimate_block_pilots_interp,
             estimate_block_pilots_tracked,
         )
 
@@ -252,9 +253,22 @@ def rx_chain(
             if cfg.estimator == ChannelEstimator.DFT
             else 0
         )
-        if cfg.channel.impaired:
+        if cfg.channel.model == ChannelModel.RAYLEIGH_TIME:
+            # Flat Jakes: frame-averaged per-tone shape (absorbs any
+            # residual timing phase) × per-block complex scalar,
+            # interpolated per data symbol (the MIMO-midamble pattern
+            # — composes with residual CFO since the scalar chord is
+            # complex).
+            h_est = estimate_block_pilots_interp(y_pil, p).reshape(
+                batch + (cfg.n_data_symbols, n_fft)
+            )
+        elif cfg.channel.impaired or cfg.channel.phase_noise_std:
             # Residual post-acquisition CFO rotates the whole grid a
-            # little more each symbol; the tracked estimator
+            # little more each symbol (linear — tracked exactly), and
+            # a slow LO Wiener walk is locally linear between pilot
+            # symbols (deviation from the per-block chord is a
+            # Brownian bridge, std·sqrt(p·sym_len)/2 rad — small for
+            # per-sample std ≲ 5e-3); the tracked estimator
             # interpolates the common phase between pilot symbols
             # (LTE-uplink composition: SC-FDMA + blind acquisition).
             h_est = estimate_block_pilots_tracked(y_pil, p, n_taps).reshape(

@@ -59,6 +59,69 @@ def estimate_block_pilots(y_pil: jnp.ndarray, n_taps: int = 0) -> jnp.ndarray:
     return h
 
 
+def estimate_block_pilots_interp(
+    y_pil: jnp.ndarray, spacing: int
+) -> jnp.ndarray:
+    """Block-pilot estimate for FLAT time-varying fading (Jakes):
+    frame-averaged SHAPE × per-block complex SCALAR, the scalar
+    linearly interpolated per data symbol.
+
+    Jakes in this framework is flat per OFDM symbol — but the
+    RECEIVED frame's frequency response is not exactly flat: a
+    residual timing shift (e.g. the acquired path's CP backoff)
+    multiplies every tone by a LINEAR phase, so naively averaging the
+    per-tone LS across the grid sums a rotating phasor and collapses
+    (measured ~50× amplitude loss at a 2-sample shift on a 64-FFT).
+    Instead:
+
+    1. per-block raw LS h_b = y_pil·conj(ZC) (..., B, n_fft);
+    2. chain the per-block common phases (the tracked-estimator
+       logic) and average the derotated blocks into ONE per-tone
+       SHAPE — the static part: timing phase × mean gain;
+    3. per-block complex scalar c_b = ⟨h_b, shape⟩/‖shape‖² — the
+       fading trajectory relative to the shape (amplitude AND phase);
+    4. data symbol (block b, offset o) takes the chord
+       (1−o/p)·c_b + (o/p)·c_{b+1} (last block extrapolates along its
+       previous chord); returns shape × interpolated scalar.
+
+    Valid while the pilot period stays inside the coherence time
+    (p ≲ 1/(4·fD·T), config-gated); composes with residual CFO (the
+    rotation rides the chained phases/scalars). y_pil: (..., B, n_fft)
+    → (..., B, spacing-1, n_fft) aligned with the data symbols.
+    """
+    p = int(spacing)
+    zc = jnp.asarray(zadoff_chu(y_pil.shape[-1]))
+    hb = y_pil * jnp.conj(zc)  # (..., B, n_fft)
+    B = hb.shape[-2]
+    if B > 1:
+        d = jnp.sum(hb[..., 1:, :] * jnp.conj(hb[..., :-1, :]), axis=-1)
+        dphi = jnp.angle(d)
+        phi = jnp.concatenate(
+            [jnp.zeros_like(dphi[..., :1]), jnp.cumsum(dphi, axis=-1)],
+            axis=-1,
+        )
+    else:
+        phi = jnp.zeros(hb.shape[:-1], jnp.float32)
+    rot = jnp.exp(jax.lax.complex(jnp.zeros_like(phi), -phi))[..., None]
+    shape = jnp.mean(hb * rot, axis=-2)  # (..., n_fft) static part
+    denom = jnp.maximum(
+        jnp.sum(jnp.abs(shape) ** 2, axis=-1, keepdims=True), 1e-30
+    )
+    c = (
+        jnp.sum(hb * jnp.conj(shape)[..., None, :], axis=-1)
+        / denom
+    )  # (..., B) complex fading trajectory at the pilot instants
+    if B > 1:
+        c_next = jnp.concatenate(
+            [c[..., 1:], (2.0 * c[..., -1:] - c[..., -2:-1])], axis=-1
+        )
+    else:
+        c_next = c
+    w = jnp.arange(1, p, dtype=jnp.float32) / p  # (p-1,)
+    ci = (1.0 - w) * c[..., :, None] + w * c_next[..., :, None]
+    return ci[..., None] * shape[..., None, None, :]
+
+
 @functools.lru_cache(maxsize=None)
 def pn_preamble_grid(n_fft: int, seed: int = 0xA11) -> np.ndarray:
     """Unit-power pseudo-random QPSK pilot grid (n_fft,), complex64.
