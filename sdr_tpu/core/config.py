@@ -426,12 +426,20 @@ class LinkConfig:
                         "pilot_spacing·doppler_norm <= 0.25, got "
                         f"{self.pilot_spacing}·{self.channel.doppler_norm}"
                     )
-            if self.channel.iq_imbalanced:
-                raise NotImplementedError(
-                    "dft_spread + I/Q imbalance is not supported yet "
-                    "(the blind properization moments assume an "
-                    "OFDM-style proper signal structure per symbol "
-                    "period)"
+            # I/Q imbalance composes too: the properization moments
+            # difference at the BLOCK period (pilot symbols repeat
+            # every pilot_spacing symbols), cancelling the Zadoff-Chu
+            # deterministic component exactly; the residual direct
+            # gain lands in the block-pilot estimate as usual. Needs
+            # at least two blocks to difference:
+            if self.channel.iq_imbalanced and (
+                self.n_symbols // self.pilot_spacing
+            ) < 2:
+                raise ValueError(
+                    "dft_spread + I/Q imbalance needs >= 2 pilot "
+                    "blocks (the blind properization differences "
+                    "consecutive blocks to cancel the Zadoff-Chu "
+                    "pilot symbols)"
                 )
         if self.channel.model == ChannelModel.MULTIPATH:
             if len(self.channel.pdp) > self.ofdm.cp_len + 1:

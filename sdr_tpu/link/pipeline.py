@@ -215,7 +215,21 @@ def rx_chain(
         # pseudo-variance (see ops.channel.iq_compensate). skip_iq is
         # set by callers that already compensated (the acquired path
         # properizes the pre-correction serialized stream).
-        rx_samples = chan.iq_compensate(rx_samples, diff_axis=-2)
+        if cfg.dft_spread and cfg.pilot_spacing:
+            # SC-FDMA's deterministic part is the Zadoff-Chu pilot
+            # SYMBOL, periodic at the BLOCK (p symbols), not at the
+            # symbol — difference consecutive blocks so pilot-minus-
+            # pilot cancels it exactly while data stays proper.
+            p = cfg.pilot_spacing
+            shp = rx_samples.shape
+            rx_samples = chan.iq_compensate(
+                rx_samples.reshape(
+                    shp[:-2] + (shp[-2] // p, p, shp[-1])
+                ),
+                diff_axis=-3,
+            ).reshape(shp)
+        else:
+            rx_samples = chan.iq_compensate(rx_samples, diff_axis=-2)
     if cfg.dft_spread and cfg.pilot_spacing and cfg.channel.impaired:
         # CP-based residual-CFO refinement BEFORE the FFT: the S&C
         # fractional estimate can leave ~0.05-subcarrier residuals,
@@ -442,11 +456,15 @@ def _simulate_one_acquired(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
         # properization moments while x is the as-received (still
         # CFO-rotated, still proper) signal — correcting the carrier
         # first would spin the conj term against the estimate. Moments
-        # come from lag-sym_len differences so the frame-periodic
-        # deterministic part (comb pilots) cannot bias the
-        # pseudo-variance at near-zero CFO (same guard rx_chain's
-        # diff_axis provides on the aligned grid).
-        stream = chan.iq_compensate(stream, diff_lag=sym_len)
+        # come from lag differences so the frame-periodic deterministic
+        # part cannot bias the pseudo-variance at near-zero CFO (same
+        # guard rx_chain's diff_axis provides on the aligned grid):
+        # comb pilots repeat every SYMBOL; SC-FDMA's Zadoff-Chu pilot
+        # symbols repeat every BLOCK (pilot_spacing symbols).
+        lag = sym_len * (
+            cfg.pilot_spacing if cfg.dft_spread and cfg.pilot_spacing else 1
+        )
+        stream = chan.iq_compensate(stream, diff_lag=lag)
 
     start, _cfo_hat, rx_c = acquire(stream, n_fft, cp)
     # Timing backoff: under multipath the matched filter sometimes

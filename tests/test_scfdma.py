@@ -212,10 +212,36 @@ def test_scfdma_jakes_composes_with_acquisition():
     assert in_lock.mean() <= 2.0 * e_al.mean(), (in_lock.mean(), e_al.mean())
 
 
+def test_scfdma_iq_imbalance_compensated():
+    """I/Q imbalance composes with SC-FDMA: the properization moments
+    difference at the BLOCK period (pilot symbols repeat every p
+    symbols), cancelling the deterministic Zadoff-Chu component. The
+    compensated link matches the matched-mixer link — alone, under
+    Jakes fading, and under the full acquisition stack."""
+    base = dict(_AWGN, modulation=Modulation.QAM16)
+
+    def run(iq, cfo=0.0, to=0, model=ChannelModel.AWGN, dop=0.0):
+        kw = dict(model=model, ebno_db=14.0, cfo_subcarriers=cfo,
+                  timing_offset=to)
+        if iq:
+            kw.update(iq_gain=1.05, iq_phase_rad=0.03)
+        if dop:
+            kw["doppler_norm"] = dop
+        return _ber(LinkConfig(channel=ChannelConfig(**kw), **base),
+                    key=7)[0]
+
+    assert run(True) < 3.0 * max(run(False), 2e-5)
+    assert run(True, cfo=2.3, to=33) < 3.0 * max(run(False), 2e-5)
+    j_clean = run(False, model=ChannelModel.RAYLEIGH_TIME, dop=0.02)
+    j_iq = run(True, model=ChannelModel.RAYLEIGH_TIME, dop=0.02)
+    assert j_iq < 1.2 * j_clean, (j_iq, j_clean)
+
+
 def test_scfdma_gate_narrowed():
-    """CFO/timing acquisition, LO phase noise and (coherence-bounded)
-    Jakes fading now compose with SC-FDMA; I/Q imbalance stays gated,
-    and fading faster than the pilot period is rejected with physics."""
+    """CFO/timing acquisition, LO phase noise, I/Q imbalance and
+    (coherence-bounded) Jakes fading now all compose with SC-FDMA;
+    fading faster than the pilot period is rejected with physics, and
+    I/Q needs at least two pilot blocks to difference."""
     ok = LinkConfig(
         channel=ChannelConfig(
             model=ChannelModel.AWGN, ebno_db=8.0, cfo_subcarriers=1.2
@@ -239,9 +265,14 @@ def test_scfdma_gate_narrowed():
                                   ebno_db=8.0, doppler_norm=0.1),
             **_AWGN,
         )
-    with pytest.raises(NotImplementedError, match="I/Q"):
-        LinkConfig(
+    LinkConfig(  # I/Q with >= 2 pilot blocks constructs
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=8.0,
+                              iq_gain=1.05),
+        **_AWGN,
+    )
+    with pytest.raises(ValueError, match="pilot "):
+        LinkConfig(  # one block only: nothing to difference against
             channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=8.0,
                                   iq_gain=1.05),
-            **_AWGN,
+            **{**_AWGN, "n_symbols": 8},
         )
