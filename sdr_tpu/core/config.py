@@ -400,10 +400,19 @@ class LinkConfig:
                     "CSI has no access to the amplifier's compression"
                 )
         if self.dft_spread and self.mimo is not None:
-            raise NotImplementedError(
-                "DFT-spread (SC-FDMA) + MIMO is not supported in one "
-                "link yet; set mimo=None or dft_spread=False"
-            )
+            # SC-FDMA MIMO: streams are DFT-precoded before the
+            # space-time encoding and despread after LINEAR per-tone
+            # detection (combiners/ZF/MMSE). ML and SIC slice per-tone
+            # samples against the constellation — meaningless for
+            # spread symbols (they are sums of all data points):
+            if self.mimo.detector in ("ml", "sic"):
+                raise ValueError(
+                    "dft_spread + MIMO needs a LINEAR detector "
+                    "(Alamouti/MRC combining or ZF/MMSE mux): ML and "
+                    "SIC make per-tone constellation decisions, which "
+                    "do not exist for DFT-spread symbols — despreading "
+                    "happens after detection"
+                )
         if self.dft_spread and self.pilot_spacing:
             # Block pilots estimate once per pilot_spacing symbols.
             # CFO/timing acquisition IS supported: the residual CFO's

@@ -536,6 +536,17 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
     n_fft, cp = cfg.ofdm.n_fft, cfg.ofdm.cp_len
     bps = cfg.modulation.bits_per_symbol
     points = modulate(bits, cfg.modulation)  # (streams, S, N)
+    if cfg.dft_spread:
+        # SC-FDMA MIMO: DFT-precode each STREAM's constellation grid
+        # (unitary, Es preserved) BEFORE the space-time encoding. The
+        # STBC's per-tone conj/negate and the mux's scaling act on the
+        # spread symbols and are undone per tone by the linear
+        # detectors, so one IDFT per stream after detection recovers
+        # the data (despreading in _mimo_llrs). Constant modulus per
+        # antenna is preserved (conj/scale of a CM waveform is CM).
+        points = (
+            jnp.fft.fft(points, axis=-1) * jnp.float32(n_fft**-0.5)
+        ).astype(jnp.complex64)
     if mc.scheme == MIMOScheme.ALAMOUTI:
         ant = mo.alamouti_encode(points[0])  # (2, S, N)
     elif mc.scheme == MIMOScheme.MRC:
@@ -551,7 +562,14 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
     # split total unit power across antennas (1/n_tx for Alamouti and
     # spatial mux; MRC's single antenna radiates at 1).
     ant_pwr = 1.0 / mc.n_tx if mc.scheme != MIMOScheme.MRC else 1.0
-    if cfg.channel.has_pa:
+    if cfg.dft_spread:
+        # SC-FDMA: the preamble must keep the waveform's constant
+        # modulus (the point of the precode) — a Zadoff-Chu grid is
+        # CM in BOTH domains; scale to data power when a PA is on so
+        # the Bussgang gain matches (CM pilot, CM data — consistent).
+        scale = ant_pwr**0.5 if cfg.channel.has_pa else 1.0
+        pre_ref = jnp.asarray(pi.zadoff_chu(n_fft) * scale, ant.dtype)
+    elif cfg.channel.has_pa:
         # PA mode: the preamble must drive the amplifier EXACTLY like
         # a data symbol — same per-antenna power (scale to ant_pwr)
         # AND the same time-domain amplitude statistics (a PN QPSK
@@ -851,10 +869,27 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
     else:
         s, eff_var = mo.mux_detect_mmse(y, h, nvf)
     if s is not None:
-        llrs = llr_maxlog(s, cfg.modulation, eff_var)
+        llrs = _mimo_llrs(cfg, s, eff_var)
     if mc.n_streams == 1 and llrs.ndim == 2:
         llrs = llrs[None]  # combiners collapse the stream axis; restore it
     return llrs  # (n_streams, S, N*bps), bit order matching ``bits``
+
+
+def _mimo_llrs(cfg: LinkConfig, s, eff_var):
+    """Per-tone symbol estimates → LLRs, despreading first when the
+    link is SC-FDMA (one unitary IDFT per stream per symbol; the
+    despread noise variance is the tone-mean of the post-detection
+    variances — each IDFT row has uniform magnitude and tone noise is
+    independent, the same averaging the SISO rx_chain applies)."""
+    if cfg.dft_spread:
+        m = s.shape[-1]
+        eff_var = jnp.mean(
+            jnp.broadcast_to(eff_var, s.shape), axis=-1, keepdims=True
+        )
+        s = (jnp.fft.ifft(s, axis=-1) * jnp.float32(m**0.5)).astype(
+            jnp.complex64
+        )
+    return llr_maxlog(s, cfg.modulation, eff_var)
 
 
 def _mimo_detect_per_symbol(cfg: LinkConfig, y, h_t, nvf):
@@ -880,14 +915,14 @@ def _mimo_detect_per_symbol(cfg: LinkConfig, y, h_t, nvf):
         s, eff = jax.vmap(lambda yy, hh: mo.alamouti_combine(yy, hh, nvf))(
             yp, h_pair
         )  # s (P, 2, N), eff (P, 1, N')
-        llrs = llr_maxlog(s, cfg.modulation, eff)  # (P, 2, N*bps)
+        llrs = _mimo_llrs(cfg, s, eff)  # (P, 2, N*bps)
         return llrs.reshape(1, S, -1)
     if mc.scheme == MIMOScheme.MRC:
         ys = jnp.moveaxis(y, 1, 0)[:, :, None, :]  # (S, n_rx, 1, N)
         s, eff = jax.vmap(lambda yy, hh: mo.mrc_combine(yy, hh, nvf))(
             ys, h_t
         )  # s (S, 1, N), eff (S, 1, N')
-        llrs = llr_maxlog(s[:, 0], cfg.modulation, eff[:, 0])  # (S, N*bps)
+        llrs = _mimo_llrs(cfg, s[:, 0], eff[:, 0])  # (S, N*bps)
         return llrs[None]
     ys = jnp.moveaxis(y, 1, 0)[:, :, None, :]  # (S, n_rx, 1, N)
     if mc.detector == "ml":
@@ -904,7 +939,7 @@ def _mimo_detect_per_symbol(cfg: LinkConfig, y, h_t, nvf):
     s, eff = jax.vmap(det)(ys, h_t)  # s (S, n_tx, 1, N), eff (S, n_tx, 1, N')
     s = jnp.moveaxis(s[:, :, 0], 0, 1)  # (n_tx, S, N)
     eff = jnp.moveaxis(eff[:, :, 0], 0, 1)  # (n_tx, S, N')
-    return llr_maxlog(s, cfg.modulation, eff)
+    return _mimo_llrs(cfg, s, eff)
 
 
 def _simulate_one(cfg: LinkConfig, key: jax.Array, want_llrs: bool):

@@ -237,6 +237,94 @@ def test_scfdma_iq_imbalance_compensated():
     assert j_iq < 1.2 * j_clean, (j_iq, j_clean)
 
 
+def test_scfdma_mimo_all_schemes():
+    """SC-FDMA MIMO (the last composition gate, removed round 3):
+    streams are DFT-precoded before the space-time encoding and
+    despread after LINEAR per-tone detection. All three schemes run
+    within a small factor of their OFDM twins on flat fading, and
+    under MULTIPATH the constant-modulus waveform's tone-averaging
+    WINS; the PA story carries over (deep backoff hurts SC-FDMA MIMO
+    less than OFDM MIMO). ML/SIC are rejected with physics."""
+    from sdr_tpu.core.config import MIMOConfig, MIMOScheme
+
+    def mk(dft, scheme=MIMOScheme.ALAMOUTI, ntx=2, nrx=2,
+           model=ChannelModel.RAYLEIGH_FLAT, ibo=None, **ch):
+        return LinkConfig(
+            modulation=Modulation.QPSK,
+            ofdm=OFDMConfig(64, 16),
+            channel=ChannelConfig(model=model, ebno_db=10.0,
+                                  pa_ibo_db=ibo, **ch),
+            mimo=MIMOConfig(scheme=scheme, n_tx=ntx, n_rx=nrx,
+                            csi="preamble"),
+            equalizer=Equalizer.MMSE,
+            n_symbols=16,
+            n_channels=512,
+            dft_spread=dft,
+        )
+
+    def ber(cfg):
+        return _ber(cfg, key=2)[0]
+
+    for scheme, ntx, nrx in (
+        (MIMOScheme.ALAMOUTI, 2, 2),
+        (MIMOScheme.MRC, 1, 2),
+        (MIMOScheme.SPATIAL_MUX, 2, 2),
+    ):
+        o = ber(mk(False, scheme, ntx, nrx))
+        s = ber(mk(True, scheme, ntx, nrx))
+        assert s < 2.0 * o, (scheme, s, o)
+    # Multipath: SC-FDMA's tone averaging wins outright.
+    o = ber(mk(False, model=ChannelModel.MULTIPATH, pdp=(1.0, 0.3)))
+    s = ber(mk(True, model=ChannelModel.MULTIPATH, pdp=(1.0, 0.3)))
+    assert s < o, (s, o)
+    # PA at deep backoff: the CM waveform tolerates compression better.
+    o = ber(mk(False, ibo=3.0))
+    s = ber(mk(True, ibo=3.0))
+    assert s < o, (s, o)
+    mk(True, MIMOScheme.SPATIAL_MUX)  # default linear detector: OK
+    with pytest.raises(ValueError, match="LINEAR"):
+        LinkConfig(
+            modulation=Modulation.QPSK,
+            ofdm=OFDMConfig(64, 16),
+            channel=ChannelConfig(model=ChannelModel.RAYLEIGH_FLAT,
+                                  ebno_db=10.0),
+            mimo=MIMOConfig(MIMOScheme.SPATIAL_MUX, 2, 2, csi="preamble",
+                            detector="ml"),
+            n_symbols=16,
+            dft_spread=True,
+        )
+
+
+def test_scfdma_mimo_acquisition():
+    """The full stack: SC-FDMA + MIMO + unknown delay + CFO (midamble
+    tracking) — in range of the OFDM-MIMO acquired link, bounded
+    outages."""
+    from sdr_tpu.core.config import MIMOConfig, MIMOScheme
+
+    def mk(cfo, to):
+        return LinkConfig(
+            modulation=Modulation.QPSK,
+            ofdm=OFDMConfig(64, 16),
+            channel=ChannelConfig(
+                model=ChannelModel.RAYLEIGH_FLAT, ebno_db=8.0,
+                cfo_subcarriers=cfo, timing_offset=to,
+            ),
+            mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2, csi="preamble",
+                            midamble_period=4 if cfo else 0),
+            equalizer=Equalizer.MMSE,
+            n_symbols=32,
+            n_channels=256,
+            dft_spread=True,
+        )
+
+    b_al, e_al = _ber(mk(0.0, 0), key=1)
+    b_acq, e_acq = _ber(mk(1.3, 37), key=1)
+    t = 32 * 64 * 2
+    assert (e_acq / t > 0.25).mean() < 0.05
+    in_lock = e_acq[e_acq / t <= 0.25]
+    assert in_lock.mean() < 2.5 * max(e_al.mean(), 1.0)
+
+
 def test_scfdma_gate_narrowed():
     """CFO/timing acquisition, LO phase noise, I/Q imbalance and
     (coherence-bounded) Jakes fading now all compose with SC-FDMA;
