@@ -504,63 +504,84 @@ def polar_decode_scl(
     batch = llr.shape[:-1]
     flat = llr.reshape((-1, N)).astype(jnp.float32)
 
-    def f_descend(L, d_from):
+    # Carry layout: PER-DEPTH arrays, not one (n+1, N) plane. Every
+    # depth the algorithm touches is REPLACED WHOLE (the f/g update at
+    # depth d consumes exactly the two halves of depth d-1's full
+    # array), so no in-scan slice-update of a large buffer exists —
+    # the monolithic-plane version spent ~100x the arithmetic cost
+    # copying the whole (Lw, n+1, N) plane for every `.at[d, :w].set`
+    # inside every unrolled branch. Ls[d]: (Lw, N >> d) float32;
+    # Bs[d]: (Lw, N) int8 (node j of depth d owns [j·w, (j+1)·w)).
+
+    def f_descend(Ls, d_from):
+        Ls = list(Ls)
         for d in range(d_from, n + 1):
             w = N >> d
-            seg = L[d - 1, : 2 * w]
-            L = L.at[d, :w].set(_f_minsum(seg[:w], seg[w : 2 * w]))
-        return L
+            prev = Ls[d - 1]  # (Lw, 2w) — full array, static halves
+            Ls[d] = _f_minsum(prev[:, :w], prev[:, w:])
+        return tuple(Ls)
 
     def make_g_branch(t):
         a = n - t
 
-        def branch(i, L, B):
+        def branch(i, Ls, Bs):
             w = N >> a
             j = lax.shift_right_logical(i, n - a)
-            left = lax.dynamic_slice(B[a], ((j - 1) * w,), (w,))
-            seg = L[a - 1, : 2 * w]
-            L = L.at[a, :w].set(_g(seg[:w], seg[w : 2 * w], left))
-            return f_descend(L, a + 1)
+            # Left sibling's partial sums live at node j-1 of depth a.
+            left = jax.vmap(
+                lambda b: lax.dynamic_slice(b, ((j - 1) * w,), (w,))
+            )(Bs[a])
+            prev = Ls[a - 1]
+            Ls = list(Ls)
+            Ls[a] = _g(prev[:, :w], prev[:, w:], left)
+            return f_descend(tuple(Ls), a + 1)
 
         return branch
 
     def make_merge_branch(t):
-        def branch(i, B):
+        def branch(i, Bs):
+            Bs = list(Bs)
             for d in range(n, n - t, -1):
                 w = N >> d
                 j = lax.shift_right_logical(i, n - d)
                 start = (j - 1) * w
-                pair = lax.dynamic_slice(B[d], (start,), (2 * w,))
-                merged = jnp.concatenate(
-                    [jnp.bitwise_xor(pair[:w], pair[w:]), pair[w:]]
-                )
-                B = B.at[d - 1].set(
-                    lax.dynamic_update_slice(B[d - 1], merged, (start,))
-                )
-            return B
+
+                def one(bd, bprev):
+                    pair = lax.dynamic_slice(bd, (start,), (2 * w,))
+                    merged = jnp.concatenate(
+                        [jnp.bitwise_xor(pair[:w], pair[w:]), pair[w:]]
+                    )
+                    return lax.dynamic_update_slice(bprev, merged, (start,))
+
+                Bs[d - 1] = jax.vmap(one)(Bs[d], Bs[d - 1])
+            return tuple(Bs)
 
         return branch
 
-    # List-vmapped branch roster: the t = n slot (only bit 0) is the
-    # initial full descent, so ONE uniform scan covers i = 0..N-1.
-    g_branches = [
-        jax.vmap(make_g_branch(t), in_axes=(None, 0, 0)) for t in range(n)
-    ] + [jax.vmap(lambda i, L, B: f_descend(L, 1), in_axes=(None, 0, 0))]
-    merge_branches = [
-        jax.vmap(make_merge_branch(t), in_axes=(None, 0))
-        for t in range(n + 1)
+    # Branch roster: the t = n slot (only bit 0) is the initial full
+    # descent, so ONE uniform scan covers i = 0..N-1. The list axis is
+    # already the leading axis of every per-depth array — no vmap
+    # needed on the L side.
+    g_branches = [make_g_branch(t) for t in range(n)] + [
+        lambda i, Ls, Bs: f_descend(Ls, 1)
     ]
+    merge_branches = [make_merge_branch(t) for t in range(n + 1)]
 
     def decode_one(ch_llr):
-        Lp = jnp.zeros((Lw, n + 1, N), jnp.float32).at[:, 0, :].set(ch_llr)
-        B = jnp.zeros((Lw, n + 1, N), jnp.int8)
+        Ls = tuple(
+            jnp.broadcast_to(ch_llr, (Lw, N))
+            if d == 0
+            else jnp.zeros((Lw, N >> d), jnp.float32)
+            for d in range(n + 1)
+        )
+        Bs = tuple(jnp.zeros((Lw, N), jnp.int8) for _ in range(n + 1))
         u = jnp.zeros((Lw, N), jnp.int8)
         pm = jnp.full((Lw,), BIG, jnp.float32).at[0].set(0.0)
 
         def step(carry, i):
-            Lp, B, u, pm = carry
-            Lp = lax.switch(tz_tab[i], g_branches, i, Lp, B)
-            leaf = Lp[:, n, 0]
+            Ls, Bs, u, pm = carry
+            Ls = lax.switch(tz_tab[i], g_branches, i, Ls, Bs)
+            leaf = Ls[n][:, 0]
             # Penalty |LLR| for deciding against the LLR's sign.
             c0 = pm + jnp.maximum(-leaf, 0.0)
             c1 = (
@@ -571,14 +592,19 @@ def polar_decode_scl(
             neg_top, idx = lax.top_k(-jnp.concatenate([c0, c1]), Lw)
             parent = jnp.mod(idx, Lw)
             dec = (idx >= Lw).astype(jnp.int8)
-            Lp, B, u = Lp[parent], B[parent], u[parent]
-            u = u.at[:, i].set(dec)
-            B = B.at[:, n, i].set(dec)
-            B = lax.switch(to_tab[i], merge_branches, i, B)
-            return (Lp, B, u, -neg_top), ()
+            # Survivor gather: depth 0 of Ls is list-invariant (the
+            # channel LLRs) and the deeper arrays are tiny (N >> d).
+            Ls = tuple(Ls[0:1]) + tuple(a[parent] for a in Ls[1:])
+            Bs = tuple(b[parent] for b in Bs)
+            u = u[parent].at[:, i].set(dec)
+            Bs = Bs[:n] + (
+                Bs[n].at[:, i].set(dec),
+            )
+            Bs = lax.switch(to_tab[i], merge_branches, i, Bs)
+            return (Ls, Bs, u, -neg_top), ()
 
-        (Lp, B, u, pm), _ = lax.scan(
-            step, (Lp, B, u, pm), jnp.arange(N, dtype=jnp.int32)
+        (Ls, Bs, u, pm), _ = lax.scan(
+            step, (Ls, Bs, u, pm), jnp.arange(N, dtype=jnp.int32)
         )
 
         info = u[:, info_idx_j]  # (Lw, k)
