@@ -39,7 +39,9 @@ def main() -> None:
 
     base = LinkConfig(
         modulation=Modulation.QPSK,
-        ofdm=OFDMConfig(n_fft=64, cp_len=16),
+        ofdm=OFDMConfig(n_fft=128, cp_len=16),  # 4096-bit QPSK frame:
+        # fits one LDPC codeword, so the MIXED-family ladder's block
+        # rungs calibrate instead of dropping out.
         channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=10.0),
         equalizer=Equalizer.NONE,
         n_symbols=16,
@@ -48,7 +50,8 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     table = calibrate(base, key, target_ber=1e-3)
     for t in table:
-        print(f"{t.modulation.value:6s} r={t.rate}  eff={t.efficiency:.2f}  "
+        print(f"{t.modulation.value:6s} {t.family:5s} r={t.rate}  "
+              f"eff={t.efficiency:.2f}  "
               f"thr={t.esno_db:+.1f} dB  ber@thr={t.measured_ber:.2e}")
 
     snrs = np.arange(-4.0, 26.0, 1.0)
@@ -82,8 +85,8 @@ def main() -> None:
     for t in table:
         ax.axvline(t.esno_db, color=_GRID, lw=0.8, zorder=1)
         ax.annotate(
-            f"{t.modulation.value} {t.rate}",
-            (t.esno_db, t.efficiency), fontsize=7, color=_MUTED,
+            f"{t.modulation.value} {t.family} {t.rate}",
+            (t.esno_db, t.efficiency), fontsize=6.5, color=_MUTED,
             xytext=(2, 4), textcoords="offset points",
         )
     ax.set_xlabel("Es/N0 [dB]", color=_INK)

@@ -809,6 +809,7 @@ def _cmd_packet(args) -> int:
             ofdm=OFDMConfig(n_fft=args.n_fft, cp_len=args.cp),
             rate=args.rate,
             pilot_spacing=args.pilots,
+            fec=getattr(args, "code", "conv"),
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -1167,6 +1168,11 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--n-fft", type=int, default=64)
     pk.add_argument("--cp", type=int, default=16)
     pk.add_argument("--rate", default="1/2", choices=["1/2", "2/3", "3/4"])
+    pk.add_argument(
+        "--code", default="conv", choices=["conv", "ldpc", "polar"],
+        help="packet FEC family (LDPC bursts quantize up to the "
+        "3072-bit codeword)",
+    )
     pk.add_argument("--pilots", type=int, default=8, help="comb pilot spacing")
     pk.add_argument(
         "--channel", default="multipath",

@@ -92,6 +92,12 @@ def ebno_from_esno(
 class MCSThreshold:
     modulation: Modulation
     rate: str
+    #: REALIZED info bits per subcarrier use for the calibration
+    #: frame geometry — counted from the simulator itself, so block
+    #: codes pay their codeword-quantization waste here (an LDPC rung
+    #: whose 3072-bit codewords fill only 6144 of an 8192-bit frame
+    #: ranks at its true 2.25, not the nominal 3.0 — ranking by
+    #: nominal made selection pick rungs that DELIVER less).
     efficiency: float
     esno_db: float  # lowest calibrated Es/N0 meeting the target
     measured_ber: float  # info-BER measured AT the threshold point
@@ -138,9 +144,14 @@ def calibrate(
                 break  # infeasible rung for this frame geometry
             ber = float(errors.sum()) / float(counted.sum())
             if ber <= target_ber:
+                # Realized efficiency, from the simulator's own count:
+                # info bits actually delivered per frame over the
+                # frame's subcarrier uses (block codes pay their
+                # codeword-quantization waste; conv pays its tail).
+                uses = base.n_symbols * base.ofdm.n_fft
+                real_eff = float(counted.sum()) / cfg.n_channels / uses
                 found = MCSThreshold(
-                    mod, rate, efficiency(mod, rate, family), float(esno),
-                    ber, family,
+                    mod, rate, real_eff, float(esno), ber, family,
                 )
                 break
         if found is not None:

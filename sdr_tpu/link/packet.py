@@ -91,14 +91,24 @@ class PacketConfig:
     payload_bytes: int = 64
     modulation: Modulation = Modulation.QPSK
     ofdm: OFDMConfig = OFDMConfig(n_fft=64, cp_len=16)
-    rate: str = "1/2"  # conv-code rate: "1/2", "2/3", "3/4"
+    rate: str = "1/2"  # FEC rate: "1/2", "2/3", "3/4"
     pilot_spacing: int = 8
+    #: FEC family: "conv" (K=7 + Viterbi), "ldpc" (QC min-sum; note
+    #: the 3072-bit codeword — bursts quantize up to it), or "polar"
+    #: (CA-SCL-8 over (256, k) codewords). The packet CRC-32 arbitrates
+    #: either way; info bits beyond the payload+CRC pad the last
+    #: codeword with zeros the receiver strips.
+    fec: str = "conv"
 
     def __post_init__(self) -> None:
         if self.payload_bytes < 1:
             raise ValueError("payload_bytes must be >= 1")
         if self.rate not in ("1/2", "2/3", "3/4"):
             raise ValueError(f"rate must be 1/2, 2/3 or 3/4, got {self.rate!r}")
+        if self.fec not in ("conv", "ldpc", "polar"):
+            raise ValueError(
+                f"fec must be 'conv', 'ldpc' or 'polar', got {self.fec!r}"
+            )
         if self.pilot_spacing < 2:
             # The blind receiver estimates the channel from the comb;
             # without pilots decode_packet would silently run
@@ -112,9 +122,29 @@ class PacketConfig:
     def n_info_bits(self) -> int:
         return 8 * self.payload_bytes + _CRC_BITS
 
+    def _block_code(self):
+        """The LDPC/polar code object for block-FEC packets."""
+        from sdr_tpu.link.coded import ldpc_code_for, polar_code_for
+
+        if self.fec == "ldpc":
+            return ldpc_code_for(self.rate)
+        return polar_code_for(self.rate, 256)
+
+    @property
+    def _n_codewords(self) -> int:
+        code = self._block_code()
+        k = code.k if self.fec == "ldpc" else code.payload_len
+        return -(-self.n_info_bits // k)  # ceil
+
     @property
     def n_coded_bits(self) -> int:
-        return punctured_len(self.n_info_bits, self.rate, DEFAULT_POLYS, DEFAULT_K)
+        if self.fec == "conv":
+            return punctured_len(
+                self.n_info_bits, self.rate, DEFAULT_POLYS, DEFAULT_K
+            )
+        code = self._block_code()
+        n = code.n if self.fec == "ldpc" else code.block_len
+        return self._n_codewords * n
 
     def _link_cfg(self, ebno_db: float = 10.0) -> LinkConfig:
         """Internal LinkConfig carrying the numerology/pilot settings
@@ -148,18 +178,67 @@ class PacketConfig:
         return (2 + self.n_symbols) * self.ofdm.symbol_len
 
 
+def _fec_encode(pcfg: PacketConfig, info: jnp.ndarray) -> jnp.ndarray:
+    """info bits (n_info_bits,) → coded bits (n_coded_bits,).
+
+    Block families segment into codewords, zero-padding the last
+    (known bits the receiver strips — a small rate concession for a
+    family-agnostic framing layer)."""
+    if pcfg.fec == "conv":
+        return puncture(conv_encode(info, DEFAULT_POLYS, DEFAULT_K),
+                        pcfg.rate)
+    code = pcfg._block_code()
+    n_cw = pcfg._n_codewords
+    if pcfg.fec == "ldpc":
+        from sdr_tpu.ops.ldpc import ldpc_encode
+
+        k = code.k
+        padded = jnp.zeros((n_cw * k,), jnp.int8).at[: info.shape[0]].set(info)
+        return ldpc_encode(code, padded.reshape(n_cw, k)).reshape(-1)
+    from sdr_tpu.ops.polar import polar_encode_payload
+
+    k = code.payload_len
+    padded = jnp.zeros((n_cw * k,), jnp.int8).at[: info.shape[0]].set(info)
+    return polar_encode_payload(padded.reshape(n_cw, k), code).reshape(-1)
+
+
+def _fec_decode(pcfg: PacketConfig, llr_sent: jnp.ndarray) -> jnp.ndarray:
+    """Coded-bit LLRs (n_coded_bits,) → decoded info (n_info_bits,)."""
+    if pcfg.fec == "conv":
+        llr_cw = depuncture(
+            llr_sent, pcfg.rate, pcfg.n_info_bits + DEFAULT_K - 1
+        )
+        return viterbi_decode(
+            llr_cw, pcfg.n_info_bits, DEFAULT_POLYS, DEFAULT_K
+        )
+    code = pcfg._block_code()
+    n_cw = pcfg._n_codewords
+    if pcfg.fec == "ldpc":
+        from sdr_tpu.ops.ldpc import ldpc_decode
+
+        dec = ldpc_decode(code, llr_sent.reshape(n_cw, code.n))
+        return dec[:, : code.k].reshape(-1)[: pcfg.n_info_bits]
+    from sdr_tpu.ops.polar import polar_decode_scl
+
+    dec = polar_decode_scl(
+        llr_sent.reshape(n_cw, code.block_len), code, list_size=8
+    )
+    return dec.reshape(-1)[: pcfg.n_info_bits]
+
+
 def encode_packet(pcfg: PacketConfig, payload: jnp.ndarray) -> jnp.ndarray:
     """payload uint8 (payload_bytes,) → burst complex64 (burst_len,).
 
-    CRC-append → conv-encode → puncture → whole-frame interleave →
-    pilot-bearing OFDM symbols → S&C preamble prepended.
+    CRC-append → FEC encode (conv/LDPC/polar per pcfg.fec) →
+    whole-frame interleave → pilot-bearing OFDM symbols → S&C preamble
+    prepended.
     """
     from sdr_tpu.ops.sync import acquisition_preamble
 
     cfg = pcfg._link_cfg()
     bits = bytes_to_bits(payload.astype(jnp.uint8))
     info = jnp.concatenate([bits, crc32_bits(bits)])
-    cw = puncture(conv_encode(info, DEFAULT_POLYS, DEFAULT_K), pcfg.rate)
+    cw = _fec_encode(pcfg, info)
     frame_bits = pcfg.frame_bits
     frame = interleave(
         jnp.zeros((frame_bits,), jnp.int8).at[: cw.shape[0]].set(cw)
@@ -174,13 +253,15 @@ def encode_packet(pcfg: PacketConfig, payload: jnp.ndarray) -> jnp.ndarray:
 def _decode_aligned(pcfg: PacketConfig, payload_t: jnp.ndarray, noise_var):
     """Aligned payload symbols (n_symbols, sym_len) → (bytes, crc_ok)."""
     cfg = pcfg._link_cfg()
-    llrs, _ = rx_chain(cfg, payload_t, None, noise_var)
+    # track_phase: the burst was blind-acquired, so a residual CFO
+    # rotates it a little more each symbol — the tracked comb
+    # estimator follows it (load-bearing for long bursts: LDPC's
+    # 28-symbol frames accumulate ±1.9 rad that frame averaging
+    # cannot absorb).
+    llrs, _ = rx_chain(cfg, payload_t, None, noise_var, track_phase=True)
     frame_bits = pcfg.frame_bits
     llr_sent = deinterleave(llrs.reshape(-1)[:frame_bits])[: pcfg.n_coded_bits]
-    llr_cw = depuncture(
-        llr_sent, pcfg.rate, pcfg.n_info_bits + DEFAULT_K - 1
-    )
-    decoded = viterbi_decode(llr_cw, pcfg.n_info_bits, DEFAULT_POLYS, DEFAULT_K)
+    decoded = _fec_decode(pcfg, llr_sent)
     bits, crc_rx = decoded[: 8 * pcfg.payload_bytes], decoded[8 * pcfg.payload_bytes:]
     crc_ok = jnp.all(crc32_bits(bits) == crc_rx)
     return bits_to_bytes(bits), crc_ok

@@ -197,6 +197,7 @@ def rx_chain(
     h_freq: jnp.ndarray | None,
     noise_var,
     skip_iq: bool = False,
+    track_phase: bool = False,
 ):
     """Receiver: samples → (llrs, hard_bits).
 
@@ -318,13 +319,22 @@ def rx_chain(
             # per-symbol estimate also absorbs any residual timing/CFO
             # phase, so this branch covers the acquired case too.
             h_est = base(y, cfg.pilot_spacing, per_symbol=True)
-        elif cfg.channel.impaired or cfg.channel.phase_noise_std:
+        elif (
+            cfg.channel.impaired
+            or cfg.channel.phase_noise_std
+            or track_phase
+        ):
             # Blind acquisition leaves a residual CFO (1e-2-scale
             # subcarriers), and LO phase noise a Wiener walk — either
             # way the constellation rotates a little more each symbol.
             # The tracked estimator follows that common phase per
             # symbol while keeping the frame's full noise averaging on
-            # the channel shape.
+            # the channel shape. ``track_phase`` requests the same
+            # treatment when the config itself carries no impairment
+            # flags — the packet modem's internal LinkConfig, whose
+            # post-acquisition residual rotates LONG bursts right out
+            # of the frame-averaged estimate (a 0.017-subcarrier
+            # residual turns ±1.9 rad across a 28-symbol LDPC burst).
             h_est = estimate_ls_comb_tracked(y, cfg.pilot_spacing, base=base)
         else:
             h_est = base(y, cfg.pilot_spacing, per_symbol=False)

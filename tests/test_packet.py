@@ -161,7 +161,42 @@ def test_packet_config_validation():
         PacketConfig(rate="5/6")
     with pytest.raises(ValueError):  # blind RX needs the pilot comb
         PacketConfig(pilot_spacing=0)
+    with pytest.raises(ValueError):
+        PacketConfig(fec="turbo")
     # Derived sizes are self-consistent.
     assert _PCFG.n_info_bits == 32 * 8 + 32
     assert _PCFG.n_coded_bits <= _PCFG.frame_bits
     assert _PCFG.burst_len == (2 + _PCFG.n_symbols) * 80
+
+
+@pytest.mark.parametrize("fec", ["ldpc", "polar"])
+def test_packet_block_fec_families(fec):
+    """The packet modem carries every code family: payload+CRC-32
+    segments into LDPC/polar codewords (zero-padded last codeword the
+    receiver strips), blind-received through delay + CFO + noise. The
+    tracked comb estimator is load-bearing here — the residual CFO
+    rotates LDPC's long (28-symbol) bursts ±1.9 rad, which frame
+    averaging cannot absorb (measured: every packet lost without it)."""
+    import jax.numpy as jnp
+    from sdr_tpu.link.packet import decode_packet, encode_packet
+    from sdr_tpu.ops import channel as chan
+    from sdr_tpu.ops.sync import apply_cfo
+
+    rng = np.random.default_rng(3)
+    pcfg = PacketConfig(payload_bytes=64, fec=fec)
+    nv = chan.ebno_db_to_noise_var(10.0, 2)
+    ok_count = 0
+    for t in range(5):
+        payload = jnp.asarray(rng.integers(0, 256, (64,)), jnp.uint8)
+        burst = encode_packet(pcfg, payload)
+        stream = jnp.concatenate([
+            jnp.zeros(17 + t, jnp.complex64), burst,
+            jnp.zeros(220, jnp.complex64),
+        ])
+        stream = apply_cfo(stream, 1.3, 64)
+        stream = chan.awgn(
+            jax.random.PRNGKey(50 + t), stream, chan.time_noise_var(nv, 64)
+        )
+        out, ok = decode_packet(pcfg, stream, nv)
+        ok_count += int(bool(ok) and bool(jnp.all(out == payload)))
+    assert ok_count == 5, ok_count
