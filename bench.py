@@ -66,13 +66,19 @@ def _build(batch: int, n_syms: int, iters: int):
     mod = Modulation.QAM16
     nv = float(ebno_db_to_noise_var(EBNO_DB, mod.bits_per_symbol))
 
+    in_dtype = (
+        jnp.bfloat16
+        if os.environ.get("SDR_BENCH_INPUT_DTYPE", "f32") == "bf16"
+        else jnp.float32
+    )
+
     @jax.jit
     def gen(key):
         """Synthesize RX samples + a channel response on device (planar)."""
         kr, ki, kh = jax.random.split(key, 3)
         shape = (batch, n_syms, SYM_LEN)
-        re = jax.random.normal(kr, shape, jnp.float32) * np.float32(1.0 / np.sqrt(2 * N_FFT))
-        im = jax.random.normal(ki, shape, jnp.float32) * np.float32(1.0 / np.sqrt(2 * N_FFT))
+        re = (jax.random.normal(kr, shape, jnp.float32) * np.float32(1.0 / np.sqrt(2 * N_FFT))).astype(in_dtype)
+        im = (jax.random.normal(ki, shape, jnp.float32) * np.float32(1.0 / np.sqrt(2 * N_FFT))).astype(in_dtype)
         hr = jax.random.normal(kh, (batch, 1, N_FFT), jnp.float32) * np.float32(np.sqrt(0.5))
         hi = jax.random.normal(jax.random.fold_in(kh, 1), (batch, 1, N_FFT), jnp.float32) * np.float32(np.sqrt(0.5))
         return re, im, hr, hi
@@ -124,15 +130,20 @@ class _Deadline(Exception):
 
 
 def main() -> None:
-    # Round-2c defaults from the measured batch/precision scan
-    # (docs/hw_campaign.jsonl): bf16x2 wins the same-window A/B at
-    # batch >= 8192 on every repeat (25.9-28.2 vs 22.9-23.8 at 8192)
-    # while passing the hardware BER gate (error counts move -0.4%,
-    # noise level — docs/PERF.md), and batch amortization keeps paying
-    # to 32768 (28 → 34.6 @16384 → 40.1 @32768 GS/s; ~10.7 GB working
-    # set, well inside the 16 GB HBM). Both are env-overridable;
-    # bf16x3 remains the LIBRARY default (BER bit-identical to f32).
-    os.environ.setdefault("SDR_TPU_MXU_PRECISION", "bf16x2")
+    # Round-3 defaults from the measured precision×input-dtype matrix
+    # (docs/PERF.md round 3): single-pass MXU + bfloat16 SAMPLE PLANES
+    # reads 55.7 GS/s at batch 32768 vs bf16x2/f32's 40.1. Both knobs
+    # are BER-gated on-device for the benched 16-QAM config: error
+    # counts move +0.016% at 8 dB and +0.10% at 14 dB vs the
+    # bit-exact bf16x3 reference (≈0.002 dB — two decades inside the
+    # north star's 0.1 dB bound), and bf16 input is physically honest
+    # (front ends deliver 8-14-bit samples; our SC16 captures are
+    # 16-bit ints). The gate is MODULATION-dependent: 1024-QAM at
+    # 30 dB moves +10%, so dense-constellation work keeps bf16x2/
+    # bf16x3 (see the PERF.md gate table). Env-overridable; bf16x3 +
+    # f32 remains the LIBRARY default (BER bit-identical to f32).
+    os.environ.setdefault("SDR_TPU_MXU_PRECISION", "default")
+    os.environ.setdefault("SDR_BENCH_INPUT_DTYPE", "bf16")
     batch = int(os.environ.get("SDR_BENCH_BATCH", "32768"))
     n_syms = int(os.environ.get("SDR_BENCH_SYMS", "64"))
     iters = int(os.environ.get("SDR_BENCH_ITERS", "12"))
@@ -214,7 +225,8 @@ def main() -> None:
         f"({best / iters * 1e3:.3f}ms/iter) backend={jax.default_backend()} "
         f"fft={os.environ.get('SDR_TPU_FFT_BACKEND', 'auto')} "
         f"demod={os.environ.get('SDR_TPU_DEMOD_BACKEND', 'auto')} "
-        f"mxu={os.environ.get('SDR_TPU_MXU_PRECISION', 'bf16x3')}",
+        f"mxu={os.environ.get('SDR_TPU_MXU_PRECISION', 'bf16x3')} "
+        f"input={os.environ.get('SDR_BENCH_INPUT_DTYPE', 'f32')}",
         file=sys.stderr,
     )
 

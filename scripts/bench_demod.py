@@ -43,6 +43,11 @@ def main() -> None:
     # compare where the fused count kernels apply — no LLR plane or
     # bit-order transpose in HBM).
     terminal = os.environ.get("SDR_BENCH_TERMINAL", "llr")
+    # "bf16" feeds the kernel bfloat16 sample planes: half the HBM
+    # read; the kernel's x-side hi/lo split collapses (bf16x2 pass
+    # count, W exact). Physically honest — SDR front ends deliver
+    # 8-14-bit samples, and our SC16 capture format is 16-bit int.
+    in_dtype = os.environ.get("SDR_BENCH_INPUT_DTYPE", "f32")
     sym_len = n_fft + cp
 
     from sdr_tpu.core.config import Modulation
@@ -59,6 +64,9 @@ def main() -> None:
         scale = np.float32(1.0 / np.sqrt(2 * n_fft))
         re = jax.random.normal(kr, shape, jnp.float32) * scale
         im = jax.random.normal(ki, shape, jnp.float32) * scale
+        if in_dtype == "bf16":
+            re = re.astype(jnp.bfloat16)
+            im = im.astype(jnp.bfloat16)
         hr = jax.random.normal(kh, (batch, 1, n_fft), jnp.float32) * np.float32(
             np.sqrt(0.5)
         )

@@ -214,7 +214,8 @@ def _demod_split(rows: int) -> int:
 
 def _make_kernel(
     tb: int, n_syms: int, sym_len: int, cp_len: int, mod: Modulation,
-    noise_var: float, reduce_sum: bool, count: bool = False
+    noise_var: float, reduce_sum: bool, count: bool = False,
+    x_bf16: bool = False,
 ):
     n_fft = sym_len - cp_len
     rows = tb * n_syms
@@ -268,7 +269,14 @@ def _make_kernel(
         prev = None
         for c in range(split):
             sl = slice(c * rows_c, (c + 1) * rows_c)
-            y = _matmul.complex_dot(xr[sl], xi[sl], w_refs, mode)
+            # bf16 INPUT mode (SDR_TPU_DEMOD_INPUT=bf16 at the bench,
+            # or bf16 sample planes from a front end): halves the
+            # kernel's HBM read; the x-side hi/lo split collapses so
+            # the matmul runs the bf16x2 pass count with exact W.
+            if x_bf16:
+                y = _matmul.complex_dot_xbf16(xr[sl], xi[sl], w_refs, mode)
+            else:
+                y = _matmul.complex_dot(xr[sl], xi[sl], w_refs, mode)
             if prev is not None:
                 outs[c - 1] = tail(c - 1, prev)
             prev = y
@@ -336,7 +344,8 @@ def demod_chain_pallas(
 
     w_ops = _matmul.prepare_w(*_dft_mats(n_fft), _matmul.mxu_mode())
     kernel = _make_kernel(
-        tb, n_syms, sym_len, cp_len, mod, float(noise_var), reduce_sum
+        tb, n_syms, sym_len, cp_len, mod, float(noise_var), reduce_sum,
+        x_bf16=(re.dtype == jnp.bfloat16),
     )
 
     in_specs = [
@@ -434,6 +443,7 @@ def demod_count_pallas(
     kernel = _make_kernel(
         tb, n_syms, sym_len, cp_len, mod, float(noise_var),
         reduce_sum=False, count=True,
+        x_bf16=(re.dtype == jnp.bfloat16),
     )
     in_specs = [
         pl.BlockSpec((tb, n_syms, sym_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -264,3 +264,29 @@ def test_demod_count_chain_backends_agree(rng):
     # level; at these sizes the counts must agree exactly or within a
     # couple of boundary bits.
     assert abs(int(np.asarray(a).sum()) - int(np.asarray(b).sum())) <= 2
+
+
+def test_pallas_bf16_input_mode(rng):
+    """bfloat16 sample planes (SDR_BENCH_INPUT_DTYPE=bf16, the round-3
+    headline mode — halves the kernel's HBM read and is physically
+    honest for 8-14-bit front ends): LLRs match the f32-input kernel
+    to the bf16 sample-quantization tolerance and hard decisions agree
+    except at near-zero LLRs."""
+    from sdr_tpu.kernels.demod_pallas import demod_chain_pallas
+
+    mod, n_fft, cp = Modulation.QAM16, 256, 64
+    batch, n_syms = 4, 8
+    nv = float(ebno_db_to_noise_var(8.0, mod.bits_per_symbol))
+    re, im, hr, hi = _inputs(rng, batch, n_syms, n_fft + cp, n_fft)
+    l32 = np.asarray(demod_chain_pallas(re, im, hr, hi, cp, mod, nv))
+    l16 = np.asarray(
+        demod_chain_pallas(
+            re.astype(jnp.bfloat16), im.astype(jnp.bfloat16),
+            hr, hi, cp, mod, nv,
+        )
+    )
+    rel = np.abs(l16 - l32).max() / np.abs(l32).max()
+    assert rel < 2e-2, rel
+    disagree = (l16 < 0) != (l32 < 0)
+    # Sign flips only where the LLR is already ~0 (undecidable).
+    assert np.abs(l32[disagree]).max(initial=0.0) < 5e-2 * np.abs(l32).max()
