@@ -91,6 +91,14 @@ def _dft_mats(n: int):
     return np.real(w).astype(np.float32), np.imag(w).astype(np.float32)
 
 
+def _idft_mats(n: int):
+    """(W2r, W2i) for the SC-FDE despread: conj(F)/sqrt(n) — matches
+    link.pipeline's ifft(s)·sqrt(n) convention exactly."""
+    wr, wi = _dft_mats(n)
+    s = np.float32(1.0 / np.sqrt(n))
+    return wr * s, -wi * s
+
+
 def equalize_llr_bits(yr, yi, hr, hi, inv_nv, mod: Modulation):
     """Shared fused-kernel tail: unbiased one-tap MMSE + max-log LLR.
 
@@ -107,6 +115,32 @@ def equalize_llr_bits(yr, yi, hr, hi, inv_nv, mod: Modulation):
     if mod is Modulation.BPSK:
         return _llr_axis(sr, inv_eff, mod)
     return _llr_axis(sr, inv_eff, mod) + _llr_axis(si, inv_eff, mod)
+
+
+def equalize_despread_llr_bits(
+    yr, yi, hr, hi, inv_nv, mod: Modulation, w2_refs, mode: str
+):
+    """SC-FDE tail: unbiased one-tap equalize → IDFT despread → LLR.
+
+    Full-grid SC-FDMA is single-carrier with a CP (the DFT precode and
+    the IFFT cancel), so the receiver is the classic frequency-domain
+    equalizer: per-tone equalization of the FFT output, then ONE more
+    Gauss matmul against W2 = conj(F)/sqrt(N) brings the symbols back
+    to time, where the constellation lives. The despread noise
+    variance is the TONE MEAN of the per-tone post-equalizer
+    variances (each IDFT row has uniform magnitude, tone noise
+    independent — the same averaging link.pipeline's rx_chain applies),
+    so inv_eff = inv_nv / mean(1/|h|²) per row.
+    """
+    h2 = hr * hr + hi * hi
+    inv_h2 = jnp.float32(1.0) / jnp.maximum(h2, jnp.float32(1e-12))
+    sr = (hr * yr + hi * yi) * inv_h2
+    si = (hr * yi - hi * yr) * inv_h2
+    inv_eff = inv_nv / jnp.mean(inv_h2, axis=-1, keepdims=True)
+    tr, ti = _matmul.complex_dot(sr, si, w2_refs, mode)
+    if mod is Modulation.BPSK:
+        return _llr_axis(tr, inv_eff, mod)
+    return _llr_axis(tr, inv_eff, mod) + _llr_axis(ti, inv_eff, mod)
 
 
 def _llr_axis(v, inv_eff, mod: Modulation):
@@ -215,7 +249,7 @@ def _demod_split(rows: int) -> int:
 def _make_kernel(
     tb: int, n_syms: int, sym_len: int, cp_len: int, mod: Modulation,
     noise_var: float, reduce_sum: bool, count: bool = False,
-    x_bf16: bool = False,
+    x_bf16: bool = False, despread: bool = False,
 ):
     n_fft = sym_len - cp_len
     rows = tb * n_syms
@@ -233,7 +267,11 @@ def _make_kernel(
             idx_ref = rest[0]
             rest = rest[1:]
         w_refs = rest[:n_w]
-        out_ref = rest[n_w]
+        rest = rest[n_w:]
+        if despread:
+            w2_refs = rest[:n_w]
+            rest = rest[n_w:]
+        out_ref = rest[0]
         # CP strip + row-major reshape: (tb, S, sym_len) → (rows, n_fft).
         xr = re_ref[:].reshape(rows, sym_len)[:, cp_len:]
         xi = im_ref[:].reshape(rows, sym_len)[:, cp_len:]
@@ -248,9 +286,14 @@ def _make_kernel(
             """VPU leg for row chunk c: equalize + max-log LLR (+count)."""
             yr, yi = y
             sl = slice(c * rows_c, (c + 1) * rows_c)
-            llr_bits = equalize_llr_bits(
-                yr, yi, hr[sl], hi[sl], inv_nv, mod
-            )
+            if despread:
+                llr_bits = equalize_despread_llr_bits(
+                    yr, yi, hr[sl], hi[sl], inv_nv, mod, w2_refs, mode
+                )
+            else:
+                llr_bits = equalize_llr_bits(
+                    yr, yi, hr[sl], hi[sl], inv_nv, mod
+                )
             if count:
                 return count_errors_bits(llr_bits, idx[sl], bps)
             if reduce_sum:
@@ -319,6 +362,7 @@ def demod_chain_pallas(
     noise_var: float,
     reduce_sum: bool = False,
     interpret: bool | None = None,
+    despread: bool = False,
 ) -> jnp.ndarray:
     """Fused demod chain over (batch, n_syms, sym_len) planar inputs.
 
@@ -326,6 +370,10 @@ def demod_chain_pallas(
     (batch, n_syms, n_fft·bps) float32, or their scalar sum when
     ``reduce_sum``. Matches ops.demod.demod_chain_jnp to float32
     matmul tolerance (tests/test_demod.py).
+
+    ``despread``: the SC-FDE variant (full-grid SC-FDMA): one more
+    Gauss matmul (conj(F)/sqrt(N)) after the per-tone equalizer brings
+    the symbols back to time, LLRs scaled by the tone-mean noise.
     """
     if not supported(re.shape, cp_len, mod):
         raise ValueError(f"unsupported shape {re.shape} for fused demod kernel")
@@ -343,9 +391,13 @@ def demod_chain_pallas(
         interpret = jax.default_backend() == "cpu"
 
     w_ops = _matmul.prepare_w(*_dft_mats(n_fft), _matmul.mxu_mode())
+    if despread:
+        w_ops = w_ops + _matmul.prepare_w(
+            *_idft_mats(n_fft), _matmul.mxu_mode()
+        )
     kernel = _make_kernel(
         tb, n_syms, sym_len, cp_len, mod, float(noise_var), reduce_sum,
-        x_bf16=(re.dtype == jnp.bfloat16),
+        x_bf16=(re.dtype == jnp.bfloat16), despread=despread,
     )
 
     in_specs = [
@@ -412,6 +464,7 @@ def demod_count_pallas(
     mod: Modulation,
     noise_var: float,
     interpret: bool | None = None,
+    despread: bool = False,
 ) -> jnp.ndarray:
     """Fused demod + hard-decision error count vs transmitted indices.
 
@@ -440,10 +493,15 @@ def demod_count_pallas(
         interpret = jax.default_backend() == "cpu"
 
     w_ops = _matmul.prepare_w(*_dft_mats(n_fft), _matmul.mxu_mode())
+    if despread:
+        # SC-FDE: idx indexes TIME-domain constellation symbols.
+        w_ops = w_ops + _matmul.prepare_w(
+            *_idft_mats(n_fft), _matmul.mxu_mode()
+        )
     kernel = _make_kernel(
         tb, n_syms, sym_len, cp_len, mod, float(noise_var),
         reduce_sum=False, count=True,
-        x_bf16=(re.dtype == jnp.bfloat16),
+        x_bf16=(re.dtype == jnp.bfloat16), despread=despread,
     )
     in_specs = [
         pl.BlockSpec((tb, n_syms, sym_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -50,6 +50,20 @@ def _tx(cfg: LinkConfig, idx: jnp.ndarray, backend: str):
     )
     from sdr_tpu.kernels.tx_pallas import supported as tx_ok, tx_chain_pallas
 
+    if cfg.dft_spread:
+        # Full-grid SC-FDMA: the DFT precode and the IFFT cancel — the
+        # time-domain waveform IS the constellation sequence scaled by
+        # N^-1/2 (single-carrier with CP). No transform, no kernel:
+        # one gather + scale + CP concat of pure XLA elementwise work.
+        from sdr_tpu.ops.modulation import modulate
+
+        bits = _ints_to_bits(idx, cfg.modulation.bits_per_symbol)
+        pts = modulate(bits, cfg.modulation) * jnp.complex64(
+            cfg.ofdm.n_fft ** -0.5
+        )
+        x = jnp.concatenate([pts[..., -cfg.ofdm.cp_len:], pts], axis=-1)
+        return jnp.real(x), jnp.imag(x)
+
     small_ok = tx_ok(idx.shape, cfg.modulation)
     wide_ok = tx4_ok(idx.shape, cfg.ofdm.cp_len, cfg.modulation)
     want = backend == "pallas" or (
@@ -187,6 +201,10 @@ def rx_count_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
         jnp.real(hb), jnp.imag(hb),
         idx, cfg.ofdm.cp_len, mod, max(nv, 1e-12),
         backend=backend,
+        # SC-FDE receive (full-grid SC-FDMA): the fused kernel adds
+        # one IDFT matmul after the per-tone equalizer; idx indexes
+        # the TIME-domain constellation symbols.
+        despread=cfg.dft_spread,
     )
     counted = jnp.full((B,), S * N * bps, jnp.int32)
     return errors, counted
@@ -221,11 +239,11 @@ def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto"):
             "fast_simulate is SISO; MIMO links run in "
             "link.pipeline.simulate (set mimo=None here)"
         )
-    if cfg.dft_spread:
-        raise NotImplementedError(
-            "fast_simulate's fused kernels demap per subcarrier; the "
-            "DFT-spread (SC-FDMA) waveform runs in link.pipeline.simulate"
-        )
+    # cfg.dft_spread runs here too since round 3: FULL-GRID SC-FDMA is
+    # single-carrier with CP (precode and IFFT cancel at TX; SC-FDE
+    # receive = per-tone equalize + one fused IDFT matmul). The
+    # pilot_spacing gate above already routes block-pilot SC-FDMA to
+    # link.pipeline.
     return fast_core(cfg, key, jnp.arange(cfg.n_channels), backend)
 
 

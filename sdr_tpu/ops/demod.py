@@ -91,12 +91,31 @@ def demod_chain_jnp(
     mod: Modulation,
     noise_var: float,
     reduce_sum: bool = False,
+    despread: bool = False,
 ) -> jnp.ndarray:
-    """Reference composition of the public ops (always available)."""
+    """Reference composition of the public ops (always available).
+
+    ``despread``: SC-FDE (full-grid SC-FDMA) — ZF-unbiased per-tone
+    equalization (the fused kernels' convention: MMSE's extra per-tone
+    real scale does NOT commute with the despread IDFT, so the two
+    equalizers genuinely differ here), tone-mean noise, IDFT·sqrt(N)
+    back to the time-domain constellation."""
     x = jax.lax.complex(re, im)
     h = jax.lax.complex(hr, hi)
     y = ofdm_rx(x, cp_len)
-    s, eff = equalize_mmse(y, h, noise_var)
+    if despread:
+        from sdr_tpu.ops.equalize import equalize_zf
+
+        s, eff = equalize_zf(y, h, noise_var)
+        m = s.shape[-1]
+        eff = jnp.mean(
+            jnp.broadcast_to(eff, s.shape), axis=-1, keepdims=True
+        )
+        s = (jnp.fft.ifft(s, axis=-1) * jnp.float32(m**0.5)).astype(
+            jnp.complex64
+        )
+    else:
+        s, eff = equalize_mmse(y, h, noise_var)
     llr = llr_maxlog(s, mod, eff)
     if reduce_sum:
         return jnp.sum(llr, dtype=jnp.float32)
@@ -113,16 +132,22 @@ def demod_chain(
     noise_var: float,
     reduce_sum: bool = False,
     backend: str | None = None,
+    despread: bool = False,
 ) -> jnp.ndarray:
     """Demod chain over (..., n_syms, sym_len) planar inputs.
 
     hr/hi broadcast against the post-FFT grid (..., n_syms, n_fft).
     Returns LLRs (..., n_syms, n_fft * bits_per_symbol) float32, or
     their scalar sum when ``reduce_sum`` (bench/reduction use).
+    ``despread`` selects the SC-FDE receive chain (full-grid SC-FDMA);
+    fused only in the single-matmul kernel — other backends fall back
+    to the jnp composition.
     """
     b = backend or _default_backend()
     if b == "auto":
         b = select_backend(re.shape, hr.shape, cp_len, mod, jax.default_backend())
+    if despread and b not in ("pallas", "jnp"):
+        b = "jnp"  # SC-FDE is fused in the single-matmul kernel only
     if b == "pallas":
         from sdr_tpu.kernels.demod_pallas import demod_chain_pallas
         from sdr_tpu.kernels.demod_pallas import supported as _pl_ok
@@ -133,10 +158,11 @@ def demod_chain(
         if not _pl_ok(re.shape, cp_len, mod) and _fs_ok(
             re.shape, cp_len, mod, h_syms=hr.shape[1]
         ):
-            b = "fourstep"
+            b = "jnp" if despread else "fourstep"
         else:
             return demod_chain_pallas(
-                re, im, hr, hi, cp_len, mod, noise_var, reduce_sum=reduce_sum
+                re, im, hr, hi, cp_len, mod, noise_var,
+                reduce_sum=reduce_sum, despread=despread,
             )
     if b == "fourstep":
         from sdr_tpu.kernels.fourstep_pallas import demod_chain_fourstep
@@ -156,7 +182,10 @@ def demod_chain(
         )
     if b != "jnp":
         raise ValueError(f"unknown demod backend {b!r}")
-    return demod_chain_jnp(re, im, hr, hi, cp_len, mod, noise_var, reduce_sum)
+    return demod_chain_jnp(
+        re, im, hr, hi, cp_len, mod, noise_var, reduce_sum,
+        despread=despread,
+    )
 
 
 def demod_count_chain(
@@ -169,6 +198,7 @@ def demod_count_chain(
     mod: Modulation,
     noise_var: float,
     backend: str | None = None,
+    despread: bool = False,
 ) -> jnp.ndarray:
     """Demod + hard-decision bit-error count vs transmitted indices.
 
@@ -193,8 +223,19 @@ def demod_count_chain(
 
         if _pl_ok(re.shape, cp_len, mod):
             return demod_count_pallas(
-                re, im, hr, hi, idx, cp_len, mod, noise_var
+                re, im, hr, hi, idx, cp_len, mod, noise_var,
+                despread=despread,
             )
+    if despread:
+        # SC-FDE count outside the fused kernel: count on the jnp
+        # SC-FDE LLRs (decision-identical fallback).
+        llr = demod_chain(
+            re, im, hr, hi, cp_len, mod, noise_var, backend="jnp",
+            despread=True,
+        )
+        hard = (llr < 0).astype(jnp.int8)
+        bits = _ints_to_bits(idx, mod.bits_per_symbol)
+        return jnp.sum((hard != bits).astype(jnp.int32), axis=(1, 2))
     if b in ("pallas", "fourstep", "fourstep2") and idx_ok:
         from sdr_tpu.kernels.fourstep_split_pallas import (
             demod_chain_fourstep2,

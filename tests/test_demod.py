@@ -290,3 +290,39 @@ def test_pallas_bf16_input_mode(rng):
     disagree = (l16 < 0) != (l32 < 0)
     # Sign flips only where the LLR is already ~0 (undecidable).
     assert np.abs(l32[disagree]).max(initial=0.0) < 5e-2 * np.abs(l32).max()
+
+
+def test_pallas_scfde_despread_matches_jnp(rng):
+    """SC-FDE variant (full-grid SC-FDMA): the fused kernel's extra
+    IDFT matmul + tone-mean noise matches the jnp ZF-FDE composition
+    (ops.demod.demod_chain_jnp(despread=True)) to matmul tolerance."""
+    from sdr_tpu.kernels.demod_pallas import demod_chain_pallas
+    from sdr_tpu.ops.demod import demod_chain_jnp
+
+    mod, n_fft, cp = Modulation.QAM16, 256, 64
+    re, im, hr, hi = _inputs(rng, 4, 8, n_fft + cp, n_fft)
+    a = np.asarray(
+        demod_chain_pallas(re, im, hr, hi, cp, mod, 0.05, despread=True)
+    )
+    b = np.asarray(
+        demod_chain_jnp(re, im, hr, hi, cp, mod, 0.05, despread=True)
+    )
+    assert np.abs(a - b).max() / np.abs(b).max() < 2e-4
+
+
+def test_demod_count_chain_scfde(rng):
+    """SC-FDE count terminal: in-kernel counting vs counting on the
+    jnp SC-FDE LLRs — decision-identical (within matmul-noise flips)."""
+    from sdr_tpu.ops.demod import demod_count_chain
+
+    mod, n_fft, cp = Modulation.QAM16, 256, 64
+    batch, n_syms = 4, 8
+    re, im, hr, hi = _inputs(rng, batch, n_syms, n_fft + cp, n_fft)
+    idx = jnp.asarray(
+        rng.integers(0, 16, (batch, n_syms, n_fft)), jnp.int32
+    )
+    a = demod_count_chain(re, im, hr, hi, idx, cp, mod, 0.05,
+                          backend="pallas", despread=True)
+    b = demod_count_chain(re, im, hr, hi, idx, cp, mod, 0.05,
+                          backend="jnp", despread=True)
+    assert abs(int(np.asarray(a).sum()) - int(np.asarray(b).sum())) <= 2

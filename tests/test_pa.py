@@ -340,8 +340,10 @@ def test_pa_and_spread_config_gates():
         n_channels=8,
         dft_spread=True,
     )
-    with pytest.raises(NotImplementedError, match="DFT-spread"):
-        fast_simulate(cfg, jax.random.PRNGKey(0))
+    # Round 3: FULL-GRID SC-FDMA runs on the fast engine (SC-FDE);
+    # stream/MC still gate the waveform.
+    e, c = fast_simulate(cfg, jax.random.PRNGKey(0))
+    assert int(np.asarray(c).sum()) == cfg.bits_total
     with pytest.raises(NotImplementedError, match="DFT-spread"):
         stream_simulate(cfg, jax.random.PRNGKey(0), n_blocks=2)
     assert not supported(cfg)
