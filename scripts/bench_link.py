@@ -64,6 +64,8 @@ def main() -> None:
         equalizer=Equalizer.MMSE,
         n_channels=n_channels,
         n_symbols=n_syms,
+        # SDR_BENCH_DFT=1: full-grid SC-FDMA (SC-FDE receive).
+        dft_spread=bool(int(os.environ.get("SDR_BENCH_DFT", "0"))),
     )
 
     if engine == "mc":

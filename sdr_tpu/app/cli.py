@@ -490,6 +490,14 @@ def _cmd_sweep(args) -> int:
     case = get_case(args.config)
     try:
         case = _apply_mimo_flag(case, args)
+        if getattr(args, "dft_spread", False):
+            import dataclasses
+
+            case = dataclasses.replace(
+                case,
+                name=case.name + "+scfdma",
+                cfg=dataclasses.replace(case.cfg, dft_spread=True),
+            )
     except (ValueError, NotImplementedError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -1119,6 +1127,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="fast = fused-kernel link (full-grid configs, "
         "jax.random stream); mc = fully-fused Monte-Carlo kernel "
         "(hardware PRNG, TPU only; orders faster per bit)",
+    )
+    s.add_argument(
+        "--dft-spread", action="store_true",
+        help="sweep the SC-FDMA waveform (full-grid on fast/mc "
+        "engines — SC-FDE receive; block pilots on pipeline)",
     )
     s.add_argument(
         "--code", default=None, choices=["conv", "ldpc", "polar"],

@@ -57,7 +57,9 @@ from sdr_tpu.core.config import ChannelModel, LinkConfig, Modulation
 from sdr_tpu.kernels import _matmul
 from sdr_tpu.kernels.demod_pallas import (
     _dft_mats,
+    _idft_mats as _despread_mats,
     count_errors_bits,
+    equalize_despread_llr_bits,
     equalize_llr_bits,
 )
 from sdr_tpu.kernels.fourstep_pallas import (
@@ -92,7 +94,11 @@ def supported(cfg: LinkConfig) -> bool:
         and cfg.mimo is None
         and cfg.channel.cfo_subcarriers == 0.0
         and cfg.channel.timing_offset == 0
-        and not cfg.dft_spread
+        # Full-grid SC-FDMA (SC-FDE) is fused in the single-matmul MC
+        # kernel at n_fft <= 256 (the spread + despread operand sets
+        # double the resident W bytes — 512 would crowd VMEM); the
+        # four-step MC variant does not despread.
+        and (not cfg.dft_spread or cfg.ofdm.n_fft <= 256)
         and not cfg.channel.has_pa
         and (cfg.n_channels * cfg.n_symbols) % 8 == 0
     )
@@ -206,9 +212,24 @@ def mc_count_pallas(
 
     mode = _matmul.mxu_mode()
     n_w = _matmul.n_w_operands(mode)
-    w_tx = _matmul.prepare_w(
-        *_idft_mats(n_fft, mod.unit_energy_scale), mode
-    )
+    dft = cfg.dft_spread
+    if dft:
+        # SC-FDMA (SC-FDE): the physical time waveform IS the scaled
+        # constellation sequence, but the channel applies in
+        # frequency, so the chain is spread(DFT·norm/sqrt(N)) → ×H →
+        # IDFT(1/N) → time AWGN → DFT → equalize → despread
+        # (conj(F)/sqrt(N)) — four operand sets, each step mirroring
+        # the fast path's SC-FDE receiver exactly.
+        wr0, wi0 = _dft_mats(n_fft)
+        sc = np.float32(mod.unit_energy_scale / np.sqrt(n_fft))
+        w_sp = _matmul.prepare_w(wr0 * sc, wi0 * sc, mode)
+        w_tx = _matmul.prepare_w(*_idft_mats(n_fft, 1.0), mode)
+        w_de = _matmul.prepare_w(*_despread_mats(n_fft), mode)
+    else:
+        w_sp = w_de = ()
+        w_tx = _matmul.prepare_w(
+            *_idft_mats(n_fft, mod.unit_energy_scale), mode
+        )
     w_rx = _matmul.prepare_w(*_dft_mats(n_fft), mode)
     pdp_mask = (
         _pdp_mask(cfg.channel.pdp, n_fft)
@@ -227,7 +248,12 @@ def mc_count_pallas(
             rest = rest[5:]
         wtx_refs = rest[:n_w]
         wrx_refs = rest[n_w : 2 * n_w]
-        out_ref = rest[2 * n_w]
+        if dft:
+            wsp_refs = rest[2 * n_w : 3 * n_w]
+            wde_refs = rest[3 * n_w : 4 * n_w]
+            out_ref = rest[4 * n_w]
+        else:
+            out_ref = rest[2 * n_w]
 
         if inject:
             idx = idx_ref[:].reshape(rows, n_fft)
@@ -251,6 +277,15 @@ def mc_count_pallas(
         else:
             bq = _gray_to_binary_vec(gq, m)
             xi = (2 * bq - (L - 1)).astype(jnp.float32)
+
+        if dft:
+            # SC-FDMA: spread the raw PAM sequence to frequency (scale
+            # norm/sqrt(N) folded into the operand; PAM ints are
+            # bf16-exact so the x-side split collapses).
+            xr, xi = _matmul.complex_dot_xbf16(
+                xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16),
+                wsp_refs, mode,
+            )
 
         # Channel realization (per link, genie CSI) in frequency.
         if model in (ChannelModel.IDENTITY, ChannelModel.AWGN):
@@ -337,10 +372,11 @@ def mc_count_pallas(
             hrb = jnp.ones((rows, n_fft), jnp.float32)
             hib = jnp.zeros((rows, n_fft), jnp.float32)
 
-        # IDFT to time domain. After the channel multiply x is no
-        # longer integer-valued, so the exact-int 2-pass shortcut only
-        # applies when no fading was folded in.
-        if hr is None and mod is not Modulation.BPSK:
+        # IDFT to time domain. After the channel multiply (or the
+        # SC-FDMA spread) x is no longer integer-valued, so the
+        # exact-int 2-pass shortcut only applies when no fading was
+        # folded in.
+        if hr is None and not dft and mod is not Modulation.BPSK:
             tr_t, ti_t = _matmul.complex_dot_xbf16(
                 xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16), wtx_refs, mode
             )
@@ -360,9 +396,15 @@ def mc_count_pallas(
             tr_t = tr_t + nr * sigma_t
             ti_t = ti_t + ni * sigma_t
 
-        # RX: forward DFT → genie-CSI MMSE → max-log LLR → count.
+        # RX: forward DFT → genie-CSI equalize (→ SC-FDE despread) →
+        # max-log LLR → count.
         yr, yi = _matmul.complex_dot(tr_t, ti_t, wrx_refs, mode)
-        llr_bits = equalize_llr_bits(yr, yi, hrb, hib, inv_nv, mod)
+        if dft:
+            llr_bits = equalize_despread_llr_bits(
+                yr, yi, hrb, hib, inv_nv, mod, wde_refs, mode
+            )
+        else:
+            llr_bits = equalize_llr_bits(yr, yi, hrb, hib, inv_nv, mod)
         err = count_errors_bits(llr_bits, idx, bps)
         out_ref[0] = jnp.sum(err.reshape(tb, n_syms, n_fft), axis=1)
 
@@ -391,9 +433,9 @@ def mc_count_pallas(
         ]
     in_specs += [
         pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        for _ in (*w_tx, *w_rx)
+        for _ in (*w_tx, *w_rx, *w_sp, *w_de)
     ]
-    operands += [*w_tx, *w_rx]
+    operands += [*w_tx, *w_rx, *w_sp, *w_de]
 
     out = pl.pallas_call(
         kernel,

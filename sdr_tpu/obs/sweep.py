@@ -106,6 +106,10 @@ def _cfg_summary(cfg: LinkConfig) -> str:
         f"{cfg.modulation.value}/{cfg.ofdm.n_fft}sc/cp{cfg.ofdm.cp_len}/"
         f"{cfg.channel.model.value}/eq={cfg.equalizer.value}"
     )
+    if cfg.dft_spread:
+        # The waveform keys the checkpoint match too: an SC-FDMA sweep
+        # must never silently reuse an OFDM sweep's points.
+        s += "/scfdma"
     if cfg.pilot_spacing:
         s += f"/pilots{cfg.pilot_spacing}:{cfg.estimator.value}"
     if cfg.mimo is not None:

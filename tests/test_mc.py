@@ -204,3 +204,54 @@ def test_mc_sharded_inject_bit_exact(rng):
     es, cs = make_sharded_mc_inject_fn(cfg, mesh)(idx, nr, ni, hr, hi)
     np.testing.assert_array_equal(np.asarray(es), e0)
     assert int(np.asarray(cs)[0]) == S * N * bps
+
+
+@pytest.mark.parametrize(
+    "model", [ChannelModel.AWGN, ChannelModel.RAYLEIGH_FLAT,
+              ChannelModel.MULTIPATH]
+)
+def test_mc_scfdma_inject_matches_jnp_model(rng, model):
+    """SC-FDMA MC kernel (round 3): spread → xH → IDFT → time AWGN →
+    DFT → ZF equalize → despread (tone-mean noise) → count, vs the
+    jnp SC-FDE composition in inject mode."""
+    import dataclasses
+
+    from sdr_tpu.ops.equalize import equalize_zf
+    from sdr_tpu.ops.llr import llr_maxlog
+
+    cfg = dataclasses.replace(_cfg(model=model, ebno=6.0), dft_spread=True)
+    assert supported(cfg)
+    B, S, N = cfg.n_channels, cfg.n_symbols, cfg.ofdm.n_fft
+    mod = cfg.modulation
+    bps = mod.bits_per_symbol
+    idx = jnp.asarray(rng.integers(0, 1 << bps, (B, S, N)), jnp.int32)
+    nr = jnp.asarray(rng.standard_normal((B, S, N)), jnp.float32)
+    ni = jnp.asarray(rng.standard_normal((B, S, N)), jnp.float32)
+    hr = jnp.asarray(rng.standard_normal((B, 1, N)), jnp.float32)
+    hi = jnp.asarray(rng.standard_normal((B, 1, N)), jnp.float32)
+    got = np.asarray(
+        mc_count_pallas(cfg, 0, interpret=True,
+                        rand_inputs=(idx, nr, ni, hr, hi))
+    )
+    # jnp twin: spread(x·norm/sqrt(N)) ×H, IDFT, time noise, DFT,
+    # ZF-unbiased equalize, tone-mean noise, despread.
+    nv = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps)
+    x = modulate(_ints_to_bits(idx, bps), mod)  # normalized points
+    xf = jnp.fft.fft(x, axis=-1) * jnp.float32(N**-0.5)
+    h = jax.lax.complex(hr, hi)
+    if model != ChannelModel.AWGN:
+        xf = xf * h
+        h_eq = h
+    else:
+        h_eq = jnp.ones_like(h)
+    yt = jnp.fft.ifft(xf, axis=-1) + (nr + 1j * ni) * np.sqrt(nv / N / 2.0)
+    y = jnp.fft.fft(yt, axis=-1)
+    s, eff = equalize_zf(y, h_eq, nv)
+    eff = jnp.mean(jnp.broadcast_to(eff, s.shape), axis=-1, keepdims=True)
+    s = jnp.fft.ifft(s, axis=-1) * jnp.float32(N**0.5)
+    llr = llr_maxlog(s, mod, eff)
+    hard = (np.asarray(llr) < 0).astype(np.int8)
+    want = (hard != np.asarray(_ints_to_bits(idx, bps))).sum(axis=(1, 2))
+    assert np.abs(got - want).max() <= max(2, int(0.02 * want.max() + 1)), (
+        got, want,
+    )
