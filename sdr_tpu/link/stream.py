@@ -48,11 +48,6 @@ def _check_blocking(cfg: LinkConfig, n_blocks: int) -> int:
             "the blocked-stream path is SISO; MIMO links run in "
             "link.pipeline.simulate (set mimo=None here)"
         )
-    if cfg.dft_spread:
-        raise NotImplementedError(
-            "the blocked-stream path demaps per subcarrier; the "
-            "DFT-spread (SC-FDMA) waveform runs in link.pipeline.simulate"
-        )
     if cfg.n_symbols % n_blocks != 0:
         raise ValueError(
             f"n_symbols={cfg.n_symbols} not divisible by n_blocks={n_blocks}"
@@ -67,6 +62,14 @@ def _block_tx(cfg: LinkConfig, root: jax.Array, c, b, sym_per_block: int):
         kbits, 0.5, (sym_per_block, cfg.bits_per_ofdm_symbol)
     ).astype(jnp.int8)
     points = modulate(bits, cfg.modulation)
+    if cfg.dft_spread:
+        # Full-grid SC-FDMA: unitary DFT precode per symbol (the same
+        # convention as pipeline.tx_chain) — block-local, so the SP
+        # seam/halo story is untouched.
+        m = points.shape[-1]
+        points = (jnp.fft.fft(points, axis=-1) * jnp.float32(m**-0.5)).astype(
+            jnp.complex64
+        )
     tx = ofdm_tx(points, cfg.ofdm.cp_len)  # (sym_per_block, sym_len)
     return bits, tx.reshape(-1)  # serialized block stream
 
@@ -141,6 +144,15 @@ def _block_rx(
             s, eff = eq.equalize_mmse(y, h_freq, nv_f)
     else:
         s, eff = y, nv_f
+    if cfg.dft_spread:
+        # SC-FDE despread: per-symbol, so block seams are unaffected.
+        m = s.shape[-1]
+        eff = jnp.mean(
+            jnp.broadcast_to(eff, s.shape), axis=-1, keepdims=True
+        )
+        s = (jnp.fft.ifft(s, axis=-1) * jnp.float32(m**0.5)).astype(
+            jnp.complex64
+        )
     return llr_to_hard_bits(llr_maxlog(s, cfg.modulation, eff))
 
 

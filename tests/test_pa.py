@@ -340,15 +340,22 @@ def test_pa_and_spread_config_gates():
         n_channels=8,
         dft_spread=True,
     )
-    # Round 3: FULL-GRID SC-FDMA runs on the fast engine (SC-FDE);
-    # stream/MC still gate the waveform.
+    # Round 3: FULL-GRID SC-FDMA runs on EVERY engine now — fast
+    # (SC-FDE kernel), stream (per-symbol spread/despread, seams
+    # untouched), and MC at n_fft <= 256 (this cfg is 128: supported).
     e, c = fast_simulate(cfg, jax.random.PRNGKey(0))
     assert int(np.asarray(c).sum()) == cfg.bits_total
-    with pytest.raises(NotImplementedError, match="DFT-spread"):
-        stream_simulate(cfg, jax.random.PRNGKey(0), n_blocks=2)
-    assert not supported(cfg)
+    e2, c2 = stream_simulate(cfg, jax.random.PRNGKey(0), n_blocks=2)
+    assert np.asarray(e2).shape == (cfg.n_channels,)
+    assert supported(cfg)
+    import dataclasses
+
+    wide = dataclasses.replace(
+        cfg, ofdm=OFDMConfig(4096, 512), n_symbols=8
+    )
+    assert not supported(wide)  # four-step MC does not despread
     with pytest.raises(ValueError):
-        mc_simulate(cfg)
+        mc_simulate(wide)
 
 
 def test_config_dict_round_trip_new_fields():

@@ -128,6 +128,26 @@ def test_sharded_stream_bit_exact_multipath(tshape):
     np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(ref_cnt))
 
 
+def test_sharded_stream_scfdma_bit_exact():
+    """SC-FDMA on the SP path (round 3): the spread/despread are
+    per-symbol, so the multipath halo seams carry over unchanged —
+    time-sharded SC-FDMA equals the sequential blocked oracle
+    bit-for-bit."""
+    import dataclasses
+
+    mesh = make_link_mesh(4, 2)
+    cfg = dataclasses.replace(
+        _multipath_cfg(n_channels=8, n_symbols=8), dft_spread=True
+    )
+    key = jax.random.PRNGKey(7)
+    ref_err, ref_cnt = jax.jit(
+        lambda k: stream_simulate(cfg, k, n_blocks=4)
+    )(key)
+    got_err, got_cnt = make_sharded_stream_fn(cfg, mesh)(key)
+    np.testing.assert_array_equal(np.asarray(got_err), np.asarray(ref_err))
+    np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(ref_cnt))
+
+
 @pytest.mark.parametrize(
     "model",
     [ChannelModel.AWGN, ChannelModel.RAYLEIGH_FLAT, ChannelModel.RICIAN],
