@@ -958,9 +958,16 @@ def _cmd_info(args) -> int:
                  "spatial mux (ZF / MMSE / max-log joint ML)",
                  "genie or time-orthogonal-preamble CSI",
                  "composes with FEC and channel DP"],
+        "waveforms": ["CP-OFDM",
+                      "SC-FDMA / DFT-spread (block ZC pilots, SC-FDE "
+                      "on every engine, composes with all impairments "
+                      "and MIMO)"],
         "fec": ["conv K=7 (171,133)", "rates 1/2, 2/3, 3/4 (802.11a "
                 "puncturing)", "soft Viterbi", "block interleaver",
-                "QC-LDPC (nb=24, Z=128) + offset min-sum"],
+                "QC-LDPC (nb=24, Z=128) + offset min-sum (fused kernel)",
+                "CA-polar (GA construction, CRC-11, SC-list decode)",
+                "mixed-family adaptive MCS ladder",
+                "packet modem carries any family"],
         "parallelism": ["channel DP", "time-block SP (ppermute halos)",
                         "subcarrier TP (four-step all_to_all)",
                         "2-stage PP (microbatched)",
