@@ -25,12 +25,13 @@ class ChipProfile:
     hbm_gbps: float          # datasheet HBM bandwidth
     hbm_gbps_measured: float  # sustained, measured via chained copy
     f32_matmul_tflops: float  # effective f32-accurate matmul rate
+    bf16_matmul_tflops: float = 0.0  # single-pass bf16 peak
 
     @classmethod
     def v5e(cls) -> "ChipProfile":
-        # v5e: 819 GB/s HBM, 197 TFLOP/s bf16; f32-ish matmul via
+        # v5e: 819 GB/s HBM, 197 TFLOP/s bf16 peak; f32-ish matmul via
         # multi-pass bf16 lands near a third of peak.
-        return cls("tpu-v5e", 819.0, 430.0, 65.0)
+        return cls("tpu-v5e", 819.0, 430.0, 65.0, 197.0)
 
 
 @dataclasses.dataclass
@@ -57,6 +58,8 @@ def demod_roofline(
     fused: bool = True,
     write_llrs: bool = False,
     measured_samples_per_s: float | None = None,
+    input_bytes_per_component: int = 4,
+    single_pass_bf16: bool = False,
 ) -> RooflineReport:
     """Roofline for CP-strip → FFT → equalize → LLR, per input sample.
 
@@ -65,12 +68,18 @@ def demod_roofline(
     models the XLA composition (FFT input/output materialized).
     A "sample" is one complex time sample entering the chain (CP
     included) — the bench's accounting.
+
+    ``input_bytes_per_component``: 4 for float32 planes, 2 for the
+    bfloat16 sample planes of the round-3 headline mode
+    (SDR_BENCH_INPUT_DTYPE=bf16) — halves the memory speed-of-light's
+    denominator.
     """
     chip = chip or ChipProfile.v5e()
     sym = n_fft + cp_len
     bps = mod.bits_per_symbol
 
-    in_bytes = sym * 8  # planar f32 re+im per complex sample
+    # planar re+im per complex sample
+    in_bytes = sym * 2 * input_bytes_per_component
     llr_bytes = n_fft * bps * 4
     if fused:
         b = in_bytes + (llr_bytes if write_llrs else 0)
@@ -102,8 +111,16 @@ def demod_roofline(
     f += n_fft * (10 + 4 * mod.levels_per_axis)
     flops_per_sample = f / sym
 
+    # Single-pass bf16 (SDR_TPU_MXU_PRECISION=default, BER-gated per
+    # modulation — docs/PERF.md round 3) runs at the bf16 peak; the
+    # multi-pass f32-accurate modes at the derated f32 rate.
+    mxu_tflops = (
+        chip.bf16_matmul_tflops
+        if (single_pass_bf16 and chip.bf16_matmul_tflops)
+        else chip.f32_matmul_tflops
+    )
     t_mem = bytes_per_sample / (chip.hbm_gbps_measured * 1e9)
-    t_cmp = flops_per_sample / (chip.f32_matmul_tflops * 1e12)
+    t_cmp = flops_per_sample / (mxu_tflops * 1e12)
     bound = "memory" if t_mem >= t_cmp else "compute"
     sol = 1.0 / max(t_mem, t_cmp)
     t_mem_ds = bytes_per_sample / (chip.hbm_gbps * 1e9)
