@@ -144,6 +144,11 @@ def main() -> None:
     # f32 remains the LIBRARY default (BER bit-identical to f32).
     os.environ.setdefault("SDR_TPU_MXU_PRECISION", "default")
     os.environ.setdefault("SDR_BENCH_INPUT_DTYPE", "bf16")
+    # Larger grid blocks amortize the per-block ramp (measured: 41.4 →
+    # 50.3 → 55.2 → 58.5 → 60.6 GS/s at rows 128→2048; 4096 OOMs
+    # VMEM). bf16 input halves the block bytes, which is what makes
+    # 2048 rows fit — the f32-mode LIBRARY default stays 512.
+    os.environ.setdefault("SDR_TPU_TARGET_ROWS", "2048")
     batch = int(os.environ.get("SDR_BENCH_BATCH", "32768"))
     n_syms = int(os.environ.get("SDR_BENCH_SYMS", "64"))
     iters = int(os.environ.get("SDR_BENCH_ITERS", "12"))
