@@ -325,6 +325,56 @@ def test_scfdma_mimo_acquisition():
     assert in_lock.mean() < 2.5 * max(e_al.mean(), 1.0)
 
 
+def test_scfdma_coded_families():
+    """FEC composes with SC-FDMA (all three families through the
+    block-pilot receiver). Fading-outage structure: SC-FDMA's despread
+    spreads a deep notch's ZF noise enhancement over EVERY symbol, so
+    a bad realization is wholesale beyond capacity while good ones
+    decode clean — assert per-channel: most channels error-free
+    (including ones with hundreds of raw errors), outages bounded."""
+    from sdr_tpu.link.coded import make_family_fn
+
+    base = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(128, 16),
+        channel=ChannelConfig(
+            model=ChannelModel.MULTIPATH, ebno_db=14.0, pdp=(1.0, 0.3)
+        ),
+        equalizer=Equalizer.MMSE,
+        pilot_spacing=8,
+        n_symbols=32,
+        n_channels=8,
+        dft_spread=True,
+    )
+    for fam in ("conv", "ldpc", "polar"):
+        e, t = make_family_fn(base, fam)(jax.random.PRNGKey(2))
+        e = np.asarray(e)
+        clean = int((e == 0).sum())
+        assert clean >= 5, (fam, e.tolist())  # measured: 6/8 every family
+
+
+def test_polar_composes_with_mimo():
+    """The polar CA-SCL chain rides mimo_llr_link like conv/LDPC do:
+    (256,128) over Alamouti 2x2 with preamble CSI decodes error-free
+    at 10 dB (measured 0/14976)."""
+    from sdr_tpu.core.config import MIMOConfig, MIMOScheme
+    from sdr_tpu.link.coded import make_polar_fn
+
+    cfg = LinkConfig(
+        modulation=Modulation.QPSK,
+        ofdm=OFDMConfig(128, 16),
+        channel=ChannelConfig(model=ChannelModel.RAYLEIGH_FLAT,
+                              ebno_db=10.0),
+        mimo=MIMOConfig(MIMOScheme.ALAMOUTI, 2, 2, csi="preamble"),
+        equalizer=Equalizer.MMSE,
+        n_symbols=16,
+        n_channels=8,
+    )
+    e, t = make_polar_fn(cfg, list_size=4)(jax.random.PRNGKey(1))
+    assert int(np.asarray(t).sum()) > 0
+    assert int(np.asarray(e).sum()) <= 10  # measured 0
+
+
 def test_scfdma_gate_narrowed():
     """CFO/timing acquisition, LO phase noise, I/Q imbalance and
     (coherence-bounded) Jakes fading now all compose with SC-FDMA;
