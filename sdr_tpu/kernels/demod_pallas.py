@@ -118,26 +118,34 @@ def equalize_llr_bits(yr, yi, hr, hi, inv_nv, mod: Modulation):
 
 
 def equalize_despread_llr_bits(
-    yr, yi, hr, hi, inv_nv, mod: Modulation, w2_refs, mode: str
+    yr, yi, hr, hi, noise_var: float, mod: Modulation, w2_refs, mode: str
 ):
-    """SC-FDE tail: unbiased one-tap equalize → IDFT despread → LLR.
+    """SC-FDE tail: per-tone biased MMSE → IDFT despread → symbol-level
+    bias correction → LLR (ops.equalize.equalize_mmse_fde's math).
 
     Full-grid SC-FDMA is single-carrier with a CP (the DFT precode and
     the IFFT cancel), so the receiver is the classic frequency-domain
-    equalizer: per-tone equalization of the FFT output, then ONE more
+    equalizer: the BIASED per-tone MMSE weight conj(H)/(|H|²+nv)
+    (a notch must not amplify noise — ZF's 1/|H| spreads it across
+    EVERY despread symbol; measured 3× more errors), then ONE more
     Gauss matmul against W2 = conj(F)/sqrt(N) brings the symbols back
-    to time, where the constellation lives. The despread noise
-    variance is the TONE MEAN of the per-tone post-equalizer
-    variances (each IDFT row has uniform magnitude, tone noise
-    independent — the same averaging link.pipeline's rx_chain applies),
-    so inv_eff = inv_nv / mean(1/|h|²) per row.
+    to time, where the useful-signal gain is the tone mean
+    b = mean(|H|²/(|H|²+nv)) (divide once per row) and the
+    post-despread SINR is the classic b/(1−b).
     """
+    nv = jnp.float32(max(float(noise_var), 1e-12))
     h2 = hr * hr + hi * hi
-    inv_h2 = jnp.float32(1.0) / jnp.maximum(h2, jnp.float32(1e-12))
-    sr = (hr * yr + hi * yi) * inv_h2
-    si = (hr * yi - hi * yr) * inv_h2
-    inv_eff = inv_nv / jnp.mean(inv_h2, axis=-1, keepdims=True)
+    inv_d = jnp.float32(1.0) / (h2 + nv)
+    sr = (hr * yr + hi * yi) * inv_d
+    si = (hr * yi - hi * yr) * inv_d
+    bias = jnp.maximum(
+        jnp.mean(h2 * inv_d, axis=-1, keepdims=True), jnp.float32(1e-9)
+    )
+    inv_bias = jnp.float32(1.0) / bias
+    inv_eff = bias / jnp.maximum(1.0 - bias, jnp.float32(1e-9))  # SINR
     tr, ti = _matmul.complex_dot(sr, si, w2_refs, mode)
+    tr = tr * inv_bias
+    ti = ti * inv_bias
     if mod is Modulation.BPSK:
         return _llr_axis(tr, inv_eff, mod)
     return _llr_axis(tr, inv_eff, mod) + _llr_axis(ti, inv_eff, mod)
@@ -288,7 +296,7 @@ def _make_kernel(
             sl = slice(c * rows_c, (c + 1) * rows_c)
             if despread:
                 llr_bits = equalize_despread_llr_bits(
-                    yr, yi, hr[sl], hi[sl], inv_nv, mod, w2_refs, mode
+                    yr, yi, hr[sl], hi[sl], noise_var, mod, w2_refs, mode
                 )
             else:
                 llr_bits = equalize_llr_bits(

@@ -401,7 +401,7 @@ def mc_count_pallas(
         yr, yi = _matmul.complex_dot(tr_t, ti_t, wrx_refs, mode)
         if dft:
             llr_bits = equalize_despread_llr_bits(
-                yr, yi, hrb, hib, inv_nv, mod, wde_refs, mode
+                yr, yi, hrb, hib, nv, mod, wde_refs, mode
             )
         else:
             llr_bits = equalize_llr_bits(yr, yi, hrb, hib, inv_nv, mod)

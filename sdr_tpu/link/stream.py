@@ -137,15 +137,21 @@ def _block_rx(
     rx = stream.reshape(sym_per_block, cfg.ofdm.symbol_len)
     y = ofdm_rx(rx, cfg.ofdm.cp_len)
     nv_f = jnp.maximum(jnp.asarray(nv, jnp.float32), 1e-12)
+    despread_done = False
     if h_freq is not None and cfg.equalizer != Equalizer.NONE:
         if cfg.equalizer == Equalizer.ZF:
             s, eff = eq.equalize_zf(y, h_freq, nv_f)
+        elif cfg.dft_spread:
+            # SC-FDE MMSE with bias correction — despreads internally;
+            # per-symbol, so block seams are unaffected.
+            s, eff = eq.equalize_mmse_fde(y, h_freq, nv_f)
+            despread_done = True
         else:
             s, eff = eq.equalize_mmse(y, h_freq, nv_f)
     else:
         s, eff = y, nv_f
-    if cfg.dft_spread:
-        # SC-FDE despread: per-symbol, so block seams are unaffected.
+    if cfg.dft_spread and not despread_done:
+        # ZF / unequalized despread: per-symbol, seams unaffected.
         m = s.shape[-1]
         eff = jnp.mean(
             jnp.broadcast_to(eff, s.shape), axis=-1, keepdims=True

@@ -212,11 +212,11 @@ def test_mc_sharded_inject_bit_exact(rng):
 )
 def test_mc_scfdma_inject_matches_jnp_model(rng, model):
     """SC-FDMA MC kernel (round 3): spread → xH → IDFT → time AWGN →
-    DFT → ZF equalize → despread (tone-mean noise) → count, vs the
-    jnp SC-FDE composition in inject mode."""
+    DFT → biased-MMSE SC-FDE (bias-corrected despread) → count, vs
+    the jnp composition in inject mode."""
     import dataclasses
 
-    from sdr_tpu.ops.equalize import equalize_zf
+    from sdr_tpu.ops.equalize import equalize_mmse_fde
     from sdr_tpu.ops.llr import llr_maxlog
 
     cfg = dataclasses.replace(_cfg(model=model, ebno=6.0), dft_spread=True)
@@ -246,9 +246,7 @@ def test_mc_scfdma_inject_matches_jnp_model(rng, model):
         h_eq = jnp.ones_like(h)
     yt = jnp.fft.ifft(xf, axis=-1) + (nr + 1j * ni) * np.sqrt(nv / N / 2.0)
     y = jnp.fft.fft(yt, axis=-1)
-    s, eff = equalize_zf(y, h_eq, nv)
-    eff = jnp.mean(jnp.broadcast_to(eff, s.shape), axis=-1, keepdims=True)
-    s = jnp.fft.ifft(s, axis=-1) * jnp.float32(N**0.5)
+    s, eff = equalize_mmse_fde(y, h_eq, nv)
     llr = llr_maxlog(s, mod, eff)
     hard = (np.asarray(llr) < 0).astype(np.int8)
     want = (hard != np.asarray(_ints_to_bits(idx, bps))).sum(axis=(1, 2))

@@ -350,7 +350,10 @@ def test_scfdma_coded_families():
         e, t = make_family_fn(base, fam)(jax.random.PRNGKey(2))
         e = np.asarray(e)
         clean = int((e == 0).sum())
-        assert clean >= 5, (fam, e.tolist())  # measured: 6/8 every family
+        # Measured with the MMSE-FDE receiver: 7/8 for every family
+        # (only the 26%-raw-BER catastrophic-notch realization keeps
+        # residual errors).
+        assert clean >= 6, (fam, e.tolist())
 
 
 def test_polar_composes_with_mimo():
