@@ -294,7 +294,7 @@ def test_pallas_bf16_input_mode(rng):
 
 def test_pallas_scfde_despread_matches_jnp(rng):
     """SC-FDE variant (full-grid SC-FDMA): the fused kernel's extra
-    IDFT matmul + tone-mean noise matches the jnp ZF-FDE composition
+    IDFT matmul + bias-corrected MMSE-FDE matches the jnp composition
     (ops.demod.demod_chain_jnp(despread=True)) to matmul tolerance."""
     from sdr_tpu.kernels.demod_pallas import demod_chain_pallas
     from sdr_tpu.ops.demod import demod_chain_jnp

@@ -155,9 +155,8 @@ def test_fast_scfdma_full_grid():
     The precode and IFFT cancel (single-carrier with CP), so TX is a
     scale + CP concat and RX is SC-FDE (per-tone equalize + fused IDFT
     matmul). On AWGN the SC-FDE link sits on the same exact theory as
-    OFDM; under multipath it runs within a small factor of the
-    pipeline's genie MMSE-despread receiver (ZF-FDE vs MMSE-despread
-    measured within 1%)."""
+    OFDM; under multipath it runs the same bias-corrected MMSE-FDE
+    receiver the pipeline uses (identical math, kernel-fused)."""
     from sdr_tpu.link.ber import ber_awgn_exact
 
     cfg = LinkConfig(
