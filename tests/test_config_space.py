@@ -96,6 +96,31 @@ def _sample_space():
                 mimo=mimo,
             )
         )
+    # Third sweep: the SC-FDMA (dft_spread) space opened in round 3 —
+    # every channel x MIMO draw with the waveform flag on, alternating
+    # block-pilot and genie estimation. The validator's physics gates
+    # (coherence bound, >=2 pilot blocks for I/Q, linear detectors
+    # only) count as rejections; everything constructible must run.
+    for i, (ch, mimo) in enumerate(itertools.product(chans, mimos)):
+        needs_pilots = bool(
+            ch.impaired or ch.phase_noise_std or ch.iq_imbalanced
+        )
+        cases.append(
+            dict(
+                modulation=mods[(i + 2) % len(mods)],
+                ofdm=OFDMConfig(n_fft=32, cp_len=8),
+                channel=ch,
+                equalizer=Equalizer.MMSE,
+                estimator=ests[i % len(ests)],
+                pilot_spacing=(
+                    0 if mimo is not None else (4 if needs_pilots else [0, 4][i % 2])
+                ),
+                n_symbols=8,
+                n_channels=2,
+                mimo=mimo,
+                dft_spread=True,
+            )
+        )
     return cases
 
 
