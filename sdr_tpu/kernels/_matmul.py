@@ -34,6 +34,16 @@ MXU precision modes (SDR_TPU_MXU_PRECISION):
                       downstream decoder.
   default           — single-pass bf16 (benchmarking only: ~4% LLR
                       drift, fails the 0.1 dB BER bound).
+  bf16x1            — single-pass bf16 with W PRE-TRUNCATED to bf16
+                      host-side and x fed as bf16. Same arithmetic
+                      class as ``default`` (one bf16 MXU pass), but
+                      the operand FEED is half-width: ``default``
+                      keeps f32 operands in VMEM and truncates at the
+                      MXU port, which costs f32-rate feed bandwidth
+                      and (for bf16 inputs) an upcast VPU pass.
+                      Measured round 4: MXU leg 6.71 → 4.5 ms class
+                      at the headline shape. Same BER-gate status as
+                      ``default`` (per-modulation table, PERF.md).
 """
 
 from __future__ import annotations
@@ -73,7 +83,7 @@ def mxu_mode() -> str:
     mode = os.environ.get("SDR_TPU_MXU_PRECISION", "bf16x3").lower()
     if mode in ("high", "bf16x3"):
         return "bf16x3"
-    if mode not in ("bf16x2", "highest", "default"):
+    if mode not in ("bf16x2", "bf16x1", "highest", "default"):
         raise ValueError(f"unknown SDR_TPU_MXU_PRECISION {mode!r}")
     return mode
 
@@ -93,6 +103,10 @@ def prepare_w(wr: np.ndarray, wi: np.ndarray, mode: str):
         for w in (a, b, c):
             out.extend(_split_bf16_host(w))
         return tuple(out)  # (a_hi, a_lo, b_hi, b_lo, c_hi, c_lo)
+    if mode == "bf16x1":
+        return tuple(
+            np.asarray(w.astype(np.float32).astype(jnp.bfloat16)) for w in (a, b, c)
+        )
     return (a, b, c)
 
 
@@ -130,6 +144,16 @@ def complex_dot_xbf16(xr, xi, w_refs, mode: str):
         m2 = d(xi, b_hi[:]) + d(xi, b_lo[:])
         m3 = d(xr, c_hi[:]) + d(xr, c_lo[:])
         return m1 - m2, m1 + m3
+    if mode == "bf16x1":
+        # All-bf16 feed: no upcast pass, half the operand bandwidth
+        # into the MXU. The Gauss sum runs in bf16 (same single-pass
+        # error class as the port-side truncation ``default`` does).
+        a_ref, b_ref, c_ref = w_refs
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        m1 = d(xr + xi, a_ref[:])
+        m2 = d(xi, b_ref[:])
+        m3 = d(xr, c_ref[:])
+        return m1 - m2, m1 + m3
     return complex_dot(
         xr.astype(jnp.float32), xi.astype(jnp.float32), w_refs, mode
     )
@@ -143,6 +167,10 @@ def complex_dot(xr, xi, w_refs, mode: str):
         m1 = dot(xr + xi, a_hi, a_lo)
         m2 = dot(xi, b_hi, b_lo)
         m3 = dot(xr, c_hi, c_lo)
+    elif mode == "bf16x1":
+        return complex_dot_xbf16(
+            xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16), w_refs, mode
+        )
     else:
         precision = (
             jax.lax.Precision.HIGHEST if mode == "highest" else jax.lax.Precision.DEFAULT
