@@ -72,6 +72,47 @@ def _build(batch: int, n_syms: int, iters: int):
         else jnp.float32
     )
 
+    # Round-4 default: the channels-last pipelined kernel
+    # (kernels/demod_cl_pallas.py) — emit_pipeline double-buffered DMA
+    # + DIF radix-2 split, measured ~82-88 GS/s vs the row-major
+    # kernel's 62 at identical precision/BER-gate settings
+    # (docs/PERF.md round 4). SDR_BENCH_LAYOUT=rows reverts.
+    layout = os.environ.get("SDR_BENCH_LAYOUT", "cl")
+    if layout == "cl" and jax.default_backend() == "cpu":
+        layout = "rows"  # emit_pipeline requires the TPU backend
+
+    if layout == "cl":
+        from sdr_tpu.kernels.demod_cl_pallas import demod_sum_cl, dif_perm
+
+        perm = jnp.asarray(dif_perm(N_FFT))
+
+        @jax.jit
+        def gen(key):
+            """RX samples + channel, channels-LAST planar layout."""
+            kr, ki, kh = jax.random.split(key, 3)
+            shape = (n_syms * SYM_LEN, batch)
+            re = (jax.random.normal(kr, shape, jnp.float32) * np.float32(1.0 / np.sqrt(2 * N_FFT))).astype(in_dtype)
+            im = (jax.random.normal(ki, shape, jnp.float32) * np.float32(1.0 / np.sqrt(2 * N_FFT))).astype(in_dtype)
+            hr = jax.random.normal(kh, (N_FFT, batch), jnp.float32) * np.float32(np.sqrt(0.5))
+            hi = jax.random.normal(jax.random.fold_in(kh, 1), (N_FFT, batch), jnp.float32) * np.float32(np.sqrt(0.5))
+            return re, im, hr, hi
+
+        @jax.jit
+        def run(re, im, hr, hi):
+            hr_d = hr[perm]
+            hi_d = hi[perm]
+
+            def body(_, acc):
+                s = demod_sum_cl(
+                    re, im, hr_d + acc * jnp.float32(1e-30), hi_d,
+                    CP, mod, nv, h_in_dif_order=True,
+                )
+                return acc + s * jnp.float32(1e-12)
+
+            return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        return gen, run
+
     @jax.jit
     def gen(key):
         """Synthesize RX samples + a channel response on device (planar)."""
@@ -231,7 +272,8 @@ def main() -> None:
         f"fft={os.environ.get('SDR_TPU_FFT_BACKEND', 'auto')} "
         f"demod={os.environ.get('SDR_TPU_DEMOD_BACKEND', 'auto')} "
         f"mxu={os.environ.get('SDR_TPU_MXU_PRECISION', 'bf16x3')} "
-        f"input={os.environ.get('SDR_BENCH_INPUT_DTYPE', 'f32')}",
+        f"input={os.environ.get('SDR_BENCH_INPUT_DTYPE', 'f32')} "
+        f"layout={os.environ.get('SDR_BENCH_LAYOUT', 'cl')}",
         file=sys.stderr,
     )
 

@@ -159,6 +159,74 @@ def complex_dot_xbf16(xr, xi, w_refs, mode: str):
     )
 
 
+def _dot3_lhs(wh_ref, wl_ref, x):
+    """bf16x3 real matmul, W on the LEFT: pre-split bf16 W against f32 x."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return d(wh_ref[:], xh) + d(wl_ref[:], xh) + d(wh_ref[:], xl)
+
+
+def _dot2_lhs(wh_ref, wl_ref, x):
+    """bf16x2 real matmul, W on the LEFT: x truncated, W exact (hi+lo)."""
+    xh = x.astype(jnp.bfloat16)
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return d(wh_ref[:], xh) + d(wl_ref[:], xh)
+
+
+def complex_dot_lhs(xr, xi, w_refs, mode: str):
+    """(Yr, Yi) = W @ (Xr + i·Xi) — the channels-LAST orientation.
+
+    Gauss's identity is orientation-symmetric with the SAME precomputed
+    triple (A, B, C) = (Wr, Wr+Wi, Wi−Wr): M1 = A@(Xr+Xi),
+    M2 = B@Xi, M3 = C@Xr, Yr = M1−M2, Yi = M1+M3. Used by the
+    channels-last pipelined demod kernel (kernels/demod_cl_pallas.py)
+    where the data block is (time, channel-lanes) and the DFT matrix
+    multiplies from the left. Mode semantics identical to
+    ``complex_dot``; accepts f32 or bf16 x (bf16 x collapses the
+    x-side hi/lo split exactly as in ``complex_dot_xbf16``)."""
+    x_is_bf16 = xr.dtype == jnp.bfloat16
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if mode in ("bf16x3", "bf16x2"):
+        a_hi, a_lo, b_hi, b_lo, c_hi, c_lo = w_refs
+        if x_is_bf16:
+            s = (xr.astype(jnp.float32) + xi.astype(jnp.float32)).astype(
+                jnp.bfloat16
+            )
+            m1 = d(a_hi[:], s) + d(a_lo[:], s)
+            m2 = d(b_hi[:], xi) + d(b_lo[:], xi)
+            m3 = d(c_hi[:], xr) + d(c_lo[:], xr)
+        else:
+            dot = _dot3_lhs if mode == "bf16x3" else _dot2_lhs
+            m1 = dot(a_hi, a_lo, xr + xi)
+            m2 = dot(b_hi, b_lo, xi)
+            m3 = dot(c_hi, c_lo, xr)
+        return m1 - m2, m1 + m3
+    if mode == "bf16x1":
+        a_ref, b_ref, c_ref = w_refs
+        if not x_is_bf16:
+            xr = xr.astype(jnp.bfloat16)
+            xi = xi.astype(jnp.bfloat16)
+        m1 = d(a_ref[:], xr + xi)
+        m2 = d(b_ref[:], xi)
+        m3 = d(c_ref[:], xr)
+        return m1 - m2, m1 + m3
+    precision = (
+        jax.lax.Precision.HIGHEST if mode == "highest" else jax.lax.Precision.DEFAULT
+    )
+    dp = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32, precision=precision
+    )
+    a_ref, b_ref, c_ref = w_refs
+    if x_is_bf16 and mode == "highest":
+        xr = xr.astype(jnp.float32)
+        xi = xi.astype(jnp.float32)
+    m1 = dp(a_ref[:], xr + xi)
+    m2 = dp(b_ref[:], xi)
+    m3 = dp(c_ref[:], xr)
+    return m1 - m2, m1 + m3
+
+
 def complex_dot(xr, xi, w_refs, mode: str):
     """(Yr, Yi) = (Xr + i·Xi) @ W with the Gauss identity, per mode."""
     if mode in ("bf16x3", "bf16x2"):
