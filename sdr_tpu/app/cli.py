@@ -825,7 +825,12 @@ def _cmd_packet(args) -> int:
     ch = ChannelConfig(
         model=ChannelModel(args.channel),
         ebno_db=args.ebno,
-        pdp=(1.0, 0.5) if args.channel == "multipath" else (1.0,),
+        pdp=(
+            (1.0, 0.5)
+            if args.channel in ("multipath", "multipath_time")
+            else (1.0,)
+        ),
+        doppler_norm=getattr(args, "doppler", 0.01),
         cfo_subcarriers=args.cfo,
         timing_offset=args.timing_offset,
     )
@@ -1196,8 +1201,11 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--pilots", type=int, default=8, help="comb pilot spacing")
     pk.add_argument(
         "--channel", default="multipath",
-        choices=["awgn", "rayleigh_flat", "rician", "multipath"],
+        choices=["awgn", "rayleigh_flat", "rician", "multipath",
+                 "multipath_time"],
     )
+    pk.add_argument("--doppler", type=float, default=0.01,
+                    help="normalized Doppler fd*T_sym (multipath_time)")
     pk.add_argument("--ebno", type=float, default=14.0)
     pk.add_argument("--cfo", type=float, default=1.3,
                     help="carrier offset in subcarriers (blind-recovered)")

@@ -116,6 +116,25 @@ class ChannelModel(enum.Enum):
     MULTIPATH = "multipath"  # tapped-delay-line, frequency selective
     RAYLEIGH_TIME = "rayleigh_time"  # Jakes Doppler, per-symbol block fading
     RICIAN = "rician"  # flat fading with a LOS component (k_factor)
+    # Per-tap-Jakes TDL (round 4): the composition of MULTIPATH and
+    # RAYLEIGH_TIME — every PDP tap carries an independent Jakes
+    # process (the ITU/3GPP TDL construction), so the channel is
+    # frequency-selective AND time-varying. Taps are block-constant
+    # per OFDM symbol (the same fd·T_sym ≪ 1 coherence assumption
+    # RAYLEIGH_TIME makes); the per-symbol frequency response feeds
+    # per-symbol equalization/estimation.
+    MULTIPATH_TIME = "multipath_time"
+
+
+# Models whose fading evolves across the frame (per-symbol channel
+# planes; estimators must track, frame averaging is invalid).
+TIME_VARYING_MODELS = frozenset(
+    (ChannelModel.RAYLEIGH_TIME, ChannelModel.MULTIPATH_TIME)
+)
+# Models with delay spread (FIR taps; delay spread must fit the CP).
+SELECTIVE_MODELS = frozenset(
+    (ChannelModel.MULTIPATH, ChannelModel.MULTIPATH_TIME)
+)
 
 
 class Equalizer(enum.Enum):
@@ -277,7 +296,9 @@ class ChannelConfig:
             raise ValueError("pdp needs at least one tap")
         if any(p < 0 for p in self.pdp):
             raise ValueError("pdp powers must be non-negative")
-        if self.model == ChannelModel.RAYLEIGH_TIME and not 0 <= self.doppler_norm < 0.5:
+        if self.model in (
+            ChannelModel.RAYLEIGH_TIME, ChannelModel.MULTIPATH_TIME
+        ) and not 0 <= self.doppler_norm < 0.5:
             raise ValueError(
                 f"doppler_norm must be in [0, 0.5), got {self.doppler_norm}"
             )
@@ -427,7 +448,12 @@ class LinkConfig:
             # too (per-block scalar gains, complex-chord interpolation
             # — estimate_block_pilots_interp). Validity needs the
             # pilot period inside the coherence time:
-            if self.channel.model == ChannelModel.RAYLEIGH_TIME:
+            # MULTIPATH_TIME composes the same way, per TONE: each
+            # tone's complex gain moves at the same Doppler rate, so
+            # the per-tone chord interpolation between pilot blocks
+            # (estimate_block_pilots_interp_full) carries it under the
+            # identical coherence bound.
+            if self.channel.model in TIME_VARYING_MODELS:
                 if self.pilot_spacing * self.channel.doppler_norm > 0.25:
                     raise ValueError(
                         "SC-FDMA block pilots cannot track fading "
@@ -450,7 +476,7 @@ class LinkConfig:
                     "consecutive blocks to cancel the Zadoff-Chu "
                     "pilot symbols)"
                 )
-        if self.channel.model == ChannelModel.MULTIPATH:
+        if self.channel.model in SELECTIVE_MODELS:
             if len(self.channel.pdp) > self.ofdm.cp_len + 1:
                 raise ValueError(
                     "multipath delay spread exceeds cyclic prefix: "
@@ -501,14 +527,16 @@ class LinkConfig:
                 ChannelModel.RICIAN,
                 ChannelModel.MULTIPATH,
                 ChannelModel.RAYLEIGH_TIME,
+                ChannelModel.MULTIPATH_TIME,
             ):
                 raise ValueError(
                     "MIMO needs a fading channel defining the (n_rx, n_tx) "
-                    "matrix: RAYLEIGH_FLAT, RICIAN, MULTIPATH or "
-                    f"RAYLEIGH_TIME — got {self.channel.model.value}"
+                    "matrix: RAYLEIGH_FLAT, RICIAN, MULTIPATH, "
+                    "RAYLEIGH_TIME or MULTIPATH_TIME — got "
+                    f"{self.channel.model.value}"
                 )
             if self.mimo.midamble_period and not (
-                self.channel.model == ChannelModel.RAYLEIGH_TIME
+                self.channel.model in TIME_VARYING_MODELS
                 or self.channel.phase_noise_std
                 or self.channel.impaired
             ):
@@ -522,13 +550,13 @@ class LinkConfig:
                     "impairments"
                 )
             if (
-                self.channel.model == ChannelModel.RAYLEIGH_TIME
+                self.channel.model in TIME_VARYING_MODELS
                 and self.mimo.csi == "preamble"
             ):
                 if not self.mimo.midamble_period:
                     raise ValueError(
                         "a single head preamble is stale by the first data "
-                        "symbol under RAYLEIGH_TIME: set "
+                        "symbol under time-varying fading: set "
                         "mimo.midamble_period (periodic re-estimation with "
                         "interpolation) or csi='genie'"
                     )

@@ -79,6 +79,7 @@ _SUPPORTED_MODELS = (
     ChannelModel.MULTIPATH,
     ChannelModel.RAYLEIGH_TIME,
     ChannelModel.RICIAN,
+    ChannelModel.MULTIPATH_TIME,
 )
 _JAKES_PATHS = 16  # sum-of-sinusoids paths, matches ops.channel.jakes_gains
 
@@ -152,6 +153,68 @@ def _gauss_pair(b1, b2):
     r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
     t = jnp.float32(2.0 * np.pi) * u2
     return r * jnp.cos(t), r * jnp.sin(t)
+
+
+def _tap_phase_rows(pdp, n_fft: int, n2: int | None = None):
+    """(rows_r, rows_i) (L, n_fft) float32 per-tap frequency phase rows
+    scaled by sqrt(pdp_l/Σpdp), natural subcarrier order (or the
+    four-step's digit-major order when ``n2`` is given) — for the
+    in-kernel per-tap-Jakes TDL: H[s] = Σ_l g_l[s]·row_l with
+    UNIT-power complex Jakes gains g_l (contrast _digit_phase_rows,
+    whose extra sqrt(1/2) is for standard-normal component draws)."""
+    k = np.arange(n_fft)
+    if n2 is not None:
+        n1 = n_fft // n2
+        k = (k // n2) + n1 * (k % n2)
+    p = np.asarray(pdp, np.float64)
+    p = p / p.sum()
+    ang = -2.0 * np.pi * np.outer(np.arange(len(p)), k) / n_fft
+    scale = np.sqrt(p)[:, None]
+    return (
+        (np.cos(ang) * scale).astype(np.float32),
+        (np.sin(ang) * scale).astype(np.float32),
+    )
+
+
+def _mpt_channel(rows_r, rows_i, tb: int, tbh: int, n_syms: int,
+                 doppler: float):
+    """In-kernel per-tap-Jakes TDL realization → (tb, S, n_fft) planar.
+
+    Per tap: one sum-of-sinusoids state (arrival angles + phases, the
+    exact construction of ops.channel.multipath_time_params, same
+    statistics); per symbol the tap gains combine with the phase-row
+    OPERANDS (_tap_phase_rows, passed as kernel inputs — Mosaic rejects
+    captured array constants) — S·L small VPU accumulations, no matmul.
+    """
+    p = _JAKES_PATHS
+    two_pi = jnp.float32(2.0 * np.pi)
+    inv_sp = jnp.float32(1.0 / np.sqrt(p))
+    n_taps = rows_r.shape[0]
+    ws, phs = [], []
+    for _ in range(n_taps):
+        th = _uniform_01(pltpu.prng_random_bits((tbh, 128)))[:tb, :p] * two_pi
+        ph = _uniform_01(pltpu.prng_random_bits((tbh, 128)))[:tb, :p] * two_pi
+        ws.append(two_pi * jnp.float32(doppler) * jnp.cos(th))
+        phs.append(ph)
+    syms_r, syms_i = [], []
+    for s_i in range(n_syms):
+        hr_s = hi_s = None
+        for l in range(n_taps):
+            ang = ws[l] * jnp.float32(s_i) + phs[l]
+            g_r = jnp.sum(jnp.cos(ang), -1, keepdims=True) * inv_sp  # (tb,1)
+            g_i = jnp.sum(jnp.sin(ang), -1, keepdims=True) * inv_sp
+            rr = rows_r[l : l + 1, :]
+            ri = rows_i[l : l + 1, :]
+            hl_r = g_r * rr - g_i * ri
+            hl_i = g_r * ri + g_i * rr
+            hr_s = hl_r if hr_s is None else hr_s + hl_r
+            hi_s = hl_i if hi_s is None else hi_s + hl_i
+        syms_r.append(hr_s[:, None, :])
+        syms_i.append(hi_s[:, None, :])
+    return (
+        jnp.concatenate(syms_r, axis=1),
+        jnp.concatenate(syms_i, axis=1),
+    )
 
 
 def _pdp_mask(pdp, n_fft: int) -> np.ndarray:
@@ -236,9 +299,18 @@ def mc_count_pallas(
         if model == ChannelModel.MULTIPATH
         else None
     )
+    mpt_rows = (
+        _tap_phase_rows(cfg.channel.pdp, n_fft)
+        if model == ChannelModel.MULTIPATH_TIME
+        else None
+    )
     inject = rand_inputs is not None
     tbh = max(tb, 8)  # PRNG tile floor for the per-link channel draw
-    h_syms = n_syms if model == ChannelModel.RAYLEIGH_TIME else 1
+    h_syms = (
+        n_syms
+        if model in (ChannelModel.RAYLEIGH_TIME, ChannelModel.MULTIPATH_TIME)
+        else 1
+    )
     doppler = float(cfg.channel.doppler_norm or 0.0)
     k_factor = float(cfg.channel.k_factor)
 
@@ -251,9 +323,13 @@ def mc_count_pallas(
         if dft:
             wsp_refs = rest[2 * n_w : 3 * n_w]
             wde_refs = rest[3 * n_w : 4 * n_w]
-            out_ref = rest[4 * n_w]
+            rest = rest[4 * n_w :]
         else:
-            out_ref = rest[2 * n_w]
+            rest = rest[2 * n_w :]
+        if mpt_rows is not None:
+            mptr_ref, mpti_ref = rest[:2]
+            rest = rest[2:]
+        out_ref = rest[0]
 
         if inject:
             idx = idx_ref[:].reshape(rows, n_fft)
@@ -361,6 +437,13 @@ def mc_count_pallas(
             hfr, hfi = _matmul.complex_dot(tr_, ti_, wrx_refs, mode)
             hr = hfr[:, None, :]
             hi = hfi[:, None, :]
+        elif model == ChannelModel.MULTIPATH_TIME:
+            # Per-tap-Jakes TDL: (tb, S, n_fft) per-symbol selective
+            # response — MULTIPATH's tap rows × RAYLEIGH_TIME's
+            # sum-of-sinusoids evolution, one state per tap.
+            hr, hi = _mpt_channel(
+                mptr_ref[:], mpti_ref[:], tb, tbh, n_syms, doppler
+            )
 
         if hr is not None:
             hrb = jnp.broadcast_to(hr, (tb, n_syms, n_fft)).reshape(rows, n_fft)
@@ -436,6 +519,14 @@ def mc_count_pallas(
         for _ in (*w_tx, *w_rx, *w_sp, *w_de)
     ]
     operands += [*w_tx, *w_rx, *w_sp, *w_de]
+    if mpt_rows is not None:
+        n_taps = mpt_rows[0].shape[0]
+        in_specs += [
+            pl.BlockSpec((n_taps, n_fft), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2)
+        ]
+        operands += [jnp.asarray(mpt_rows[0]), jnp.asarray(mpt_rows[1])]
 
     out = pl.pallas_call(
         kernel,
@@ -518,9 +609,18 @@ def _mc_count_fourstep(cfg: LinkConfig, seed, interpret, rand_inputs):
         if model == ChannelModel.MULTIPATH
         else None
     )
+    mpt_rows = (
+        _tap_phase_rows(cfg.channel.pdp, n_fft, n2)
+        if model == ChannelModel.MULTIPATH_TIME
+        else None
+    )
     inject = rand_inputs is not None
     tbh = max(tb, 8)
-    h_syms = n_syms if model == ChannelModel.RAYLEIGH_TIME else 1
+    h_syms = (
+        n_syms
+        if model in (ChannelModel.RAYLEIGH_TIME, ChannelModel.MULTIPATH_TIME)
+        else 1
+    )
     doppler = float(cfg.channel.doppler_norm or 0.0)
     k_factor = float(cfg.channel.k_factor)
     fading = model not in (ChannelModel.IDENTITY, ChannelModel.AWGN)
@@ -531,7 +631,7 @@ def _mc_count_fourstep(cfg: LinkConfig, seed, interpret, rand_inputs):
             rest = rest[5:]
         tw_refs = rest[:4]
         rest = rest[4:]
-        if mp_rows is not None:
+        if mp_rows is not None or mpt_rows is not None:
             mpr_ref, mpi_ref = rest[:2]
             rest = rest[2:]
         wtx_refs = rest[:n_w]
@@ -593,6 +693,13 @@ def _mc_count_fourstep(cfg: LinkConfig, seed, interpret, rand_inputs):
             hi = jnp.broadcast_to(
                 (a_los * jnp.sin(ph) + z1[:tb, :1] * s_dif)[:, None, :],
                 (tb, 1, n_fft),
+            )
+        elif model == ChannelModel.MULTIPATH_TIME:
+            # Per-tap-Jakes TDL in digit-major frequency order: the
+            # same row-sum construction as the static branch below,
+            # with Jakes-evolving per-tap gains → (tb, S, n_fft).
+            hr, hi = _mpt_channel(
+                mpr_ref[:], mpi_ref[:], tb, tbh, n_syms, doppler
             )
         else:  # MULTIPATH: H = Σ_l tap_l · digit-phase row_l
             z0, z1 = _gauss_pair(
@@ -729,14 +836,15 @@ def _mc_count_fourstep(cfg: LinkConfig, seed, interpret, rand_inputs):
         for _ in tw_ops
     ]
     operands += tw_ops
-    if mp_rows is not None:
-        n_taps = mp_rows[0].shape[0]
+    rows_ops = mp_rows if mp_rows is not None else mpt_rows
+    if rows_ops is not None:
+        n_taps = rows_ops[0].shape[0]
         in_specs += [
             pl.BlockSpec((n_taps, n_fft), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-            for _ in mp_rows
+            for _ in rows_ops
         ]
-        operands += [jnp.asarray(r) for r in mp_rows]
+        operands += [jnp.asarray(r) for r in rows_ops]
     in_specs += [
         pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM)
         for _ in (*w_tx, *w_rx)

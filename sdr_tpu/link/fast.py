@@ -122,6 +122,16 @@ def _fade_state(cfg: LinkConfig, k_fade: jnp.ndarray):
             lambda k: chan.jakes_gains(k, S, cfg.channel.doppler_norm)
         )(k_fade)  # (B, S)
         h = g[:, :, None]  # (B, S, 1)
+    elif model == ChannelModel.MULTIPATH_TIME:
+        # Per-tap-Jakes TDL: per-symbol taps (TX side) AND per-symbol
+        # frequency response (B, S, N) — the h_syms = n_symbols
+        # channel-plane form every fused demod kernel already supports.
+        taps = jax.vmap(
+            lambda k: chan.multipath_time_taps(
+                k, cfg.channel.pdp, S, cfg.channel.doppler_norm
+            )
+        )(k_fade)  # (B, S, L)
+        h = chan.freq_response(taps, N)  # (B, S, N)
     elif model not in (ChannelModel.IDENTITY, ChannelModel.AWGN):
         raise NotImplementedError(
             f"fast_simulate has no dispatch for channel model {model}"
@@ -154,6 +164,12 @@ def tx_channel_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
     if model == ChannelModel.MULTIPATH:
         stream = x.reshape(B, -1)
         x = chan.apply_multipath(stream, taps).reshape(x.shape)
+    elif model == ChannelModel.MULTIPATH_TIME:
+        # Each symbol through its own taps, previous symbol's tail as
+        # FIR history (identical to pipeline.apply_channel's model).
+        x = chan.apply_multipath(
+            x, taps, history=chan.symbol_history(x, taps.shape[-1])
+        )
     elif model in (
         ChannelModel.RAYLEIGH_FLAT,
         ChannelModel.RAYLEIGH_TIME,

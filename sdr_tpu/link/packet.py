@@ -373,6 +373,31 @@ def transmit_over_channel(
         stream = chan.apply_multipath(
             stream, chan.multipath_taps(k_fade, ch.pdp)
         )
+    elif ch.model == ChannelModel.MULTIPATH_TIME:
+        # Per-tap-Jakes TDL over the burst's symbol grid (block fading
+        # per symbol, previous symbol's tail as FIR history — the
+        # pipeline acquired-path convention). The receiver's tracked
+        # comb estimator follows the common phase per symbol; per-tone
+        # relative evolution across a SHORT burst is what bounds PER.
+        sym_len = pcfg.ofdm.symbol_len
+        off = ch.timing_offset
+        n_syms_b = burst.shape[0] // sym_len
+        taps_t = chan.multipath_time_taps(
+            k_fade, ch.pdp, n_syms_b, ch.doppler_norm
+        )
+        L = taps_t.shape[-1]
+        grid = stream[off : off + n_syms_b * sym_len].reshape(-1, sym_len)
+        faded = chan.apply_multipath(
+            grid, taps_t, history=chan.symbol_history(grid, L)
+        )
+        tail = stream[off + n_syms_b * sym_len :]
+        tail_faded = chan.apply_multipath(
+            tail, taps_t[-1],
+            history=grid[-1, -(L - 1):] if L > 1 else None,
+        )
+        stream = jnp.concatenate(
+            [stream[:off], faded.reshape(-1), tail_faded]
+        )
     elif ch.model == ChannelModel.RAYLEIGH_FLAT:
         stream = stream * chan.rayleigh_flat(k_fade, ())
     elif ch.model == ChannelModel.RICIAN:

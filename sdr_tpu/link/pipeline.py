@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from sdr_tpu.core import prng
 from sdr_tpu.core.config import (
+    TIME_VARYING_MODELS,
     ChannelEstimator,
     ChannelModel,
     Equalizer,
@@ -188,6 +189,25 @@ def _apply_channel_model(cfg: LinkConfig, key: jax.Array, tx: jnp.ndarray):
         h_freq = chan.freq_response(taps, cfg.ofdm.n_fft)  # (n_fft,)
         return rx, h_freq, nv
 
+    if model == ChannelModel.MULTIPATH_TIME:
+        # Per-tap-Jakes TDL: every PDP tap evolves as an independent
+        # Jakes process, block-constant per OFDM symbol. Each symbol is
+        # convolved with its OWN taps, with the previous symbol's tail
+        # as FIR history (the inter-symbol memory the serialized static
+        # path gets for free), and the per-symbol frequency response
+        # (n_symbols, n_fft) feeds per-symbol equalization — the
+        # channel family the reference's RX (ofdm.hpp:37-54) never
+        # faces and the north star's estimators exist for.
+        taps = chan.multipath_time_taps(
+            k_fade, cfg.channel.pdp, cfg.n_symbols, cfg.channel.doppler_norm
+        )  # (n_symbols, L)
+        faded = chan.apply_multipath(
+            tx, taps, history=chan.symbol_history(tx, taps.shape[-1])
+        )
+        rx = chan.awgn(k_noise, faded, tvar)
+        h_freq = chan.freq_response(taps, cfg.ofdm.n_fft)  # (S, n_fft)
+        return rx, h_freq, nv
+
     raise ValueError(f"unhandled channel model {model}")
 
 
@@ -254,6 +274,7 @@ def rx_chain(
         from sdr_tpu.ops.pilots import (
             estimate_block_pilots,
             estimate_block_pilots_interp,
+            estimate_block_pilots_interp_full,
             estimate_block_pilots_tracked,
         )
 
@@ -276,6 +297,13 @@ def rx_chain(
             # — composes with residual CFO since the scalar chord is
             # complex).
             h_est = estimate_block_pilots_interp(y_pil, p).reshape(
+                batch + (cfg.n_data_symbols, n_fft)
+            )
+        elif cfg.channel.model == ChannelModel.MULTIPATH_TIME:
+            # Selective time-varying fading: tones move independently,
+            # so interpolate each tone's complex chord between pilot
+            # blocks (no shape × scalar factorization exists).
+            h_est = estimate_block_pilots_interp_full(y_pil, p).reshape(
                 batch + (cfg.n_data_symbols, n_fft)
             )
         elif cfg.channel.impaired or cfg.channel.phase_noise_std:
@@ -320,11 +348,14 @@ def rx_chain(
             )
         else:
             base = estimate_ls_comb
-        if cfg.channel.model == ChannelModel.RAYLEIGH_TIME:
+        if cfg.channel.model in TIME_VARYING_MODELS:
             # Time-varying fading must be estimated per symbol; frame
             # averaging is only valid for the frame-static models. The
             # per-symbol estimate also absorbs any residual timing/CFO
             # phase, so this branch covers the acquired case too.
+            # MULTIPATH_TIME rides the same branch: the comb LS (or
+            # DFT-subspace projection) per symbol captures each
+            # symbol's full selective response.
             h_est = base(y, cfg.pilot_spacing, per_symbol=True)
         elif (
             cfg.channel.impaired
@@ -436,6 +467,35 @@ def _simulate_one_acquired(cfg: LinkConfig, key: jax.Array, want_llrs: bool):
     if model == ChannelModel.MULTIPATH:
         taps = chan.multipath_taps(k_fade, cfg.channel.pdp)
         stream = chan.apply_multipath(stream, taps)
+    elif model == ChannelModel.MULTIPATH_TIME:
+        # Per-tap-Jakes TDL on the serialized stream: the TX layout
+        # (delay | preamble | payload | tail) is known here, so the
+        # symbol grid gets per-symbol taps (block fading, like the
+        # RAYLEIGH_TIME branch below) with the previous symbol's tail
+        # as FIR history; the leading delay is silent (zeros through
+        # any FIR) and the tail margin is convolved with the last
+        # symbol's taps so the delay-spread smear past the frame edge
+        # is preserved. The receiver knows none of this — it
+        # estimates per symbol from the comb after acquisition.
+        taps_t = chan.multipath_time_taps(
+            k_fade, cfg.channel.pdp, 2 + cfg.n_symbols,
+            cfg.channel.doppler_norm,
+        )  # (2 + n_symbols, L)
+        L = taps_t.shape[-1]
+        off = cfg.channel.timing_offset
+        body_len = (2 + cfg.n_symbols) * sym_len
+        grid = stream[off : off + body_len].reshape(-1, sym_len)
+        faded_grid = chan.apply_multipath(
+            grid, taps_t, history=chan.symbol_history(grid, L)
+        )
+        tail = stream[off + body_len :]
+        tail_faded = chan.apply_multipath(
+            tail, taps_t[-1],
+            history=grid[-1, -(L - 1):] if L > 1 else None,
+        )
+        stream = jnp.concatenate(
+            [stream[:off], faded_grid.reshape(-1), tail_faded]
+        )
     elif model == ChannelModel.RAYLEIGH_FLAT:
         stream = stream * chan.rayleigh_flat(k_fade, ())
     elif model == ChannelModel.RICIAN:
@@ -576,7 +636,7 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
     else:
         ant = mo.mux_encode(points)  # (n_tx, S, N)
     midamble = mc.csi == "preamble" and (
-        cfg.channel.model == ChannelModel.RAYLEIGH_TIME
+        cfg.channel.model in TIME_VARYING_MODELS
         or bool(cfg.channel.phase_noise_std)
         or cfg.channel.impaired
     )
@@ -677,9 +737,9 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
             cfg.channel.pa_smoothness,
             cfg.channel.pa_dpd,
         )
-        if cfg.channel.model == ChannelModel.RAYLEIGH_TIME and not impaired:
-            # The un-impaired Jakes branch fades `tx` (symbol-shaped),
-            # not tx_flat — keep them consistent.
+        if cfg.channel.model in TIME_VARYING_MODELS and not impaired:
+            # The un-impaired time-varying branches fade `tx`
+            # (symbol-shaped), not tx_flat — keep them consistent.
             tx = tx_flat.reshape(tx.shape)
 
     nv = chan.ebno_db_to_noise_var(
@@ -694,6 +754,63 @@ def mimo_llr_link(cfg: LinkConfig, key: jax.Array, bits: jnp.ndarray):
         )  # (n_rx, n_tx, L) — i.i.d. PDP per antenna pair
         rx_t = jnp.sum(chan.apply_multipath(tx_flat[None], taps), axis=1)
         h = chan.freq_response(taps, n_fft)  # (n_rx, n_tx, n_fft)
+    elif cfg.channel.model == ChannelModel.MULTIPATH_TIME:
+        # Per-tap-Jakes TDL per antenna pair: i.i.d. PDP across pairs
+        # (the MULTIPATH MIMO convention) with each tap evolving as an
+        # independent Jakes process (the RAYLEIGH_TIME convention) —
+        # selective AND time-varying MIMO. Per-symbol convolution with
+        # the previous symbol's tail as FIR history; genie CSI is the
+        # per-symbol per-tone (S, n_rx, n_tx, n_fft) response, which
+        # rides the same _mimo_detect_per_symbol path the midamble
+        # estimates use.
+        n_gain = n_syms_tx + (2 if impaired else 0)
+        taps_t = chan.multipath_time_taps(
+            k_fade, cfg.channel.pdp, n_gain, cfg.channel.doppler_norm,
+            batch_shape=(mc.n_rx, mc.n_tx),
+        )  # (n_rx, n_tx, n_gain, L)
+        L = taps_t.shape[-1]
+        if impaired:
+            # Serialized stream [delay | preamble | body | tail]: the
+            # symbol grid convolves with per-symbol taps (preamble
+            # included — the synchronizer faces the same channel), the
+            # silent delay passes through, and the tail margin smears
+            # with the last symbol's taps.
+            off = cfg.channel.timing_offset
+            body_len = n_gain * sym_len
+            grid = tx_flat[:, off : off + body_len].reshape(
+                mc.n_tx, n_gain, sym_len
+            )
+            hist = chan.symbol_history(grid, L)
+            y_rt = chan.apply_multipath(
+                grid[None], taps_t,
+                history=None if hist is None else hist[None],
+            )  # (n_rx, n_tx, n_gain, sym_len)
+            tail = tx_flat[:, off + body_len :]
+            tail_y = chan.apply_multipath(
+                tail[None], taps_t[:, :, -1],
+                history=grid[None, :, -1, -(L - 1):] if L > 1 else None,
+            )
+            rx_t = jnp.concatenate(
+                [
+                    jnp.zeros((mc.n_rx, off), jnp.complex64),
+                    jnp.sum(y_rt, axis=1).reshape(mc.n_rx, -1),
+                    jnp.sum(tail_y, axis=1),
+                ],
+                axis=-1,
+            )
+            Ht_taps = taps_t[:, :, 2:]  # payload symbols' taps
+        else:
+            hist = chan.symbol_history(tx, L)  # tx: (n_tx, S, sym_len)
+            y_rt = chan.apply_multipath(
+                tx[None], taps_t,
+                history=None if hist is None else hist[None],
+            )  # (n_rx, n_tx, S, sym_len)
+            rx_t = jnp.sum(y_rt, axis=1).reshape(mc.n_rx, -1)
+            Ht_taps = taps_t
+        h_t = jnp.moveaxis(
+            chan.freq_response(Ht_taps, n_fft), 2, 0
+        )  # (S, n_rx, n_tx, n_fft)
+        h = None
     elif cfg.channel.model == ChannelModel.RAYLEIGH_TIME:
         # Jakes Doppler per antenna pair, block fading per OFDM symbol
         # (the SISO RAYLEIGH_TIME convention): H varies across symbols,

@@ -95,6 +95,10 @@ def _channel_taps(cfg: LinkConfig, root: jax.Array, c):
         return None, h, None
     if model == ChannelModel.RAYLEIGH_TIME:
         return None, None, chan.jakes_params(kf)
+    if model == ChannelModel.MULTIPATH_TIME:
+        # Per-tap Jakes state (theta, phi, amps): blocks evaluate their
+        # own symbols' taps at absolute indices, like RAYLEIGH_TIME.
+        return None, None, chan.multipath_time_params(kf, cfg.channel.pdp)
     return None, None, None
 
 
@@ -129,6 +133,25 @@ def _block_rx(
         h_freq = g[:, None]  # (spb, 1): flat per symbol for equalization
     elif model == ChannelModel.MULTIPATH:
         stream = chan.apply_multipath(stream, taps, history=halo)
+    elif model == ChannelModel.MULTIPATH_TIME:
+        # Per-tap-Jakes TDL at ABSOLUTE symbol indices: each symbol is
+        # convolved with its own taps; in-block history is the previous
+        # symbol's tail, and the first symbol takes the block HALO (the
+        # left neighbor's tail under sharding) — so the seam is
+        # bit-exact vs the unsharded frame, like the static MULTIPATH
+        # halo but with the taps evolving.
+        theta, phi, amps = jakes
+        t_idx = b * sym_per_block + jnp.arange(sym_per_block)
+        taps_t = chan.multipath_time_taps_at(
+            theta, phi, amps, t_idx, cfg.channel.doppler_norm
+        )  # (spb, L)
+        L = taps_t.shape[-1]
+        grid = stream.reshape(sym_per_block, cfg.ofdm.symbol_len)
+        hist = chan.symbol_history(grid, L)
+        if hist is not None and halo is not None:
+            hist = hist.at[0].set(halo[-(L - 1):])
+        stream = chan.apply_multipath(grid, taps_t, history=hist).reshape(-1)
+        h_freq = chan.freq_response(taps_t, cfg.ofdm.n_fft)  # (spb, n_fft)
     elif model in (ChannelModel.RAYLEIGH_FLAT, ChannelModel.RICIAN):
         stream = stream * h_freq  # flat gain
     if model != ChannelModel.IDENTITY:
@@ -163,7 +186,9 @@ def _block_rx(
 
 
 def _halo_len(cfg: LinkConfig) -> int:
-    if cfg.channel.model == ChannelModel.MULTIPATH:
+    if cfg.channel.model in (
+        ChannelModel.MULTIPATH, ChannelModel.MULTIPATH_TIME
+    ):
         return max(len(cfg.channel.pdp) - 1, 0)
     return 0
 

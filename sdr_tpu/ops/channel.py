@@ -248,6 +248,84 @@ def multipath_taps(key: jax.Array, pdp, batch_shape=()) -> jnp.ndarray:
     return taps * jnp.sqrt(p)
 
 
+def multipath_time_params(
+    key: jax.Array, pdp, n_paths: int = 16, batch_shape=()
+):
+    """Jakes state for a TIME-VARYING tapped-delay line (TDL).
+
+    The mobile radio channel proper: each PDP tap carries an
+    INDEPENDENT Jakes process (ITU/3GPP TDL construction), so the
+    channel is simultaneously frequency-selective (delay spread) and
+    time-varying (Doppler). Returns (theta, phi, amps): per-tap
+    sum-of-sinusoids state of shape batch_shape + (L, n_paths) and the
+    static tap amplitudes √(pdp/Σpdp) of shape (L,). Like
+    ``jakes_params``, the state IS the realization — gains at any
+    absolute time follow via ``multipath_time_taps_at``, which is what
+    keeps time-sharded streams bit-exact.
+    """
+    p = jnp.asarray(pdp, jnp.float32)
+    p = p / jnp.sum(p)
+    theta, phi = jakes_params(
+        key, n_paths, tuple(batch_shape) + (p.shape[0],)
+    )
+    return theta, phi, jnp.sqrt(p)
+
+
+def multipath_time_taps_at(
+    theta: jnp.ndarray,
+    phi: jnp.ndarray,
+    amps: jnp.ndarray,
+    t: jnp.ndarray,
+    doppler_norm: float,
+) -> jnp.ndarray:
+    """Evaluate TDL taps at (possibly offset) step indices ``t``.
+
+    c_l[t] = √p_l · g_l[t] with independent per-tap Jakes g_l
+    (E|c_l|² = p_l, total energy 1). ``doppler_norm`` = fd·T_step; use
+    steps = OFDM symbols for the block-fading-per-symbol convention
+    (taps constant within a symbol — the same coherence assumption
+    RAYLEIGH_TIME makes, valid for fd·T_sym ≪ 1). Returns
+    batch_shape + (n_steps, L) complex64.
+    """
+    g = jakes_eval(theta, phi, t, doppler_norm)  # (..., L, n_steps)
+    return jnp.swapaxes(g, -1, -2) * amps
+
+
+def multipath_time_taps(
+    key: jax.Array,
+    pdp,
+    n_steps: int,
+    doppler_norm: float,
+    n_paths: int = 16,
+    batch_shape=(),
+) -> jnp.ndarray:
+    """Per-tap-Jakes TDL taps for steps 0..n_steps-1: the convenience
+    form of ``multipath_time_params`` + ``multipath_time_taps_at``.
+    Returns batch_shape + (n_steps, L) complex64. The slow-fade limit
+    (doppler_norm → 0) is distributed like ``multipath_taps`` held
+    constant over the frame (tested); the per-symbol frequency
+    response is ``freq_response(taps, n_fft)`` → (..., n_steps, n_fft).
+    """
+    theta, phi, amps = multipath_time_params(key, pdp, n_paths, batch_shape)
+    return multipath_time_taps_at(
+        theta, phi, amps, jnp.arange(n_steps), doppler_norm
+    )
+
+
+def symbol_history(x: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Per-symbol FIR history for a (.., n_symbols, sym_len) grid.
+
+    Row s gets the last L−1 samples of row s−1 (zeros for s=0) — the
+    inter-symbol memory a time-varying TDL needs when each symbol is
+    convolved with its OWN taps (``apply_multipath``'s batched form).
+    """
+    if L <= 1:
+        return None
+    tails = x[..., :-1, -(L - 1):]
+    zeros = jnp.zeros(x.shape[:-2] + (1, L - 1), x.dtype)
+    return jnp.concatenate([zeros, tails], axis=-2)
+
+
 def apply_multipath(
     samples: jnp.ndarray, taps: jnp.ndarray, history: jnp.ndarray | None = None
 ) -> jnp.ndarray:

@@ -59,6 +59,41 @@ def estimate_block_pilots(y_pil: jnp.ndarray, n_taps: int = 0) -> jnp.ndarray:
     return h
 
 
+def estimate_block_pilots_interp_full(
+    y_pil: jnp.ndarray, spacing: int
+) -> jnp.ndarray:
+    """Block-pilot estimate for SELECTIVE time-varying fading
+    (MULTIPATH_TIME): per-TONE complex chord interpolation between
+    consecutive pilot-block LS estimates.
+
+    Under a per-tap-Jakes TDL every tone's complex gain evolves at the
+    Doppler rate but with its OWN trajectory (taps fade independently),
+    so the flat-Jakes factorization shape × scalar
+    (``estimate_block_pilots_interp``) no longer holds — the estimate
+    must interpolate each tone separately: data symbol (block b,
+    offset o) takes (1−o/p)·h_b(k) + (o/p)·h_{b+1}(k), the last block
+    extrapolating along its previous chord. Valid under the same
+    coherence gate (pilot_spacing·doppler_norm ≤ 0.25, config-enforced)
+    since each tone moves at the same Doppler rate as the flat case.
+    The price vs the flat estimator is estimation noise: no averaging
+    across blocks or tones is possible for a channel that varies in
+    both. y_pil: (..., B, n_fft) → (..., B, spacing−1, n_fft).
+    """
+    p = int(spacing)
+    zc = jnp.asarray(zadoff_chu(y_pil.shape[-1]))
+    hb = y_pil * jnp.conj(zc)  # (..., B, n_fft) per-block per-tone LS
+    B = hb.shape[-2]
+    if B > 1:
+        h_next = jnp.concatenate(
+            [hb[..., 1:, :], 2.0 * hb[..., -1:, :] - hb[..., -2:-1, :]],
+            axis=-2,
+        )
+    else:
+        h_next = hb
+    w = (jnp.arange(1, p, dtype=jnp.float32) / p)[:, None]  # (p-1, 1)
+    return (1.0 - w) * hb[..., :, None, :] + w * h_next[..., :, None, :]
+
+
 def estimate_block_pilots_interp(
     y_pil: jnp.ndarray, spacing: int
 ) -> jnp.ndarray:

@@ -27,7 +27,7 @@ from sdr_tpu.ops.modulation import _ints_to_bits, modulate
 def _cfg(model=ChannelModel.AWGN, mod=Modulation.QAM16, ebno=8.0,
          doppler_norm=None, **kw):
     ch = dict(model=model, ebno_db=ebno)
-    if model == ChannelModel.MULTIPATH:
+    if model in (ChannelModel.MULTIPATH, ChannelModel.MULTIPATH_TIME):
         ch["pdp"] = (1.0, 0.5, 0.25)
     if doppler_norm is not None:
         ch["doppler_norm"] = doppler_norm
@@ -58,6 +58,7 @@ def _oracle_counts(cfg, idx, nr, ni, hr, hi):
         ChannelModel.MULTIPATH,
         ChannelModel.RAYLEIGH_TIME,
         ChannelModel.RICIAN,
+        ChannelModel.MULTIPATH_TIME,
     ):
         x = x * h
         h_eq = h
@@ -79,14 +80,18 @@ def _oracle_counts(cfg, idx, nr, ni, hr, hi):
 @pytest.mark.parametrize(
     "model", [ChannelModel.AWGN, ChannelModel.RAYLEIGH_FLAT,
               ChannelModel.MULTIPATH, ChannelModel.IDENTITY,
-              ChannelModel.RAYLEIGH_TIME, ChannelModel.RICIAN]
+              ChannelModel.RAYLEIGH_TIME, ChannelModel.RICIAN,
+              ChannelModel.MULTIPATH_TIME]
 )
 def test_mc_inject_matches_jnp_model(rng, model):
-    kw = {"doppler_norm": 0.02} if model == ChannelModel.RAYLEIGH_TIME else {}
+    time_varying = model in (
+        ChannelModel.RAYLEIGH_TIME, ChannelModel.MULTIPATH_TIME
+    )
+    kw = {"doppler_norm": 0.02} if time_varying else {}
     cfg = _cfg(model=model, ebno=6.0, **kw)
     assert supported(cfg)
     B, S, N = cfg.n_channels, cfg.n_symbols, cfg.ofdm.n_fft
-    h_syms = S if model == ChannelModel.RAYLEIGH_TIME else 1
+    h_syms = S if time_varying else 1
     bps = cfg.modulation.bits_per_symbol
     idx = jnp.asarray(rng.integers(0, 1 << bps, (B, S, N)), jnp.int32)
     nr = jnp.asarray(rng.standard_normal((B, S, N)), jnp.float32)
@@ -148,14 +153,16 @@ def test_mc_identity_zero_errors(rng):
 
 
 @pytest.mark.parametrize(
-    "model", [ChannelModel.AWGN, ChannelModel.MULTIPATH]
+    "model", [ChannelModel.AWGN, ChannelModel.MULTIPATH,
+              ChannelModel.MULTIPATH_TIME]
 )
 def test_mc_wideband_inject_matches_jnp_model(rng, model):
     """Four-step MC variant (n_fft=1024) vs the jnp model, inject mode."""
-    kw = {}
     ch = dict(model=model, ebno_db=6.0)
-    if model == ChannelModel.MULTIPATH:
+    if model in (ChannelModel.MULTIPATH, ChannelModel.MULTIPATH_TIME):
         ch["pdp"] = (1.0, 0.5, 0.25)
+    if model == ChannelModel.MULTIPATH_TIME:
+        ch["doppler_norm"] = 0.02
     cfg = LinkConfig(
         modulation=Modulation.QAM16,
         ofdm=OFDMConfig(n_fft=1024, cp_len=256),
@@ -165,12 +172,13 @@ def test_mc_wideband_inject_matches_jnp_model(rng, model):
     )
     assert supported(cfg)
     B, S, N = cfg.n_channels, cfg.n_symbols, cfg.ofdm.n_fft
+    h_syms = S if model == ChannelModel.MULTIPATH_TIME else 1
     bps = cfg.modulation.bits_per_symbol
     idx = jnp.asarray(rng.integers(0, 1 << bps, (B, S, N)), jnp.int32)
     nr = jnp.asarray(rng.standard_normal((B, S, N)), jnp.float32)
     ni = jnp.asarray(rng.standard_normal((B, S, N)), jnp.float32)
-    hr = jnp.asarray(rng.standard_normal((B, 1, N)), jnp.float32)
-    hi = jnp.asarray(rng.standard_normal((B, 1, N)), jnp.float32)
+    hr = jnp.asarray(rng.standard_normal((B, h_syms, N)), jnp.float32)
+    hi = jnp.asarray(rng.standard_normal((B, h_syms, N)), jnp.float32)
     got = np.asarray(
         mc_count_pallas(cfg, 0, interpret=True,
                         rand_inputs=(idx, nr, ni, hr, hi))
