@@ -9,7 +9,8 @@ fori_loop, the carry perturbing the LLR input, final scalar fetched.
 
 Knobs: SDR_BENCH_POLAR_N (block length), SDR_BENCH_POLAR_LIST,
 SDR_BENCH_POLAR_CW (codeword batch), SDR_BENCH_ITERS (chained trips),
-SDR_BENCH_REPS.
+SDR_BENCH_REPS, SDR_BENCH_POLAR_DECODER (fast|scan — fast is the
+round-4 fast-SSCL tree decoder, decision-identical to the scan).
 """
 
 from __future__ import annotations
@@ -37,8 +38,12 @@ def main() -> None:
     from sdr_tpu.ops.polar import (
         make_polar_code,
         polar_decode_scl,
+        polar_decode_scl_fast,
         polar_encode_payload,
     )
+
+    which = os.environ.get("SDR_BENCH_POLAR_DECODER", "fast")
+    decode = polar_decode_scl_fast if which == "fast" else polar_decode_scl
 
     code = make_polar_code(N, N // 2, crc="crc11")
     rng = np.random.default_rng(0)
@@ -56,7 +61,7 @@ def main() -> None:
     def run(llr):
         def body(_, carry):
             acc, l = carry
-            hard = polar_decode_scl(l, code, list_size=L)
+            hard = decode(l, code, list_size=L)
             s = jnp.sum(hard, dtype=jnp.float32)
             return acc + s, l + s * jnp.float32(1e-30)
 
@@ -74,7 +79,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "code": f"CA-polar ({N},{code.k}) CRC-11 SCL-{L}",
+                "code": f"CA-polar ({N},{code.k}) CRC-11 SCL-{L} [{which}]",
                 "codewords": n_cw,
                 "payload_mbps": payload_bits / best / 1e6,
                 "ms_per_decode_batch": best / iters * 1e3,

@@ -223,7 +223,13 @@ def polar_codewords_per_channel(cfg: LinkConfig, block_len: int) -> int:
 
 def _polar_one(cfg: LinkConfig, key: jax.Array, code, n_cw: int,
                list_size: int):
-    from sdr_tpu.ops.polar import polar_decode_scl, polar_encode_payload
+    import os
+
+    from sdr_tpu.ops.polar import (
+        polar_decode_scl,
+        polar_decode_scl_fast,
+        polar_encode_payload,
+    )
 
     frame_bits = cfg.n_data_symbols * cfg.bits_per_ofdm_symbol
     sent = n_cw * code.block_len
@@ -236,7 +242,15 @@ def _polar_one(cfg: LinkConfig, key: jax.Array, code, n_cw: int,
     # Whole-frame interleave, same convention as the conv/LDPC paths.
     frame = interleave(jnp.zeros((frame_bits,), jnp.int8).at[:sent].set(cw))
     llr_cw = deinterleave(_frame_llrs(cfg, key, frame))[:sent]
-    decoded = polar_decode_scl(
+    # Round-4 default: the fast-SSCL tree decoder — decision-identical
+    # to the scan decoder (tests/test_polar.py) at ~50× its throughput
+    # (docs/PERF.md). SDR_TPU_POLAR_DECODER=scan reverts.
+    decode = (
+        polar_decode_scl
+        if os.environ.get("SDR_TPU_POLAR_DECODER", "fast") == "scan"
+        else polar_decode_scl_fast
+    )
+    decoded = decode(
         llr_cw.reshape(n_cw, code.block_len), code, list_size=list_size
     )
     errors = jnp.sum((decoded != payload).astype(jnp.int32))

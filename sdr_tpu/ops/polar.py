@@ -462,6 +462,222 @@ def polar_encode_payload(payload: jnp.ndarray, code: PolarCode) -> jnp.ndarray:
     return polar_encode(u)
 
 
+def _rate0_penalty(alpha: jnp.ndarray) -> jnp.ndarray:
+    """EXACT bitwise-equivalent path-metric increment of an all-frozen
+    subtree, computed in log2(W) parallel steps.
+
+    With every decision 0 the partial sums are all 0, so the subtree's
+    leaf LLRs are a deterministic f/g cascade of the node LLRs —
+    computable depth-parallel: each level maps every segment (a‖b) to
+    the pair (minsum(a,b), a+b). The penalty Σ_leaf max(−λ_leaf, 0) is
+    order-invariant, so segment ordering never matters. alpha:
+    (Lw, W) → (Lw,) float32 increment, identical to what the bit-serial
+    decoder accumulates over the subtree's W frozen leaves.
+    """
+    Lw = alpha.shape[0]
+    x = alpha[:, None, :]  # (Lw, segments, seg_width)
+    while x.shape[-1] > 1:
+        w = x.shape[-1] // 2
+        a = x[..., :w]
+        b = x[..., w:]
+        x = jnp.concatenate([_f_minsum(a, b), a + b], axis=1)
+    return jnp.sum(jnp.maximum(-x.reshape(Lw, -1), 0.0), axis=-1)
+
+
+# Survivor selection is represented as a ONE-HOT matrix S (Lw, Lw)
+# f32 — new_path l = old_path argmax(S[l]) — applied by small matmuls
+# instead of index gathers: TPU gathers with per-path indices run at
+# scalar-core rates (measured: the gather formulation spent 42 of
+# 49 ms in fork-adjacent gathers at (256,128)/L=8/B=1024; the one-hot
+# rewrite runs the same decode in 11 ms). HIGHEST precision keeps the
+# selections EXACT for f32 payloads (TPU default matmul precision is
+# single-pass bf16, which would truncate path metrics and integer
+# position tables > 256).
+
+
+def _selmm(S, arr, exact: bool = True):
+    """arr' = S @ arr (S one-hot). ``exact`` payloads carry f32 VALUES
+    (path metrics, LLR planes, position tables > 256), which the TPU's
+    default single-bf16-pass matmul would truncate — they are selected
+    by an explicit broadcast-multiply-reduce instead: f32-exact on the
+    VPU, and ~3× faster than a HIGHEST-precision MXU pass at these
+    (L, L)·(L, W) shapes (measured: HIGHEST selections cost 32 ms of
+    the 77 ms decode at (256,128)/L=8/B=8192). 0/1 payloads
+    (decisions, flips, selection composition) are bf16-exact and ride
+    the default matmul pass."""
+    if exact:
+        return jnp.sum(S[:, :, None] * arr[None, :, :], axis=1)
+    return jnp.matmul(S, arr)
+
+
+def _sel_f(arr, S):
+    return arr if S is None else _selmm(S, arr)
+
+
+def _sel_i8(arr, S):
+    if S is None:
+        return arr
+    # 0/1 payload: bf16-exact, default-precision pass.
+    return _selmm(S, arr.astype(jnp.float32), exact=False).astype(jnp.int8)
+
+
+def _compose(S1, S2):
+    """Composition of selections applied first-S1-then-S2."""
+    if S1 is None:
+        return S2
+    if S2 is None:
+        return S1
+    return _selmm(S2, S1, exact=False)  # 0/1 payload
+
+
+def _rate1_node(alpha, pm, Lw: int, BIG):
+    """Exact SCL handling of an all-information node (fast-SSCL,
+    Hashemi et al.): hard-decide every bit, then fork sequentially on
+    the τ = min(L−1, W) LEAST-RELIABLE positions (each path sorts its
+    own |λ|) — provably yields the same L survivors and metrics as
+    forking bit-by-bit through the subtree under the min-sum/LLR path
+    metric. Returns (beta (Lw, W) int8 node codeword, pm, S) with S
+    the one-hot survivor selection (or None).
+    """
+    W = alpha.shape[-1]
+    absl = jnp.abs(alpha)
+    dec0 = (alpha < 0.0).astype(jnp.float32)
+    tau = min(Lw - 1, W)
+    if tau == 0:
+        return dec0.astype(jnp.int8), pm, None
+    # Only the τ least-reliable positions can fork: top_k of −|λ|
+    # instead of a full W-wide sort (W can be 256; τ = L−1).
+    neg_pen, order = lax.top_k(-absl, tau)  # (Lw, τ) each
+    pen = -neg_pen
+    order_f = order.astype(jnp.float32)
+    lanes = jnp.arange(Lw)
+    S = None
+    flips = jnp.zeros((Lw, tau), jnp.float32)
+    # Per-fork state stays τ-wide: the W-wide decision plane is
+    # reconstructed ONCE at node end from (S, order, flips).
+    for t in range(tau):
+        cat = jnp.concatenate([pm, pm + pen[:, t]])
+        neg_top, idx = lax.top_k(-cat, Lw)
+        parent = jnp.mod(idx, Lw)
+        flip = (idx >= Lw).astype(jnp.float32)
+        pm = -neg_top
+        P = (parent[:, None] == lanes[None, :]).astype(jnp.float32)
+        # order values < W: bf16-exact up to 256.
+        order_f = _selmm(P, order_f, exact=W > 256)
+        pen = _selmm(P, pen)  # f32 metric values: exact pass
+        flips = _selmm(P, flips, exact=False)  # 0/1
+        col = jnp.asarray(
+            (np.arange(tau) == t).astype(np.float32)
+        )
+        flips = flips * (1.0 - col) + flip[:, None] * col
+        S = _compose(S, P)
+    dec = _selmm(S, dec0, exact=False) if S is not None else dec0  # 0/1
+    # Flip positions are distinct per path (order rows are distinct
+    # indices), so the XOR of 0/1 one-hots is |dec − Σ one-hots|.
+    cols = jnp.arange(W, dtype=jnp.float32)
+    oh = (order_f[:, :, None] == cols[None, None, :]).astype(
+        jnp.float32
+    ) * flips[:, :, None]
+    dec = jnp.abs(dec - jnp.sum(oh, axis=1))
+    return dec.astype(jnp.int8), pm, S
+
+
+def polar_decode_scl_fast(
+    llr: jnp.ndarray, code: PolarCode, list_size: int = 8
+) -> jnp.ndarray:
+    """Fast-SSCL CRC-aided list decode — the THROUGHPUT polar decoder.
+
+    Same contract as ``polar_decode_scl`` (decision-parity tested), but
+    the bit-serial scan is replaced by a trace-time recursion over the
+    code tree pruned at special nodes:
+
+    - **rate-0** (all frozen): no fork; the EXACT bitwise metric in
+      log2(W) parallel steps (``_rate0_penalty``).
+    - **rate-1** (all info): τ = min(L−1, W) sorted forks
+      (``_rate1_node``), exact per the fast-SSCL theorem; the node's
+      u-bits are one W-wide butterfly of its codeword (F^{⊗} is an
+      involution).
+    - anything mixed recurses (REP/SPC therefore collapse into a
+      log-factor chain of rate-0/rate-1 nodes + one leaf).
+
+    Everything is STATIC: no lax.scan, no lax.switch, no dynamic
+    slices — the tree is known at trace time, so XLA sees a straight
+    dataflow of small static-shape ops whose live state (a few
+    (L, W) planes per recursion level) stays on-chip instead of a
+    (L, n+1, N)-plane carry crossing HBM once per bit — the round-3
+    bottleneck (docs/PERF.md: 0.39 Mb/s, ~36 KB of scan carry per
+    sequential bit). Survivor reordering composes a permutation up the
+    recursion; each level gathers only its own pending arrays.
+    """
+    N, k = code.block_len, code.k
+    if llr.shape[-1] != N:
+        raise ValueError(f"llr last axis {llr.shape[-1]} != block_len {N}")
+    if list_size < 1:
+        raise ValueError(f"list_size must be >= 1, got {list_size}")
+    _require_pow2(N)
+    Lw = int(list_size)
+    BIG = jnp.float32(1e30)
+    CRC_PENALTY = jnp.float32(1e15)
+    frozen = np.asarray(code.frozen, bool)
+    info_idx_j = jnp.asarray(code.info_idx)
+
+    batch = llr.shape[:-1]
+    flat = llr.reshape((-1, N)).astype(jnp.float32)
+
+    def node(fz: np.ndarray, alpha, pm):
+        """→ (beta, u, pm, perm); beta/u (Lw, W) int8."""
+        W = alpha.shape[-1]
+        if not fz.any():  # rate-1
+            beta, pm, perm = _rate1_node(alpha, pm, Lw, BIG)
+            u = beta if W == 1 else polar_encode(beta)  # F^{⊗} involution
+            return beta, u, pm, perm
+        if fz.all():  # rate-0
+            pm = pm + _rate0_penalty(alpha)
+            z = jnp.zeros((Lw, W), jnp.int8)
+            return z, z, pm, None
+        if W == 1:  # mixed never reaches W=1, but keep the leaf exact
+            raise AssertionError("unreachable: width-1 node is pure")
+        w2 = W // 2
+        al = _f_minsum(alpha[:, :w2], alpha[:, w2:])
+        bl, ul, pm, S1 = node(fz[:w2], al, pm)
+        a_in = _sel_f(alpha, S1)
+        ar = _g(a_in[:, :w2], a_in[:, w2:], bl)
+        br, ur, pm, S2 = node(fz[w2:], ar, pm)
+        bl = _sel_i8(bl, S2)
+        ul = _sel_i8(ul, S2)
+        beta = jnp.concatenate([jnp.bitwise_xor(bl, br), br], axis=-1)
+        u = jnp.concatenate([ul, ur], axis=-1)
+        return beta, u, pm, _compose(S1, S2)
+
+    def decode_one(ch_llr):
+        alpha = jnp.broadcast_to(ch_llr, (Lw, N))
+        # Only path 0 is live initially; the first fork grows the list.
+        pm = jnp.full((Lw,), BIG, jnp.float32).at[0].set(0.0)
+        _, u, pm, _ = node(frozen, alpha, pm)
+        info = u[:, info_idx_j]  # (Lw, k)
+        if code.crc_len:
+            _, chk = crc_matrices(code.payload_len, code.crc)
+            # f32 matmul (exact: counts ≤ k < 2^24) — int32 matmuls
+            # cannot use the MXU on TPU.
+            # 0/1 operands are bf16-exact; accumulation is f32 — the
+            # default MXU pass computes the syndrome exactly.
+            syn = jnp.mod(
+                jnp.matmul(
+                    info.astype(jnp.float32), jnp.asarray(chk, jnp.float32)
+                ),
+                2.0,
+            )
+            ok = jnp.all(syn == 0.0, axis=-1)
+            sel = pm + jnp.where(ok, jnp.float32(0.0), CRC_PENALTY)
+        else:
+            sel = pm
+        best = jnp.argmin(sel)
+        return info[best, : code.payload_len]
+
+    payload = jax.vmap(decode_one)(flat)
+    return payload.reshape(batch + (code.payload_len,))
+
+
 def polar_decode_scl(
     llr: jnp.ndarray, code: PolarCode, list_size: int = 8
 ) -> jnp.ndarray:

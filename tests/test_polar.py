@@ -23,6 +23,7 @@ from sdr_tpu.ops.polar import (
     polar_construct_ga,
     polar_decode_sc,
     polar_decode_scl,
+    polar_decode_scl_fast,
     polar_encode,
     polar_encode_info,
     polar_encode_payload,
@@ -367,3 +368,70 @@ def test_scl_beats_sc_at_low_snr():
     llr = jnp.asarray(2 * y / sigma2, jnp.float32)
     dec = np.asarray(polar_decode_scl(llr, code, list_size=8))
     assert (dec != pay).mean() < 1e-3
+
+
+@pytest.mark.parametrize(
+    "N,K,L,crc",
+    [
+        (64, 32, 8, "crc11"),
+        (256, 128, 8, "crc11"),
+        (256, 128, 1, "crc11"),
+        (128, 96, 4, None),
+        (256, 64, 2, None),
+        (1024, 512, 8, "crc11"),
+    ],
+)
+def test_fast_sscl_decision_parity(N, K, L, crc):
+    """The fast-SSCL tree decoder (round 4) is decision-identical to
+    the bit-serial scan decoder: rate-0 penalties are the exact
+    parallel-descent metric, rate-1 forks follow the Hashemi τ = L−1
+    sorted-fork theorem, and the one-hot survivor selection composes
+    exactly — on noisy LLRs across sizes, lists, and CRC modes
+    (N = 1024 covers 5G-control scale at depth)."""
+    code = make_polar_code(N, K, crc=crc)
+    rng = np.random.default_rng(N + K + L)
+    pay = rng.integers(0, 2, (16, code.payload_len)).astype(np.int8)
+    cw = np.asarray(polar_encode_payload(jnp.asarray(pay), code))
+    sigma2 = 1.0 / (2.0 * code.rate * 10 ** 0.2)
+    y = (1 - 2 * cw.astype(np.float64)) + rng.normal(
+        0, np.sqrt(sigma2), cw.shape
+    )
+    llr = jnp.asarray(2 * y / sigma2, jnp.float32)
+    ref = np.asarray(polar_decode_scl(llr, code, list_size=L))
+    got = np.asarray(polar_decode_scl_fast(llr, code, list_size=L))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fast_sscl_rate0_penalty_matches_bitwise():
+    """_rate0_penalty equals the bit-serial metric of an all-frozen
+    subtree: decode a code with a large frozen prefix both ways and
+    compare final metrics indirectly via decisions on many trials."""
+    from sdr_tpu.ops.polar import _rate0_penalty, _f_minsum
+
+    rng = np.random.default_rng(5)
+    # Direct check on the identity: leaf LLRs of the zero-path subtree.
+    for W in (2, 4, 8, 16):
+        alpha = jnp.asarray(rng.standard_normal((3, W)), jnp.float32)
+        # bitwise reference: recursive descent with all-zero decisions
+        def leaves(a):
+            if a.shape[-1] == 1:
+                return [a[..., 0]]
+            w = a.shape[-1] // 2
+            f = _f_minsum(a[..., :w], a[..., w:])
+            g = a[..., :w] + a[..., w:]
+            return leaves(f) + leaves(g)
+        ref = sum(
+            np.maximum(-np.asarray(x), 0.0) for x in leaves(alpha)
+        )
+        got = np.asarray(_rate0_penalty(alpha))
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_fast_sscl_noiseless_round_trip():
+    code = make_polar_code(256, 139, crc="crc11")
+    rng = np.random.default_rng(9)
+    pay = jnp.asarray(rng.integers(0, 2, (8, code.payload_len)), jnp.int8)
+    cw = polar_encode_payload(pay, code)
+    llr = jnp.asarray(10.0 * (1 - 2 * np.asarray(cw, np.float32)))
+    dec = polar_decode_scl_fast(llr, code, list_size=8)
+    np.testing.assert_array_equal(np.asarray(dec), np.asarray(pay))
