@@ -504,8 +504,11 @@ def _cmd_sweep(args) -> int:
     engine = getattr(args, "engine", "pipeline")
     if engine == "mc":
         from sdr_tpu.kernels.mc_pallas import supported as mc_ok
+        from sdr_tpu.link.mc import _fde_mc_supported
 
-        if not mc_ok(case.cfg):
+        # Round 4: wideband SC-FDMA rides the staged composition
+        # (link.mc._mc_scfdma_wideband) — same engine contract.
+        if not (mc_ok(case.cfg) or _fde_mc_supported(case.cfg)):
             print(
                 "error: --engine mc needs an MC-supported config "
                 "(pow2 n_fft >= 128, AWGN/Rayleigh/multipath/Jakes, no pilots)",

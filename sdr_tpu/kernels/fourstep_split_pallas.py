@@ -345,3 +345,287 @@ def demod_chain_fourstep2(
     out = out.reshape(n1, batch, n_syms, bps, n2)
     out = out.transpose(1, 2, 4, 0, 3)  # (B, S, N2, N1, bps) — see fourstep
     return out.reshape(batch, n_syms, n_fft * bps)
+
+
+# ---------------------------------------------------------------------------
+# Wideband SC-FDE (full-grid SC-FDMA receive), round 4.
+
+
+def _pick_tile_c(batch: int, n_syms: int, n_fft: int, count: bool) -> int:
+    """Phase-C batch tile: live chunk set rows·N·16 B (+ idx rows·N·4 B
+    in count mode); keep the estimate within ~2 MB."""
+    per = 20 if count else 16
+    best = 0
+    for tb in range(1, batch + 1):
+        if batch % tb == 0 and tb * n_syms * n_fft * per <= (2 << 20):
+            best = tb
+    return best
+
+
+def supported_fde(shape, cp_len: int, mod: Modulation, h_syms: int = 1) -> bool:
+    if not supported(shape, cp_len, mod, h_syms):
+        return False
+    batch, n_syms, sym_len = shape
+    return _pick_tile_c(batch, n_syms, sym_len - cp_len, True) > 0
+
+
+def demod_chain_fourstep2_fde(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    hr: jnp.ndarray,
+    hi: jnp.ndarray,
+    cp_len: int,
+    mod: Modulation,
+    noise_var: float,
+    reduce_sum: bool = False,
+    interpret: bool | None = None,
+    count_idx: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Fused WIDEBAND SC-FDE receiver (n_fft ≥ 1024) — three staged
+    phases, each MXU/VPU-shaped (round-4; closes the jnp fallback that
+    ran at 56% of wideband OFDM, docs/PERF.md):
+
+    - Phase A: the OFDM kernel's stage-1 chunk FFT (reused verbatim).
+    - Phase B′: per digit slice — stage-2 Gauss matmul (tones), the
+      BIASED per-tone MMSE conj(H)/(|H|²+nv) (ops.equalize.
+      equalize_mmse_fde's convention: a notch must not amplify noise
+      across every despread symbol), then the DESPREAD's stage-1
+      inverse matmul + TX twiddle fused in. The key identity: the
+      demod staging's digit-major tone slices (k ≡ k1 mod N1, ordered
+      by k2) are EXACTLY the TX four-step's phase-A input layout, so
+      the despread IDFT is the TX transform with √N scaling.
+    - Phase C: the TX kernel's chunk IFFT (time chunks are CONTIGUOUS
+      sample runs — no reorder) + symbol-level bias correction
+      (tone-mean b, computed OUTSIDE from h alone) + max-log LLR →
+      scalar sum or in-kernel error counts vs time-domain indices.
+
+    ``count_idx``: (batch, n_syms, n_fft) int32 TIME-domain
+    constellation indices → per-channel (batch,) int32 error counts.
+    Otherwise returns the scalar LLR sum (``reduce_sum=True``; the
+    full-LLR plane stays on the jnp path — it is a validation surface,
+    not a throughput one).
+    """
+    if not supported_fde(re.shape, cp_len, mod, h_syms=hr.shape[1]):
+        raise ValueError(f"unsupported shape {re.shape} for wideband SC-FDE")
+    if count_idx is None and not reduce_sum:
+        raise ValueError("fused wideband SC-FDE emits counts or a sum only")
+    from sdr_tpu.kernels.demod_pallas import _llr_axis
+    from sdr_tpu.kernels.fourstep_tx_pallas import _stage1_mats, _tx_twiddles
+
+    batch, n_syms, sym_len = re.shape
+    n_fft = sym_len - cp_len
+    bps = mod.bits_per_symbol
+    n2 = _pick_n2(n_fft, cp_len)
+    n1 = n_fft // n2
+    cps = sym_len // n2
+    cp_chunks = cp_len // n2
+    h_syms = hr.shape[1]
+    if hr.shape != (batch, h_syms, n_fft) or h_syms not in (1, n_syms):
+        raise ValueError(f"unsupported channel shape {hr.shape}")
+    count = count_idx is not None
+    tba = _pick_tile_a(batch, n_syms, n_fft, n2)
+    tbb = _pick_tile_b(batch, n_syms, n2, bps)
+    tbc = _pick_tile_c(batch, n_syms, n_fft, count)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    nv = np.float32(max(float(noise_var), 1e-12))
+    sdt = stage_dtype()
+
+    re4 = re.reshape(batch, n_syms, cps, n2)
+    im4 = im.reshape(batch, n_syms, cps, n2)
+    hr4 = (
+        permute_h(hr, n_fft, n2)
+        .reshape(batch, h_syms, n1, n2)
+        .transpose(2, 0, 1, 3)
+    )
+    hi4 = (
+        permute_h(hi, n_fft, n2)
+        .reshape(batch, h_syms, n1, n2)
+        .transpose(2, 0, 1, 3)
+    )
+
+    # Symbol-level SC-FDE statistics from h alone (h-sized, not
+    # sample-sized): useful-signal gain b = mean_k |H|²/(|H|²+nv),
+    # post-despread SINR b/(1−b) (ops.equalize.equalize_mmse_fde).
+    h2full = hr.astype(jnp.float32) ** 2 + hi.astype(jnp.float32) ** 2
+    bias = jnp.maximum(
+        jnp.mean(h2full / (h2full + nv), axis=-1), jnp.float32(1e-9)
+    )  # (batch, h_syms)
+    inv_bias = 1.0 / bias
+    inv_eff = bias / jnp.maximum(1.0 - bias, jnp.float32(1e-9))
+
+    tr, ti = _stage1_call(
+        re4, im4, n1, n2, cps, cp_chunks, tba, interpret, sdt
+    )
+
+    mode = _matmul.mxu_mode()
+    n_w = _matmul.n_w_operands(mode)
+    w_fwd = _matmul.prepare_w(*_stage2_mats(n2), mode)
+    # Despread = the TX inverse transform scaled √N (conj(F)/√N overall
+    # — link.pipeline's ifft(s)·√N convention).
+    w_dsp = _matmul.prepare_w(
+        *_stage1_mats(n2, n_fft, float(np.sqrt(n_fft))), mode
+    )
+    twr, twi = _tx_twiddles(n1, n2)
+    twr4 = jnp.asarray(twr).reshape(n1, 1, 1, n2)
+    twi4 = jnp.asarray(twi).reshape(n1, 1, 1, n2)
+
+    rows_b = tbb * n_syms
+
+    def kernel_bp(tr_ref, ti_ref, hr_ref, hi_ref, twr_ref, twi_ref, *rest):
+        w_refs = rest[:n_w]
+        wd_refs = rest[n_w : 2 * n_w]
+        sr_ref, si_ref = rest[2 * n_w], rest[2 * n_w + 1]
+        xr = tr_ref[0].reshape(rows_b, n2)
+        xi = ti_ref[0].reshape(rows_b, n2)
+        if xr.dtype == jnp.bfloat16:
+            yr, yi = _matmul.complex_dot_xbf16(xr, xi, w_refs, mode)
+        else:
+            yr, yi = _matmul.complex_dot(xr, xi, w_refs, mode)
+        hrb = jnp.broadcast_to(hr_ref[0], (tbb, n_syms, n2)).reshape(rows_b, n2)
+        hib = jnp.broadcast_to(hi_ref[0], (tbb, n_syms, n2)).reshape(rows_b, n2)
+        h2 = hrb * hrb + hib * hib
+        inv_d = jnp.float32(1.0) / (h2 + nv)
+        sr = (hrb * yr + hib * yi) * inv_d
+        si = (hrb * yi - hib * yr) * inv_d
+        dr, di = _matmul.complex_dot(sr, si, wd_refs, mode)
+        wr = twr_ref[0, 0]
+        wi = twi_ref[0, 0]
+        sr_ref[0] = (dr * wr - di * wi).reshape(tbb, n_syms, n2).astype(sdt)
+        si_ref[0] = (dr * wi + di * wr).reshape(tbb, n_syms, n2).astype(sdt)
+
+    stage_spec_b = pl.BlockSpec(
+        (1, tbb, n_syms, n2), lambda k, j: (k, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tw_spec = pl.BlockSpec(
+        (1, 1, 1, n2), lambda k, j: (k, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    sr, si = pl.pallas_call(
+        kernel_bp,
+        grid=(n1, batch // tbb),
+        in_specs=[
+            stage_spec_b,
+            stage_spec_b,
+            pl.BlockSpec((1, tbb, h_syms, n2), lambda k, j: (k, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tbb, h_syms, n2), lambda k, j: (k, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tw_spec,
+            tw_spec,
+        ] + [
+            pl.BlockSpec((n2, n2), lambda k, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in (*w_fwd, *w_dsp)
+        ],
+        out_specs=(stage_spec_b, stage_spec_b),
+        out_shape=(
+            jax.ShapeDtypeStruct((n1, batch, n_syms, n2), sdt),
+            jax.ShapeDtypeStruct((n1, batch, n_syms, n2), sdt),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=interpret,
+    )(tr, ti, hr4, hi4, twr4, twi4, *w_fwd, *w_dsp)
+
+    rows_c = tbc * n_syms
+
+    def kernel_c(sr_ref, si_ref, ib_ref, ie_ref, *rest):
+        if count:
+            idx_ref = rest[0]
+            rest = rest[1:]
+        out_ref = rest[0]
+        chunks = [
+            (
+                sr_ref[c].reshape(rows_c, n2).astype(jnp.float32),
+                si_ref[c].reshape(rows_c, n2).astype(jnp.float32),
+            )
+            for c in range(n1)
+        ]
+        x = _fft_chunks(chunks, inverse=True)  # contiguous time chunks
+        ib = jnp.broadcast_to(
+            ib_ref[:, :, :1], (tbc, n_syms, 1)
+        ).reshape(rows_c, 1)
+        ie = jnp.broadcast_to(
+            ie_ref[:, :, :1], (tbc, n_syms, 1)
+        ).reshape(rows_c, 1)
+        acc = None
+        total = jnp.float32(0.0)
+        for c in range(n1):
+            xr_c, xi_c = x[c]
+            tr_c = xr_c * ib
+            ti_c = xi_c * ib
+            if mod is Modulation.BPSK:
+                llr_bits = _llr_axis(tr_c, ie, mod)
+            else:
+                llr_bits = _llr_axis(tr_c, ie, mod) + _llr_axis(ti_c, ie, mod)
+            if count:
+                idx_c = idx_ref[:, :, c, :].reshape(rows_c, n2)
+                err = count_errors_bits(llr_bits, idx_c, bps)
+                err = jnp.sum(err.reshape(tbc, n_syms, n2), axis=1)
+                acc = err if acc is None else acc + err
+            else:
+                for b_llr in llr_bits:
+                    total = total + jnp.sum(b_llr, dtype=jnp.float32)
+        if count:
+            out_ref[:] = acc[:, None, :]
+        else:
+            out_ref[:] = jnp.broadcast_to(total, (8, 128))
+
+    in_specs_c = [
+        pl.BlockSpec((n1, tbc, n_syms, n2), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n1, tbc, n_syms, n2), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        # (batch, h_syms, 128) lane-duplicated planes: Mosaic's block
+        # rule constrains only the LAST TWO dims, so the tiny batch
+        # tile rides the leading axis.
+        pl.BlockSpec((tbc, h_syms, 128), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tbc, h_syms, 128), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args_c = [
+        sr,
+        si,
+        jnp.broadcast_to(inv_bias[:, :, None], (batch, h_syms, 128)),
+        jnp.broadcast_to(inv_eff[:, :, None], (batch, h_syms, 128)),
+    ]
+    if count:
+        in_specs_c.append(
+            pl.BlockSpec((tbc, n_syms, n1, n2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args_c.append(
+            count_idx.astype(jnp.int32).reshape(batch, n_syms, n1, n2)
+        )
+        out = pl.pallas_call(
+            kernel_c,
+            grid=(batch // tbc,),
+            in_specs=in_specs_c,
+            out_specs=pl.BlockSpec(
+                (tbc, 1, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((batch, 1, n2), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
+            interpret=interpret,
+        )(*args_c)
+        return jnp.sum(
+            out.reshape(batch, n2), axis=-1, dtype=jnp.float32
+        ).astype(jnp.int32)
+
+    partial = pl.pallas_call(
+        kernel_c,
+        grid=(batch // tbc,),
+        in_specs=in_specs_c,
+        out_specs=pl.BlockSpec(
+            (8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8 * (batch // tbc), 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(*args_c)
+    return jnp.sum(partial[::8, 0], dtype=jnp.float32)

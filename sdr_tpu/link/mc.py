@@ -41,6 +41,8 @@ def mc_simulate(
     Bits counted per channel per pass is the static
     n_symbols·n_fft·bits_per_symbol (CP carries no payload)."""
     if not supported(cfg):
+        if _fde_mc_supported(cfg) and rand_inputs is None:
+            return _mc_scfdma_wideband(cfg, seed, iters)
         raise ValueError(f"mc_simulate does not support this config: {cfg}")
     bits_per_pass = (
         cfg.n_symbols * cfg.ofdm.n_fft * cfg.modulation.bits_per_symbol
@@ -77,3 +79,64 @@ def mc_simulate(
 def make_mc_fn(cfg: LinkConfig, iters: int = 1):
     """Jitted MC driver with cfg closed over (seed stays a traced arg)."""
     return jax.jit(functools.partial(mc_simulate, cfg, iters=iters))
+
+
+def _fde_mc_supported(cfg: LinkConfig) -> bool:
+    """Wideband SC-FDMA Monte-Carlo (round 4): n_fft ≥ 1024 full-grid
+    SC-FDMA under the staged composition below."""
+    from sdr_tpu.kernels.fourstep_split_pallas import supported_fde
+    from sdr_tpu.kernels.mc_pallas import _SUPPORTED_MODELS
+
+    return (
+        cfg.dft_spread
+        and cfg.ofdm.n_fft >= 1024
+        and cfg.channel.model in _SUPPORTED_MODELS
+        and cfg.pilot_spacing == 0
+        and cfg.mimo is None
+        and not cfg.channel.impaired
+        and not cfg.channel.has_pa
+        and supported_fde(
+            (cfg.n_channels, cfg.n_symbols, cfg.ofdm.symbol_len),
+            cfg.ofdm.cp_len,
+            cfg.modulation,
+        )
+    )
+
+
+def _mc_scfdma_wideband(cfg: LinkConfig, seed, iters: int):
+    """Wideband uplink Monte-Carlo: the staged SC-FDMA composition.
+
+    Full-grid SC-FDMA's TX is the spread⁻¹∘IFFT identity (a scaled
+    constellation sequence — link.fast._tx), so the expensive side is
+    the RECEIVER, which runs the fused three-phase wideband SC-FDE
+    count kernel (kernels/fourstep_split_pallas.
+    demod_chain_fourstep2_fde) via the fast-engine composition. Same
+    statistical contract as the in-kernel MC path (per-pass fresh
+    indices/channel/noise keyed by (seed, iteration)); the single-
+    kernel MC stays the n_fft ≤ 256 fused path.
+    """
+    from sdr_tpu.link.fast import fast_core
+
+    ch_ids = jnp.arange(cfg.n_channels, dtype=jnp.int32)
+    seed = jnp.asarray(seed, jnp.int32)
+
+    @jax.jit
+    def run(seed):
+        def body(i, acc):
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(0), seed * jnp.int32(1_000_003) + i
+            )
+            errs, _ = fast_core(cfg, key, ch_ids, backend="auto")
+            return acc + errs
+
+        return lax.fori_loop(
+            0, iters, body, jnp.zeros((cfg.n_channels,), jnp.int32)
+        )
+
+    errs = run(seed)
+    bits = jnp.full(
+        (cfg.n_channels,),
+        cfg.n_symbols * cfg.ofdm.n_fft * cfg.modulation.bits_per_symbol * iters,
+        jnp.int32,
+    )
+    return errs, bits

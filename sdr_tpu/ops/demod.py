@@ -140,7 +140,20 @@ def demod_chain(
     if b == "auto":
         b = select_backend(re.shape, hr.shape, cp_len, mod, jax.default_backend())
     if despread and b not in ("pallas", "jnp"):
-        b = "jnp"  # SC-FDE is fused in the single-matmul kernel only
+        # Wideband SC-FDE (round 4): the three-phase fused kernel
+        # covers the reduce_sum terminal at n_fft >= 1024; the full-LLR
+        # plane remains a jnp (validation) surface.
+        if b in ("fourstep", "fourstep2") and reduce_sum:
+            from sdr_tpu.kernels.fourstep_split_pallas import (
+                demod_chain_fourstep2_fde,
+                supported_fde,
+            )
+
+            if supported_fde(re.shape, cp_len, mod, h_syms=hr.shape[1]):
+                return demod_chain_fourstep2_fde(
+                    re, im, hr, hi, cp_len, mod, noise_var, reduce_sum=True
+                )
+        b = "jnp"  # SC-FDE LLR planes: single-matmul kernel or jnp
     if b == "pallas":
         from sdr_tpu.kernels.demod_pallas import demod_chain_pallas
         from sdr_tpu.kernels.demod_pallas import supported as _pl_ok
@@ -220,7 +233,19 @@ def demod_count_chain(
                 despread=despread,
             )
     if despread:
-        # SC-FDE count outside the fused kernel: count on the jnp
+        # Wideband SC-FDE count (round 4): the fused three-phase
+        # kernel compares time-domain decisions in phase C.
+        if b in ("pallas", "fourstep", "fourstep2") and idx_ok:
+            from sdr_tpu.kernels.fourstep_split_pallas import (
+                demod_chain_fourstep2_fde,
+                supported_fde,
+            )
+
+            if supported_fde(re.shape, cp_len, mod, h_syms=hr.shape[1]):
+                return demod_chain_fourstep2_fde(
+                    re, im, hr, hi, cp_len, mod, noise_var, count_idx=idx
+                )
+        # SC-FDE count outside the fused kernels: count on the jnp
         # SC-FDE LLRs (decision-identical fallback).
         llr = demod_chain(
             re, im, hr, hi, cp_len, mod, noise_var, backend="jnp",

@@ -315,3 +315,86 @@ def test_fourstep_split_count_matches_llr_counting(rng):
     )
     assert got.dtype == np.int32 and got.shape == (batch,)
     np.testing.assert_array_equal(got, want)
+
+
+def test_wideband_scfde_matches_jnp_oracle(rng, monkeypatch):
+    """Round-4 fused wideband SC-FDE (A → B′ → C): counts are
+    decision-exact and the LLR sum matches the jnp SC-FDE composition
+    (equalize_mmse_fde + llr) on a REAL full-grid SC-FDMA signal, for
+    per-link AND per-symbol channel planes."""
+    monkeypatch.setenv("SDR_TPU_MXU_PRECISION", "highest")
+    monkeypatch.setenv("SDR_TPU_FOURSTEP_STAGE", "f32")
+    from sdr_tpu.kernels.fourstep_split_pallas import (
+        demod_chain_fourstep2_fde,
+        supported_fde,
+    )
+    from sdr_tpu.ops.demod import demod_chain_jnp
+    from sdr_tpu.ops.modulation import _ints_to_bits, _tables
+
+    mod = Modulation.QAM16
+    n_fft, cp, batch, n_syms = 1024, 256, 2, 4
+    nv = 0.05
+    table, _, _, _ = _tables(mod)
+    for h_syms in (1, n_syms):
+        idx = rng.integers(0, 16, (batch, n_syms, n_fft)).astype(np.int32)
+        xt = np.asarray(table)[idx]  # time-domain constellation
+        h = (
+            rng.standard_normal((batch, h_syms, n_fft))
+            + 1j * rng.standard_normal((batch, h_syms, n_fft))
+        ).astype(np.complex64) * np.sqrt(0.5)
+        X = np.fft.fft(xt, axis=-1) / np.sqrt(n_fft)  # unitary precode
+        noise = (
+            rng.standard_normal((batch, n_syms, n_fft))
+            + 1j * rng.standard_normal((batch, n_syms, n_fft))
+        ) * np.sqrt(nv / 2)
+        Y = h * X + noise
+        t = np.fft.ifft(Y, axis=-1)
+        t = np.concatenate([t[..., n_fft - cp:], t], axis=-1).astype(
+            np.complex64
+        )
+        re = jnp.asarray(np.real(t))
+        im = jnp.asarray(np.imag(t))
+        hr = jnp.asarray(np.real(h))
+        hi = jnp.asarray(np.imag(h))
+        idx_j = jnp.asarray(idx)
+        assert supported_fde(re.shape, cp, mod, h_syms)
+
+        llr = demod_chain_jnp(re, im, hr, hi, cp, mod, nv, despread=True)
+        hard = (np.asarray(llr) < 0).astype(np.int8)
+        bits = np.asarray(_ints_to_bits(idx_j, 4))
+        ref_cnt = (hard != bits).sum(axis=(1, 2))
+        got_cnt = np.asarray(
+            demod_chain_fourstep2_fde(
+                re, im, hr, hi, cp, mod, nv, count_idx=idx_j
+            )
+        )
+        np.testing.assert_array_equal(got_cnt, ref_cnt)
+        got_sum = float(
+            demod_chain_fourstep2_fde(re, im, hr, hi, cp, mod, nv,
+                                      reduce_sum=True)
+        )
+        ref_sum = float(jnp.sum(llr))
+        assert abs(got_sum - ref_sum) <= 1e-4 * abs(ref_sum), (
+            got_sum, ref_sum,
+        )
+
+
+def test_wideband_scfde_count_via_dispatch(rng):
+    """demod_count_chain routes wideband despread counts to the fused
+    kernel; results match the jnp-LLR counting fallback decisions
+    within the bf16-stage tolerance."""
+    from sdr_tpu.ops.demod import demod_count_chain
+
+    mod = Modulation.QAM16
+    n_fft, cp, batch, n_syms = 1024, 256, 2, 4
+    re = jnp.asarray(rng.standard_normal((batch, n_syms, n_fft + cp)), jnp.float32) * 0.05
+    im = jnp.asarray(rng.standard_normal((batch, n_syms, n_fft + cp)), jnp.float32) * 0.05
+    hr = jnp.asarray(rng.standard_normal((batch, 1, n_fft)), jnp.float32)
+    hi = jnp.asarray(rng.standard_normal((batch, 1, n_fft)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 16, (batch, n_syms, n_fft)), jnp.int32)
+    a = demod_count_chain(re, im, hr, hi, idx, cp, mod, 0.05,
+                          backend="fourstep2", despread=True)
+    b = demod_count_chain(re, im, hr, hi, idx, cp, mod, 0.05,
+                          backend="jnp", despread=True)
+    tot = batch * n_syms * n_fft * 4
+    assert int(jnp.sum(jnp.abs(a - b))) <= max(4, int(0.02 * tot))

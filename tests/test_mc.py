@@ -261,3 +261,28 @@ def test_mc_scfdma_inject_matches_jnp_model(rng, model):
     assert np.abs(got - want).max() <= max(2, int(0.02 * want.max() + 1)), (
         got, want,
     )
+
+
+def test_mc_wideband_scfdma_staged_path(rng):
+    """Round 4: mc_simulate at wideband SC-FDMA (n_fft >= 1024) rides
+    the staged composition (trivial single-carrier TX + fused SC-FDE
+    count) — AWGN BER must sit on exact theory."""
+    from sdr_tpu.core.config import Equalizer
+    from sdr_tpu.link.ber import ber_awgn_exact
+    from sdr_tpu.link.mc import _fde_mc_supported, mc_simulate
+
+    cfg = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(n_fft=1024, cp_len=256),
+        channel=ChannelConfig(model=ChannelModel.AWGN, ebno_db=8.0),
+        equalizer=Equalizer.MMSE,
+        dft_spread=True,
+        n_symbols=4,
+        n_channels=16,
+    )
+    assert not supported(cfg)  # the in-kernel path is (rightly) gated
+    assert _fde_mc_supported(cfg)
+    errs, cnt = mc_simulate(cfg, seed=3, iters=2)
+    ber = float(jnp.sum(errs)) / float(jnp.sum(cnt))
+    th = float(ber_awgn_exact(Modulation.QAM16, 8.0))
+    assert abs(ber - th) / th < 0.08, (ber, th)
