@@ -61,8 +61,8 @@ def test_tp_matches_unsharded_oracle(tshape, h_syms):
     mod = Modulation.QAM16
     nv = 0.05
     re, im, hr, hi = _inputs(jax.random.PRNGKey(0), 4, 4, n_fft, cp_len, h_syms)
-    fn = make_tp_demod_fn(n_fft, cp_len, mod, nv, mesh, axis="time")
-    got = np.asarray(fn(re, im, hr, hi))
+    fn = make_tp_demod_fn(n_fft, cp_len, mod, mesh, axis="time")
+    got = np.asarray(fn(re, im, hr, hi, nv))
     want = np.asarray(_tp_oracle(re, im, hr, hi, cp_len, mod, nv, nt))
     # Not bit-exact: the pocketfft batch kernels pick different SIMD
     # paths for (n2/D)-lane vs n2-lane batches, so stage-1 results
@@ -79,8 +79,8 @@ def test_tp_matches_jnp_chain(mod):
     n_fft, cp_len = 1024, 128
     nv = 0.05
     re, im, hr, hi = _inputs(jax.random.PRNGKey(1), 2, 4, n_fft, cp_len, 1)
-    fn = make_tp_demod_fn(n_fft, cp_len, mod, nv, mesh, axis="time")
-    got = np.asarray(fn(re, im, hr, hi))
+    fn = make_tp_demod_fn(n_fft, cp_len, mod, mesh, axis="time")
+    got = np.asarray(fn(re, im, hr, hi, nv))
     want = np.asarray(
         demod_chain_jnp(re, im, hr, hi, cp_len, mod, nv)
     )
@@ -99,7 +99,39 @@ def test_tp_split_validation():
 
 def test_tp_rejects_bad_shapes():
     mesh = make_link_mesh(8, 1, devices=jax.devices())
-    fn = make_tp_demod_fn(1024, 128, Modulation.QPSK, 0.1, mesh, axis="time")
+    fn = make_tp_demod_fn(1024, 128, Modulation.QPSK, mesh, axis="time")
     re, im, hr, hi = _inputs(jax.random.PRNGKey(2), 2, 4, 1024, 64, 1)
     with pytest.raises(ValueError):
-        fn(re, im, hr, hi)  # wrong sym_len for cp mismatch
+        fn(re, im, hr, hi, 0.1)  # wrong sym_len for cp mismatch
+
+
+def test_tp_pallas_backend_and_runtime_nv():
+    """Round 4: the fused stage-2 kernel runs INSIDE the TP shard_map
+    and noise_var is a runtime argument — one compiled fn serves two
+    Eb/N0 points, and the pallas backend matches the jnp backend to
+    kernel-matmul tolerance with identical hard decisions."""
+    mesh = make_link_mesh(8, 1, devices=jax.devices())
+    n_fft, cp_len = 1024, 128
+    mod = Modulation.QAM16
+    re, im, hr, hi = _inputs(jax.random.PRNGKey(3), 4, 4, n_fft, cp_len, 1)
+    fn_p = make_tp_demod_fn(n_fft, cp_len, mod, mesh, backend="pallas")
+    fn_j = make_tp_demod_fn(n_fft, cp_len, mod, mesh, backend="jnp")
+    for nv in (0.05, 0.2):
+        got = np.asarray(fn_p(re, im, hr, hi, nv))
+        want = np.asarray(fn_j(re, im, hr, hi, nv))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=2e-4 * scale)
+        assert np.array_equal(got < 0, want < 0)
+
+
+def test_tp_legacy_baked_noise_var():
+    mesh = make_link_mesh(8, 1, devices=jax.devices())
+    re, im, hr, hi = _inputs(jax.random.PRNGKey(4), 2, 4, 1024, 128, 1)
+    fn = make_tp_demod_fn(1024, 128, Modulation.QPSK, mesh,
+                          noise_var=0.1)
+    fn2 = make_tp_demod_fn(1024, 128, Modulation.QPSK, mesh)
+    np.testing.assert_allclose(
+        np.asarray(fn(re, im, hr, hi)),
+        np.asarray(fn2(re, im, hr, hi, 0.1)),
+        rtol=1e-6, atol=1e-6,
+    )
