@@ -765,17 +765,39 @@ def _cmd_adapt(args) -> int:
     from sdr_tpu.app.baseline_configs import get_case
     from sdr_tpu.link.adapt import calibrate, simulate_adaptive
 
+    import dataclasses as _dc
+
+    from sdr_tpu.core.config import ChannelEstimator
+    from sdr_tpu.link.adapt import DEFAULT_LADDER, waveform_ladder
+
     case = get_case(args.config)
+    cfg = case.cfg
+    ladder = DEFAULT_LADDER
+    ibo = getattr(args, "pa_ibo", None)
+    if ibo is not None:
+        # PA mode (round 4): the waveform becomes a ladder dimension —
+        # every rung calibrates in OFDM and SC-FDMA twins under the
+        # configured backoff (PA needs estimated CSI: pilots added).
+        spacing = 8 if not cfg.n_symbols % 8 else 4
+        cfg = _dc.replace(
+            cfg,
+            pilot_spacing=spacing,
+            estimator=ChannelEstimator.DFT,
+            channel=_dc.replace(cfg.channel, pa_ibo_db=float(ibo)),
+        )
+        ladder = waveform_ladder(DEFAULT_LADDER)
     key = jax.random.PRNGKey(args.seed)
-    table = calibrate(case.cfg, key, target_ber=args.target_ber)
+    table = calibrate(cfg, key, target_ber=args.target_ber, ladder=ladder)
     out = {
         "case": case.name,
         "target_ber": args.target_ber,
+        "pa_ibo_db": ibo,
         "table": [
             {
                 "modulation": t.modulation.value,
                 "family": t.family,
                 "rate": t.rate,
+                "waveform": t.waveform,
                 "efficiency_bits_per_use": t.efficiency,
                 "esno_threshold_db": t.esno_db,
                 "measured_ber_at_threshold": t.measured_ber,
@@ -786,9 +808,9 @@ def _cmd_adapt(args) -> int:
     if args.profile:
         rng = np.random.default_rng(args.seed)
         profile = args.mean_snr + args.shadowing_std * rng.standard_normal(
-            case.cfg.n_channels
+            cfg.n_channels
         )
-        res = simulate_adaptive(case.cfg, key, profile, table,
+        res = simulate_adaptive(cfg, key, profile, table,
                                 margin_db=args.margin)
         out["adaptive"] = {
             "mean_esno_db": args.mean_snr,
@@ -797,6 +819,9 @@ def _cmd_adapt(args) -> int:
             "silent_channels": res["silent_channels"],
             "families_used": sorted(
                 {f for f in res["family_per_channel"] if f}
+            ),
+            "waveforms_used": sorted(
+                {w for w in res.get("waveform_per_channel", []) if w}
             ),
             "info_ber": float(res["bit_errors"].sum())
             / max(int(res["info_bits"].sum()), 1),
@@ -1183,6 +1208,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also run an adaptive link over a lognormal-"
                     "shadowed SNR profile")
     ad.add_argument("--mean-snr", type=float, default=12.0, metavar="DB")
+    ad.add_argument("--pa-ibo", type=float, default=None, metavar="DB",
+                    help="enable a Rapp PA at this input backoff; the "
+                         "ladder gains the OFDM/SC-FDMA waveform "
+                         "dimension (round 4)")
     ad.add_argument("--shadowing-std", type=float, default=6.0, metavar="DB")
     ad.add_argument("--margin", type=float, default=0.0,
                     help="selection backoff margin in dB")

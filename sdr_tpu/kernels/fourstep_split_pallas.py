@@ -123,8 +123,12 @@ def _stage1_call(re4, im4, n1, n2, cps, cp_chunks, tb, interpret, out_dtype):
     twr, twi = _twiddles(n1, n2)
 
     def kernel(re_ref, im_ref, twr_ref, twi_ref, tr_ref, ti_ref):
-        x4r = re_ref[:]
-        x4i = im_ref[:]
+        # bf16 sample planes are consumed NATIVELY (round 4): the HBM
+        # input read halves, the upcast happens in-register, and the
+        # chunk-FFT butterflies run in f32 either way (bf16 arithmetic
+        # through log2(N1) cascaded stages would compound truncation).
+        x4r = re_ref[:].astype(jnp.float32)
+        x4i = im_ref[:].astype(jnp.float32)
         chunks = [
             (
                 x4r[:, :, cp_chunks + c, :].reshape(rows, n2),

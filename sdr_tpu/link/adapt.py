@@ -57,15 +57,70 @@ DEFAULT_LADDER: tuple = (
     (Modulation.QAM64, "ldpc", "2/3"),
     (Modulation.QAM64, "conv", "3/4"),
     (Modulation.QAM64, "ldpc", "3/4"),
+    # Round-4 v3 rungs: the full reference roster (modulation.hpp:13-14,
+    # 70-72 names 256/1024-QAM as "5G" tags). Dense constellations pin
+    # MXU precision to bf16x2+ during their simulations (the PERF.md
+    # per-modulation BER-gate table: single-pass bf16 moves 1024-QAM
+    # error counts +10% — _pin_precision below).
+    (Modulation.QAM256, "ldpc", "2/3"),
+    (Modulation.QAM256, "conv", "3/4"),
+    (Modulation.QAM256, "ldpc", "3/4"),
+    (Modulation.QAM1024, "ldpc", "2/3"),
+    (Modulation.QAM1024, "ldpc", "3/4"),
 )
 
 
 def _norm_rung(rung) -> tuple:
-    """(mod, rate) legacy pairs mean the conv family; 3-tuples are
-    (mod, family, rate)."""
+    """Rung spellings: (mod, rate) legacy pairs mean conv/OFDM;
+    (mod, family, rate) means OFDM; 4-tuples add the WAVEFORM
+    dimension (mod, family, rate, "ofdm"|"scfdma") — round 4: under a
+    PA the waveform choice IS a link-adaptation decision (SC-FDMA's
+    constant modulus buys threshold at low backoff; docs/RESULTS.md
+    round 2e/3)."""
     if len(rung) == 2:
-        return rung[0], "conv", rung[1]
+        return rung[0], "conv", rung[1], "ofdm"
+    if len(rung) == 3:
+        return rung[0], rung[1], rung[2], "ofdm"
     return tuple(rung)
+
+
+def waveform_ladder(ladder=DEFAULT_LADDER) -> tuple:
+    """Duplicate every rung across the waveform dimension (OFDM +
+    SC-FDMA). Same (mod, family, rate) ⇒ same efficiency, so selection
+    tie-breaks to the lower calibrated threshold — the waveform flip
+    at low IBO falls out of the existing greedy rule."""
+    out = []
+    for rung in ladder:
+        mod, family, rate, _ = _norm_rung(rung)
+        out.append((mod, family, rate, "ofdm"))
+        out.append((mod, family, rate, "scfdma"))
+    return tuple(out)
+
+
+import contextlib as _contextlib
+import os as _os
+
+
+@_contextlib.contextmanager
+def _pin_precision(mod: Modulation):
+    """Pin MXU precision to bf16x2+ while tracing/running dense-
+    constellation rungs (> 64-QAM): the hardware BER gate table
+    (docs/PERF.md) shows single-pass bf16 is BER-neutral through
+    64-QAM but moves 1024-QAM error counts +10% — an adaptation
+    ladder must not let a bench-mode env leak threshold errors into
+    its dense rungs."""
+    cur = _os.environ.get("SDR_TPU_MXU_PRECISION", "bf16x3")
+    needs_pin = (
+        mod.bits_per_symbol > 6 and cur.lower() in ("default", "bf16x1")
+    )
+    if not needs_pin:
+        yield
+        return
+    _os.environ["SDR_TPU_MXU_PRECISION"] = "bf16x2"
+    try:
+        yield
+    finally:
+        _os.environ["SDR_TPU_MXU_PRECISION"] = cur
 
 
 def efficiency(mod: Modulation, rate: str, family: str = "conv") -> float:
@@ -102,6 +157,7 @@ class MCSThreshold:
     esno_db: float  # lowest calibrated Es/N0 meeting the target
     measured_ber: float  # info-BER measured AT the threshold point
     family: str = "conv"
+    waveform: str = "ofdm"  # round 4: the ladder's waveform dimension
 
 
 def calibrate(
@@ -122,15 +178,20 @@ def calibrate(
     from sdr_tpu.link.coded import make_family_fn
 
     if esno_grid is None:
-        esno_grid = np.arange(-2.0, 26.0, 2.0)
+        # Extends to 36 dB so the 1024-QAM rungs can calibrate.
+        esno_grid = np.arange(-2.0, 37.0, 2.0)
+    esno_grid = list(esno_grid)
     out = []
     for rung in ladder:
-        mod, family, rate = _norm_rung(rung)
-        found = None
-        for esno in esno_grid:
+        mod, family, rate, waveform = _norm_rung(rung)
+
+        def measure(esno):
+            """(ber, counted_sum, n_channels) at one grid point, or
+            None for a frame-infeasible rung (esno-independent)."""
             cfg = dataclasses.replace(
                 base,
                 modulation=mod,
+                dft_spread=(waveform == "scfdma"),
                 channel=dataclasses.replace(
                     base.channel,
                     ebno_db=float(
@@ -139,23 +200,48 @@ def calibrate(
                 ),
             )
             try:
-                errors, counted = make_family_fn(cfg, family, rate=rate)(key)
+                with _pin_precision(mod):
+                    errors, counted = make_family_fn(
+                        cfg, family, rate=rate
+                    )(key)
+                    errors = np.asarray(errors)
+                    counted = np.asarray(counted)
             except ValueError:
-                break  # infeasible rung for this frame geometry
+                return None
             ber = float(errors.sum()) / float(counted.sum())
-            if ber <= target_ber:
-                # Realized efficiency, from the simulator's own count:
-                # info bits actually delivered per frame over the
-                # frame's subcarrier uses (block codes pay their
-                # codeword-quantization waste; conv pays its tail).
-                uses = base.n_symbols * base.ofdm.n_fft
-                real_eff = float(counted.sum()) / cfg.n_channels / uses
-                found = MCSThreshold(
-                    mod, rate, real_eff, float(esno), ber, family,
-                )
-                break
-        if found is not None:
-            out.append(found)
+            return ber, float(counted.sum()), cfg.n_channels
+
+        # Coded BER is monotone non-increasing in Es/N0 (the waterfall),
+        # so the smallest passing grid point binary-searches in
+        # O(log |grid|) simulations instead of a linear walk — what
+        # makes full-roster (BPSK→1024-QAM × waveform) calibration
+        # affordable on hardware. The result is IDENTICAL to the
+        # linear scan (tests pin the thresholds).
+        top = measure(esno_grid[-1])
+        if top is None or top[0] > target_ber:
+            continue  # infeasible, or never meets target on this grid
+        lo, hi = 0, len(esno_grid) - 1
+        best = (esno_grid[hi],) + top
+        while lo < hi:
+            mid = (lo + hi) // 2
+            r = measure(esno_grid[mid])
+            if r is not None and r[0] <= target_ber:
+                hi = mid
+                best = (esno_grid[mid],) + r
+            else:
+                lo = mid + 1
+        esno, ber, counted_sum, n_ch = best
+        # Realized efficiency, from the simulator's own count: info
+        # bits actually delivered per frame over the frame's subcarrier
+        # uses (block codes pay their codeword-quantization waste; conv
+        # pays its tail).
+        uses = base.n_symbols * base.ofdm.n_fft
+        real_eff = counted_sum / n_ch / uses
+        out.append(
+            MCSThreshold(
+                mod, rate, real_eff, float(esno), ber, family, waveform
+            )
+        )
     return out
 
 
@@ -205,6 +291,7 @@ def simulate_adaptive(
     picks = [select_mcs(float(e), table, margin_db) for e in esno]
     eff = np.array([0.0 if p is None else p.efficiency for p in picks])
     fams = ["" if p is None else p.family for p in picks]
+    waves = ["" if p is None else p.waveform for p in picks]
     errors = np.zeros(n_ch, np.int64)
     counted = np.zeros(n_ch, np.int64)
     esno_q = np.round(esno / snr_quantum_db) * snr_quantum_db
@@ -216,6 +303,7 @@ def simulate_adaptive(
                 base,
                 modulation=t.modulation,
                 n_channels=int(sub.size),
+                dft_spread=(t.waveform == "scfdma"),
                 channel=dataclasses.replace(
                     base.channel,
                     ebno_db=float(
@@ -225,9 +313,12 @@ def simulate_adaptive(
                     ),
                 ),
             )
-            err, cnt = make_family_fn(c, t.family, rate=t.rate)(
-                jax.random.fold_in(key, int(sub[0]))
-            )
+            with _pin_precision(t.modulation):
+                err, cnt = make_family_fn(c, t.family, rate=t.rate)(
+                    jax.random.fold_in(key, int(sub[0]))
+                )
+                err = np.asarray(err)
+                cnt = np.asarray(cnt)
             errors[sub] = np.asarray(err)
             counted[sub] = np.asarray(cnt)
     uses = base.n_symbols * base.ofdm.n_fft  # subcarrier uses per frame
@@ -235,6 +326,7 @@ def simulate_adaptive(
     return {
         "efficiency_per_channel": eff,
         "family_per_channel": fams,
+        "waveform_per_channel": waves,
         "bit_errors": errors,
         "info_bits": counted,
         "achieved_efficiency": float(delivered.sum()) / float(uses * n_ch),

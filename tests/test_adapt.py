@@ -183,3 +183,97 @@ def test_adaptive_uses_block_codes_where_they_win(mixed_table):
         _MIXED_BASE, jax.random.PRNGKey(4), np.full(4, snr), mixed_table
     )
     assert set(res["family_per_channel"]) == {best.family}
+
+
+def test_dense_rungs_calibrate_and_extend_staircase():
+    """Round-4 v3: 256/1024-QAM rungs calibrate at high SNR and rank
+    above the QAM64 rungs — the staircase spans the full reference
+    roster (modulation.hpp:13-14, 70-72)."""
+    from sdr_tpu.link.adapt import DEFAULT_LADDER
+
+    mods = {r[0] for r in DEFAULT_LADDER}
+    assert Modulation.QAM256 in mods and Modulation.QAM1024 in mods
+    dense = (
+        (Modulation.QAM64, "conv", "3/4"),
+        (Modulation.QAM256, "ldpc", "3/4"),
+        (Modulation.QAM1024, "ldpc", "3/4"),
+    )
+    base = dataclasses.replace(_BASE, equalizer=Equalizer.NONE, n_symbols=32)
+    tab = calibrate(
+        base,
+        jax.random.PRNGKey(1),
+        target_ber=1e-3,
+        esno_grid=np.arange(14.0, 37.0, 2.0),
+        ladder=dense,
+    )
+    by_mod = {t.modulation: t for t in tab}
+    assert Modulation.QAM256 in by_mod and Modulation.QAM1024 in by_mod
+    assert (
+        by_mod[Modulation.QAM64].esno_db
+        < by_mod[Modulation.QAM256].esno_db
+        < by_mod[Modulation.QAM1024].esno_db
+    )
+    assert (
+        by_mod[Modulation.QAM64].efficiency
+        < by_mod[Modulation.QAM256].efficiency
+        < by_mod[Modulation.QAM1024].efficiency
+    )
+
+
+def test_precision_pinning_for_dense_rungs(monkeypatch):
+    """> 64-QAM rungs pin the MXU mode to bf16x2 when a bench-mode env
+    (single-pass bf16) would otherwise leak threshold errors; ≤ 64-QAM
+    and already-safe modes are untouched."""
+    import os
+
+    from sdr_tpu.link.adapt import _pin_precision
+
+    monkeypatch.setenv("SDR_TPU_MXU_PRECISION", "default")
+    with _pin_precision(Modulation.QAM1024):
+        assert os.environ["SDR_TPU_MXU_PRECISION"] == "bf16x2"
+    assert os.environ["SDR_TPU_MXU_PRECISION"] == "default"
+    with _pin_precision(Modulation.QAM16):
+        assert os.environ["SDR_TPU_MXU_PRECISION"] == "default"
+    monkeypatch.setenv("SDR_TPU_MXU_PRECISION", "bf16x3")
+    with _pin_precision(Modulation.QAM1024):
+        assert os.environ["SDR_TPU_MXU_PRECISION"] == "bf16x3"
+
+
+def test_waveform_dimension_flips_under_pa():
+    """Under a low-backoff PA the SC-FDMA twin of a rung calibrates to
+    a LOWER threshold than its OFDM twin (constant modulus ⇒ less
+    clipping distortion), and the greedy tie-break therefore selects
+    the SC-FDMA waveform — the round-4 ladder dimension."""
+    from sdr_tpu.core.config import ChannelEstimator
+    from sdr_tpu.link.adapt import waveform_ladder
+
+    base = LinkConfig(
+        modulation=Modulation.QAM16,
+        ofdm=OFDMConfig(n_fft=128, cp_len=16),
+        channel=ChannelConfig(
+            model=ChannelModel.AWGN, ebno_db=10.0, pa_ibo_db=2.0
+        ),
+        equalizer=Equalizer.MMSE,
+        pilot_spacing=8,
+        estimator=ChannelEstimator.DFT,
+        n_symbols=32,
+        n_channels=16,
+    )
+    ladder = waveform_ladder(((Modulation.QAM16, "conv", "1/2"),))
+    assert ladder == (
+        (Modulation.QAM16, "conv", "1/2", "ofdm"),
+        (Modulation.QAM16, "conv", "1/2", "scfdma"),
+    )
+    tab = calibrate(
+        base,
+        jax.random.PRNGKey(2),
+        target_ber=1e-3,
+        esno_grid=np.arange(5.0, 30.0, 1.0),
+        ladder=ladder,
+    )
+    by_wave = {t.waveform: t for t in tab}
+    assert "scfdma" in by_wave, tab
+    if "ofdm" in by_wave:
+        assert by_wave["scfdma"].esno_db < by_wave["ofdm"].esno_db, tab
+    pick = select_mcs(30.0, tab)
+    assert pick.waveform == "scfdma"
