@@ -60,7 +60,18 @@ def main() -> None:
     cfg = LinkConfig(
         ofdm=OFDMConfig(n_fft=n_fft, cp_len=cp),
         modulation=Modulation(mod_name),
-        channel=ChannelConfig(model=ChannelModel(model_name), ebno_db=ebno_db),
+        channel=ChannelConfig(
+            model=ChannelModel(model_name),
+            ebno_db=ebno_db,
+            # Selective models get a 3-tap PDP; time-varying ones a
+            # moderate Doppler (both ignored by the flat/AWGN models).
+            pdp=(
+                (1.0, 0.5, 0.25)
+                if model_name in ("multipath", "multipath_time")
+                else (1.0,)
+            ),
+            doppler_norm=0.02,
+        ),
         equalizer=Equalizer.MMSE,
         n_channels=n_channels,
         n_symbols=n_syms,

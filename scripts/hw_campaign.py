@@ -40,6 +40,41 @@ HEAD = {"SDR_BENCH_NFFT": "256", "SDR_BENCH_CP": "64",
         "SDR_BENCH_BATCH": "4096", "SDR_BENCH_SYMS": "64"}
 
 CAMPAIGN = [
+    # Round 4 first: the channels-last pipelined headline (bench.py
+    # defaults to it), its block-shape knobs, the fast-SSCL polar
+    # decoder, and the fused wideband SC-FDE — each wants one
+    # healthy-window (>= 300 GB/s probe) confirmation; 0/52+ probes
+    # have ever read healthy, so these double as the round-5 recapture
+    # hooks (VERDICT round 3 item 9).
+    ("r4_headline_cl", "../bench.py", {"SDR_BENCH_RETRY_S": "0"}),
+    ("r4_headline_cl_lb512", "../bench.py",
+     {"SDR_BENCH_RETRY_S": "0", "SDR_TPU_CL_LB": "512",
+      "SDR_TPU_CL_SBLK": "8"}),
+    ("r4_headline_cl_sblk32", "../bench.py",
+     {"SDR_BENCH_RETRY_S": "0", "SDR_TPU_CL_SBLK": "32"}),
+    ("r4_headline_rows_legacy", "../bench.py",
+     {"SDR_BENCH_RETRY_S": "0", "SDR_BENCH_LAYOUT": "rows"}),
+    ("r4_polar_fast_256", "bench_polar.py",
+     {"SDR_BENCH_POLAR_CW": "8192", "SDR_BENCH_ITERS": "2"}),
+    ("r4_polar_fast_1024", "bench_polar.py",
+     {"SDR_BENCH_POLAR_N": "1024", "SDR_BENCH_POLAR_CW": "2048",
+      "SDR_BENCH_ITERS": "2"}),
+    ("r4_polar_scan_256", "bench_polar.py",
+     {"SDR_BENCH_POLAR_CW": "1024", "SDR_BENCH_ITERS": "2",
+      "SDR_BENCH_POLAR_DECODER": "scan"}),
+    ("r4_wb_scfdma_fast", "bench_link.py",
+     {"SDR_BENCH_NFFT": "4096", "SDR_BENCH_CP": "512",
+      "SDR_BENCH_CHANNELS": "512", "SDR_BENCH_SYMS": "8",
+      "SDR_BENCH_ITERS": "4", "SDR_BENCH_ENGINE": "fast",
+      "SDR_BENCH_DFT": "1"}),
+    ("r4_wb_ofdm_fast", "bench_link.py",
+     {"SDR_BENCH_NFFT": "4096", "SDR_BENCH_CP": "512",
+      "SDR_BENCH_CHANNELS": "512", "SDR_BENCH_SYMS": "8",
+      "SDR_BENCH_ITERS": "4", "SDR_BENCH_ENGINE": "fast"}),
+    ("r4_link_mc_tdl", "bench_link.py",
+     {"SDR_BENCH_CHANNELS": "512", "SDR_BENCH_SYMS": "64",
+      "SDR_BENCH_ITERS": "8", "SDR_BENCH_ENGINE": "mc",
+      "SDR_BENCH_CHANNEL_MODEL": "multipath_time"}),
     # Headline terminal + the bf16x2 decision A/B (PERF.md round 2).
     ("headline_256_llr_bf16x3", "bench_demod.py", {**HEAD}),
     ("headline_256_llr_bf16x2", "bench_demod.py",
