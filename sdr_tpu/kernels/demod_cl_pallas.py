@@ -75,11 +75,19 @@ def _cl_sblk() -> int:
 
 
 def supported_cl(n_fft: int, batch: int, n_syms: int, mod: Modulation) -> bool:
-    """Shapes the channels-last kernel handles: n_fft ∈ {128, 256, 512}
-    (0–2 DIF levels down to the 128-point leaf matmul), a channel batch
-    that tiles the lane blocks, and a symbol count that tiles the row
-    blocks (the wrappers shrink the block knobs to fit when possible)."""
-    if n_fft not in (128, 256, 512):
+    """Shapes the channels-last kernel handles: n_fft = 128·2^k up to
+    4096 (k DIF levels down to the 128-point leaf matmul — at wideband
+    sizes this replaces the split four-step's TWO HBM staging round
+    trips with zero, and its N2=512 stage-2 matmul with 128-wide
+    leaves: ~4× fewer MXU MACs/sample), a channel batch that tiles the
+    lane blocks, and a symbol count that tiles the row blocks (the
+    wrappers shrink the block knobs to fit). At n_fft ≥ 1024 the
+    channel planes ride VMEM in bfloat16 (the f32 planes alone would
+    blow the block budget); the BER gate for that truncation is
+    measured in docs/PERF.md."""
+    if n_fft < 128 or n_fft > 4096 or n_fft % 128 or (
+        (n_fft // 128) & (n_fft // 128 - 1)
+    ):
         return False
     if batch % 128 != 0:
         return False
@@ -298,20 +306,72 @@ def _make_cl_kernel(
                 sre, sim, shr, shi, sidx, out = refs
             else:
                 sre, sim, shr, shi, out = refs
-            hr = shr[:]
-            hi = shi[:]
+            # h may ride VMEM in bf16 at wideband sizes; the tail math
+            # (|h|², conj(h)·y) always runs in f32.
+            hr = shr[:].astype(jnp.float32)
+            hi = shi[:].astype(jnp.float32)
             acc = None
             outs = []
+            # Wideband (n_fft ≥ 1024, sum/count): the full-width y/LLR
+            # planes would blow the VMEM stack (measured 19.4 MB at
+            # 4096) — run the tail PER 128-ROW LEAF instead. DIF order
+            # makes both the h plane and the idx plane leaf-CONTIGUOUS,
+            # so each leaf's matmul feeds its tail immediately and only
+            # one (128, lb) working set is ever live.
+            leafwise = n_fft >= 1024 and out_mode != "llr"
             for s in range(s_blk):
                 o = s * sym_len + cp_len
                 xr = sre[o : o + n_fft, :]
                 xi = sim[o : o + n_fft, :]
-                yr, yi = dft_cl(xr, xi, w_refs, tw_consts, mode)
                 idx_s = (
                     sidx[s * n_fft : (s + 1) * n_fft, :]
                     if out_mode == "count"
                     else None
                 )
+                if leafwise:
+                    # DEPTH-FIRST cascade: only one root-to-leaf path of
+                    # butterfly temps is ever live (~input-sized), vs the
+                    # breadth-first dif_blocks whose per-level temp sets
+                    # blew the VMEM stack at 4096 (measured 19.4 MB).
+                    # DFS leaf order equals dif_perm's BFS order (both
+                    # expand [sum-subtree ‖ diff-subtree] recursively).
+                    def consume(row0, br, bi):
+                        nonlocal acc
+                        yr, yi = _matmul.complex_dot_lhs(
+                            br, bi, w_refs, mode
+                        )
+                        sl = slice(row0, row0 + _BASE)
+                        r = _symbol_tail(
+                            yr, yi, hr[sl], hi[sl], inv_nv, mod, out_mode,
+                            idx_s[sl] if out_mode == "count" else None,
+                        )
+                        if out_mode == "count":
+                            r = jnp.sum(
+                                r.reshape(8, _BASE // 8, lb), axis=1
+                            )
+                        acc = r if acc is None else acc + r
+
+                    def walk(br, bi, lvl, row0):
+                        if br.shape[0] == _BASE:
+                            consume(row0, br, bi)
+                            return
+                        twr, twi = tw_consts[lvl]
+                        h2 = br.shape[0] // 2
+                        x1r, x2r = br[:h2], br[h2:]
+                        x1i, x2i = bi[:h2], bi[h2:]
+                        dt = br.dtype
+                        sr_ = x1r + x2r
+                        si_ = x1i + x2i
+                        dr = (x1r - x2r).astype(jnp.float32)
+                        di = (x1i - x2i).astype(jnp.float32)
+                        er = (dr * twr - di * twi).astype(dt)
+                        ei = (dr * twi + di * twr).astype(dt)
+                        walk(sr_, si_, lvl + 1, row0)
+                        walk(er, ei, lvl + 1, row0 + h2)
+
+                    walk(xr, xi, 0, 0)
+                    continue
+                yr, yi = dft_cl(xr, xi, w_refs, tw_consts, mode)
                 r = _symbol_tail(yr, yi, hr, hi, inv_nv, mod, out_mode, idx_s)
                 if out_mode == "llr":
                     outs.append(r)
@@ -321,8 +381,14 @@ def _make_cl_kernel(
                 out[:] = jnp.concatenate(outs, axis=0)
             elif out_mode == "count":
                 # Per-lane partial counts, folded to 8 sublane groups so
-                # the (8, lb) block stays tile-shaped.
-                out[:] = jnp.sum(acc.reshape(8, n_fft // 8, lb), axis=1)
+                # the (8, lb) block stays tile-shaped (the leafwise path
+                # already accumulated in that shape).
+                if leafwise:
+                    out[:] = acc
+                else:
+                    out[:] = jnp.sum(
+                        acc.reshape(8, n_fft // 8, lb), axis=1
+                    )
             else:
                 out[:] = jnp.broadcast_to(acc, (8, 128))
 
@@ -370,14 +436,32 @@ _VMEM_BUDGET = 11 * 2**20  # operand-buffer budget; ~5 MB headroom for
 #                            compute temporaries under the 16 MB limit
 
 
+def _vmem_budget(n_fft: int) -> int:
+    """Wideband kernels raise the compiler's scoped-vmem cap to 64 MB
+    (v5e VMEM is 128 MB; 16 MB is only the default), so their operand
+    budget scales accordingly."""
+    return _VMEM_BUDGET if n_fft <= 512 else (40 << 20)
+
+
+def _h_dtype(n_fft: int):
+    """Channel-plane VMEM dtype: f32 up to 512; bfloat16 at wideband
+    sizes, where two f32 (n_fft, lb) planes double-buffered would blow
+    the block budget on their own (4096·128·4·2·2 = 8.4 MB). The
+    truncation perturbs the equalizer coefficients by ~4e-3 relative —
+    the same class as the single-pass MXU operand truncation the bench
+    mode already gates (measured at 4096sc, docs/PERF.md round 4)."""
+    return jnp.float32 if n_fft <= 512 else jnp.bfloat16
+
+
 def _block_bytes(
     n_fft: int, cp_len: int, lb: int, s_blk: int, out_mode: str,
     mod: Modulation, x_item: int,
 ) -> int:
     """Double-buffered VMEM bytes of the pipeline's operand windows."""
     sym_len = n_fft + cp_len
+    h_item = 4 if n_fft <= 512 else 2
     b = 2 * (2 * s_blk * sym_len * lb * x_item)  # re+im, 2 buffers
-    b += 2 * (2 * n_fft * lb * 4)  # hr+hi
+    b += 2 * (2 * n_fft * lb * h_item)  # hr+hi
     if out_mode == "count":
         b += 2 * (s_blk * n_fft * lb * 4 + 8 * lb * 4)
     elif out_mode == "llr":
@@ -404,7 +488,7 @@ def _pick_blocks(
     s_blk = max(s_blk, 1)
     while (
         _block_bytes(n_fft, cp_len, lb, s_blk, out_mode, mod, x_item)
-        > _VMEM_BUDGET
+        > _vmem_budget(n_fft)
     ):
         if s_blk > 1 and n_syms % (s_blk // 2) == 0:
             s_blk //= 2
@@ -447,6 +531,9 @@ def _run_cl(
     if not h_in_dif_order:
         hr_t = hr_t[perm]
         hi_t = hi_t[perm]
+    hdt = _h_dtype(n_fft)
+    hr_t = hr_t.astype(hdt)
+    hi_t = hi_t.astype(hdt)
     if out_mode == "count":
         idx_t = (
             idx_t.reshape(n_syms, n_fft, batch)[:, perm, :]
@@ -488,7 +575,13 @@ def _run_cl(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_in, transcendentals=0
         ),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # Wideband windows (x + double-buffered bf16 h + cascade
+            # temps) legitimately exceed the compiler's 16 MB DEFAULT
+            # scoped-vmem cap; v5e VMEM is 128 MB.
+            vmem_limit_bytes=(64 << 20) if n_fft >= 1024 else None,
+        ),
     )(*args, *w_ops, *tw_ops)
     return out
 

@@ -146,7 +146,9 @@ def test_supported_cl_shapes():
     assert supported_cl(256, 32768, 64, Modulation.QAM16)
     assert supported_cl(128, 128, 4, Modulation.QPSK)
     assert supported_cl(512, 256, 8, Modulation.QAM64)
-    assert not supported_cl(1024, 32768, 64, Modulation.QAM16)  # wideband
+    assert supported_cl(1024, 32768, 64, Modulation.QAM16)  # wideband (round 4)
+    assert supported_cl(4096, 4096, 8, Modulation.QAM16)
+    assert not supported_cl(8192, 4096, 8, Modulation.QAM16)  # VMEM
     assert not supported_cl(64, 32768, 64, Modulation.QAM16)
     assert not supported_cl(256, 100, 64, Modulation.QAM16)  # lanes
 
@@ -161,3 +163,22 @@ def test_vmem_budget_shrinks_blocks():
         <= _VMEM_BUDGET
     )
     assert 64 % s_blk == 0 and 32768 % lb == 0
+
+
+@pytest.mark.parametrize("n_fft", [1024, 4096])
+def test_cl_twin_wideband_matches_reference(rng, n_fft, monkeypatch):
+    """The CL math extends to wideband sizes (3–5 DIF levels): the twin
+    reproduces the reference composition's LLRs and exact counts."""
+    monkeypatch.setenv("SDR_TPU_MXU_PRECISION", "highest")
+    mod, cp = Modulation.QAM16, n_fft // 8
+    batch, n_syms = 4, 2
+    re, im, hr, hi = _inputs(rng, batch, n_syms, n_fft + cp, n_fft)
+    ref = demod_chain_jnp(
+        jnp.asarray(re), jnp.asarray(im), jnp.asarray(hr), jnp.asarray(hi),
+        cp, mod, 0.05,
+    )
+    got = demod_cl_jnp(*_cl_views(re, im, hr, hi), cp, mod, 0.05)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, np.asarray(ref) / scale, atol=3e-5
+    )

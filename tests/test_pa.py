@@ -353,9 +353,18 @@ def test_pa_and_spread_config_gates():
     wide = dataclasses.replace(
         cfg, ofdm=OFDMConfig(4096, 512), n_symbols=8
     )
-    assert not supported(wide)  # four-step MC does not despread
-    with pytest.raises(ValueError):
-        mc_simulate(wide)
+    # The IN-KERNEL four-step MC still does not despread…
+    assert not supported(wide)
+    # …but round 4 lifted the engine gate: wideband SC-FDMA MC rides
+    # the staged composition (link.mc._mc_scfdma_wideband — trivial
+    # single-carrier TX + the fused three-phase SC-FDE count kernel).
+    from sdr_tpu.link.mc import _fde_mc_supported
+
+    assert _fde_mc_supported(wide)
+    e3, c3 = mc_simulate(wide, seed=1)
+    assert int(np.asarray(c3).sum()) == (
+        wide.n_channels * wide.n_symbols * 4096 * 2
+    )
 
 
 def test_config_dict_round_trip_new_fields():
