@@ -48,6 +48,10 @@ def main() -> None:
     # count, W exact). Physically honest — SDR front ends deliver
     # 8-14-bit samples, and our SC16 capture format is 16-bit int.
     in_dtype = os.environ.get("SDR_BENCH_INPUT_DTYPE", "f32")
+    # "cl" benches the channels-last pipelined kernel (round 4:
+    # narrowband headline AND wideband n_fft <= 4096) on its native
+    # (time, channel) layout; "rows" the (batch, syms, sym_len) family.
+    layout = os.environ.get("SDR_BENCH_LAYOUT", "rows")
     sym_len = n_fft + cp
 
     from sdr_tpu.core.config import Modulation
@@ -56,6 +60,70 @@ def main() -> None:
 
     mod = Modulation(mod_name)
     nv = float(ebno_db_to_noise_var(ebno_db, mod.bits_per_symbol))
+
+    if layout == "cl":
+        from sdr_tpu.kernels.demod_cl_pallas import (
+            demod_count_cl, demod_sum_cl, dif_perm,
+        )
+
+        perm = jnp.asarray(dif_perm(n_fft))
+
+        @jax.jit
+        def gen_cl(key):
+            kr, ki, kh = jax.random.split(key, 3)
+            scale = np.float32(1.0 / np.sqrt(2 * n_fft))
+            re = jax.random.normal(kr, (n_syms * sym_len, batch), jnp.float32) * scale
+            im = jax.random.normal(ki, (n_syms * sym_len, batch), jnp.float32) * scale
+            if in_dtype == "bf16":
+                re = re.astype(jnp.bfloat16)
+                im = im.astype(jnp.bfloat16)
+            hr = jax.random.normal(kh, (n_fft, batch), jnp.float32) * np.float32(np.sqrt(0.5))
+            hi = jax.random.normal(jax.random.fold_in(kh, 1), (n_fft, batch), jnp.float32) * np.float32(np.sqrt(0.5))
+            idx = jax.random.randint(
+                jax.random.fold_in(kh, 2), (n_syms * n_fft, batch), 0,
+                1 << mod.bits_per_symbol, jnp.int32,
+            )
+            return re, im, hr, hi, idx
+
+        @jax.jit
+        def run_cl(re, im, hr, hi, idx):
+            hr_d = hr[perm]
+            hi_d = hi[perm]
+            if terminal == "count":
+                def body(_, acc):
+                    err = demod_count_cl(
+                        re, im,
+                        hr_d + acc * jnp.float32(1e-30), hi_d,
+                        idx, cp, mod, nv, h_in_dif_order=True,
+                    )
+                    return acc + jnp.sum(err).astype(jnp.float32) * jnp.float32(1e-12)
+            else:
+                def body(_, acc):
+                    s = demod_sum_cl(
+                        re, im, hr_d + acc * jnp.float32(1e-30), hi_d,
+                        cp, mod, nv, h_in_dif_order=True,
+                    )
+                    return acc + s * jnp.float32(1e-12)
+            return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        args = gen_cl(jax.random.PRNGKey(0))
+        _ = float(run_cl(*args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = float(run_cl(*args))
+            best = min(best, time.perf_counter() - t0)
+        samples = batch * n_syms * sym_len * iters
+        print(json.dumps({
+            "config": f"{mod_name}/{n_fft}sc/cp{cp}/cl/{terminal}",
+            "backend": "cl",
+            "batch": batch,
+            "n_syms": n_syms,
+            "input_dtype": in_dtype,
+            "gs_per_s": samples / best / 1e9,
+            "ms_per_iter": best / iters * 1e3,
+        }))
+        return
 
     @jax.jit
     def gen(key):

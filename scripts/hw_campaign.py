@@ -62,6 +62,16 @@ CAMPAIGN = [
     ("r4_polar_scan_256", "bench_polar.py",
      {"SDR_BENCH_POLAR_CW": "1024", "SDR_BENCH_ITERS": "2",
       "SDR_BENCH_POLAR_DECODER": "scan"}),
+    ("r4_wb4096_cl", "bench_demod.py",
+     {"SDR_BENCH_NFFT": "4096", "SDR_BENCH_CP": "512",
+      "SDR_BENCH_BATCH": "4096", "SDR_BENCH_SYMS": "8",
+      "SDR_BENCH_LAYOUT": "cl", "SDR_BENCH_INPUT_DTYPE": "bf16",
+      "SDR_TPU_CL_LB": "256", "SDR_TPU_CL_SBLK": "1"}),
+    ("r4_wb4096_fourstep2_same_window", "bench_demod.py",
+     {"SDR_BENCH_NFFT": "4096", "SDR_BENCH_CP": "512",
+      "SDR_BENCH_BATCH": "4096", "SDR_BENCH_SYMS": "8",
+      "SDR_BENCH_INPUT_DTYPE": "bf16",
+      "SDR_TPU_DEMOD_BACKEND": "fourstep2"}),
     ("r4_wb_scfdma_fast", "bench_link.py",
      {"SDR_BENCH_NFFT": "4096", "SDR_BENCH_CP": "512",
       "SDR_BENCH_CHANNELS": "512", "SDR_BENCH_SYMS": "8",
