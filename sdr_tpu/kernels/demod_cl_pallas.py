@@ -522,6 +522,13 @@ def _run_cl(
         raise ValueError(
             f"unsupported channels-last shape n_fft={n_fft} batch={batch}"
         )
+    if out_mode == "llr" and n_fft > 512:
+        raise ValueError(
+            "channels-last full-LLR output is gated to n_fft <= 512: at "
+            "wideband sizes the (bps·n_fft, lanes) LLR window blows the "
+            "VMEM block budget — use the sum/count terminals (the "
+            "throughput surfaces) or the jnp/fourstep2 LLR paths"
+        )
     mode = _matmul.mxu_mode()
     lb, s_blk = _pick_blocks(
         n_fft, cp_len, batch, n_syms, out_mode, mod, re_t.dtype.itemsize

@@ -182,3 +182,15 @@ def test_cl_twin_wideband_matches_reference(rng, n_fft, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got) / scale, np.asarray(ref) / scale, atol=3e-5
     )
+
+
+def test_cl_llr_mode_wideband_gated():
+    """Full-LLR output at wideband sizes is an explicit physics/VMEM
+    gate, not a silent failure."""
+    from sdr_tpu.kernels.demod_cl_pallas import demod_llr_cl
+
+    re = jnp.zeros((8 * (1024 + 128), 128), jnp.float32)
+    im = jnp.zeros_like(re)
+    h = jnp.ones((1024, 128), jnp.float32)
+    with pytest.raises(ValueError, match="gated to n_fft"):
+        demod_llr_cl(re, im, h, h, 128, Modulation.QAM16, 0.05)
