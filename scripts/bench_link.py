@@ -91,6 +91,10 @@ def main() -> None:
     elif engine == "fast":
         from sdr_tpu.link.fast import fast_simulate
 
+        # SDR_BENCH_FAST_LAYOUT=rows|cl|auto A/Bs the demod layout
+        # (auto resolves to the channels-last kernel where it applies).
+        fast_layout = os.environ.get("SDR_BENCH_FAST_LAYOUT", "auto")
+
         @jax.jit
         def run(seed):
             def body(i, acc):
@@ -99,7 +103,7 @@ def main() -> None:
                 key = jax.random.fold_in(
                     jax.random.PRNGKey(seed), i + (acc & 1)
                 )
-                errs, _ = fast_simulate(cfg, key)
+                errs, _ = fast_simulate(cfg, key, layout=fast_layout)
                 return acc + jnp.sum(errs)
 
             return lax.fori_loop(0, iters, body, jnp.int32(0))

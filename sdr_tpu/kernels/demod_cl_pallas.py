@@ -257,6 +257,8 @@ def _symbol_tail(
     bit-major LLR plane ("llr")."""
     llr_bits = equalize_llr_bits_cl(yr, yi, hr, hi, inv_nv, mod)
     if out_mode == "llr":
+        if len(llr_bits) == 1:
+            return llr_bits[0]
         return jnp.concatenate(llr_bits, axis=0)
     if out_mode == "count":
         bps = mod.bits_per_symbol
@@ -283,6 +285,7 @@ def _make_cl_kernel(
     noise_var: float,
     out_mode: str,
     mode: str,
+    out_dtype=jnp.float32,
 ):
     sym_len = n_fft + cp_len
     inv_nv = np.float32(1.0 / max(noise_var, 1e-12))
@@ -312,13 +315,14 @@ def _make_cl_kernel(
             hi = shi[:].astype(jnp.float32)
             acc = None
             outs = []
-            # Wideband (n_fft ≥ 1024, sum/count): the full-width y/LLR
-            # planes would blow the VMEM stack (measured 19.4 MB at
-            # 4096) — run the tail PER 128-ROW LEAF instead. DIF order
-            # makes both the h plane and the idx plane leaf-CONTIGUOUS,
-            # so each leaf's matmul feeds its tail immediately and only
-            # one (128, lb) working set is ever live.
-            leafwise = n_fft >= 1024 and out_mode != "llr"
+            # Wideband (n_fft ≥ 1024): the full-width y (and working
+            # LLR) planes would blow the VMEM stack (measured 19.4 MB
+            # at 4096) — run the tail PER 128-ROW LEAF instead. DIF
+            # order makes the h, idx AND output planes leaf-CONTIGUOUS,
+            # so each leaf's matmul feeds its tail immediately (llr
+            # mode: writes its bit-plane rows of the output block) and
+            # only one (128, lb) working set is ever live.
+            leafwise = n_fft >= 1024
             for s in range(s_blk):
                 o = s * sym_len + cp_len
                 xr = sre[o : o + n_fft, :]
@@ -335,6 +339,8 @@ def _make_cl_kernel(
                     # blew the VMEM stack at 4096 (measured 19.4 MB).
                     # DFS leaf order equals dif_perm's BFS order (both
                     # expand [sum-subtree ‖ diff-subtree] recursively).
+                    llr_base = s * bps * n_fft
+
                     def consume(row0, br, bi):
                         nonlocal acc
                         yr, yi = _matmul.complex_dot_lhs(
@@ -345,6 +351,16 @@ def _make_cl_kernel(
                             yr, yi, hr[sl], hi[sl], inv_nv, mod, out_mode,
                             idx_s[sl] if out_mode == "count" else None,
                         )
+                        if out_mode == "llr":
+                            # Bit-major rows of this symbol's plane:
+                            # plane j's leaf rows live at
+                            # llr_base + j·n_fft + row0.
+                            for j in range(bps):
+                                o_j = llr_base + j * n_fft + row0
+                                out[o_j : o_j + _BASE, :] = r[
+                                    j * _BASE : (j + 1) * _BASE, :
+                                ].astype(out_dtype)
+                            return
                         if out_mode == "count":
                             r = jnp.sum(
                                 r.reshape(8, _BASE // 8, lb), axis=1
@@ -378,7 +394,12 @@ def _make_cl_kernel(
                 else:
                     acc = r if acc is None else acc + r
             if out_mode == "llr":
-                out[:] = jnp.concatenate(outs, axis=0)
+                if not leafwise:  # leafwise wrote out per leaf above
+                    out[:] = (
+                        jnp.concatenate(outs, axis=0)
+                        if len(outs) > 1
+                        else outs[0]
+                    ).astype(out_dtype)
             elif out_mode == "count":
                 # Per-lane partial counts, folded to 8 sublane groups so
                 # the (8, lb) block stays tile-shaped (the leafwise path

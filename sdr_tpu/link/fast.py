@@ -139,10 +139,57 @@ def _fade_state(cfg: LinkConfig, k_fade: jnp.ndarray):
     return h, taps
 
 
+def select_layout(cfg: LinkConfig, n_ch: int, platform: str) -> str:
+    """Auto rule for the fast engine's demod layout: "rows".
+
+    The channels-last kernel family (kernels/demod_cl_pallas.py) is
+    the headline demod path for data that IS channels-last — but this
+    engine's TX kernels, channel stage and index planes are rows-major,
+    and the relayout transposes measured on hardware cost MORE than
+    the CL kernel's demod win (e2e 3.8 vs 5.3 GS/s at the 8192×64
+    headline config, docs/PERF.md round 5). So "auto" stays rows here;
+    ``layout="cl"`` remains an explicit choice (and the layout the
+    sharded CL dryrun row exercises), and channels-last consumers feed
+    ``ops.demod.demod_*_chain_cl`` directly with no staging.
+    """
+    del cfg, n_ch, platform
+    return "rows"
+
+
+def layout_supported_cl(cfg: LinkConfig, n_ch: int) -> bool:
+    """Whether ``layout="cl"`` applies to this link (per-link channel
+    plane, 128-tiling batch, plain OFDM)."""
+    from sdr_tpu.kernels.demod_cl_pallas import supported_cl
+
+    if cfg.dft_spread:
+        return False
+    if cfg.channel.model in (
+        ChannelModel.RAYLEIGH_TIME,
+        ChannelModel.MULTIPATH_TIME,
+    ):
+        return False
+    return supported_cl(cfg.ofdm.n_fft, n_ch, cfg.n_symbols, cfg.modulation)
+
+
+def _to_cl(re: jnp.ndarray, im: jnp.ndarray):
+    """(B, S, L) planar → channels-last (S·L, B).
+
+    A pure relayout: XLA fuses it into the producing elementwise
+    fusion (the channel/noise stage), so the extra cost is the
+    different write tiling, not an extra HBM round trip (measured in
+    the e2e A/B, docs/PERF.md round 5)."""
+    B, S, L = re.shape
+    return (
+        jnp.moveaxis(re, 0, -1).reshape(S * L, B),
+        jnp.moveaxis(im, 0, -1).reshape(S * L, B),
+    )
+
+
 def tx_channel_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
-                    backend: str):
+                    backend: str, layout: str = "rows"):
     """TX + channel for explicit global channel ids → impaired planar
-    (re, im), each (B, n_symbols, sym_len) float32. First pipeline
+    (re, im), each (B, n_symbols, sym_len) float32 — or channels-last
+    (n_symbols·sym_len, B) when ``layout == "cl"``. First pipeline
     stage of parallel.pp; fast_core composes it with rx_count_core."""
     B = ch_ids.shape[0]
     S, N = cfg.n_symbols, cfg.ofdm.n_fft
@@ -159,6 +206,64 @@ def tx_channel_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
 
     model = cfg.channel.model
     h, taps = _fade_state(cfg, k_fade)
+
+    # Fused channel kernel (round 5): fading multiply + on-core-PRNG
+    # AWGN in ONE Pallas read-modify-write pass — the XLA stage below
+    # (threefry normals + complex materialize/multiply/add/split)
+    # measured at HALF the whole engine (docs/PERF.md round 5). The
+    # noise stream is a pure function of (key, global channel id), so
+    # the sharded/unsharded bit-exactness contract is preserved; it is
+    # a DIFFERENT stream than the threefry path's (BER statistics are
+    # validated against theory either way, tests/test_channel_kernel).
+    from sdr_tpu.kernels.channel_pallas import (
+        channel_backend,
+        fade_awgn_pallas,
+        seed32,
+        supported as _ck_ok,
+    )
+
+    ckb = channel_backend()
+    want_ck = model != ChannelModel.IDENTITY and (
+        ckb == "pallas"
+        or (ckb == "auto" and jax.default_backend() == "tpu")
+    )
+    if want_ck and _ck_ok(re.shape, 1 if h is None else h.shape[1]):
+        if model == ChannelModel.MULTIPATH:
+            x = jax.lax.complex(re, im)
+            stream = x.reshape(B, -1)
+            x = chan.apply_multipath(stream, taps).reshape(x.shape)
+            re, im = jnp.real(x), jnp.imag(x)
+            hs_r = hs_i = None
+        elif model == ChannelModel.MULTIPATH_TIME:
+            x = jax.lax.complex(re, im)
+            x = chan.apply_multipath(
+                x, taps, history=chan.symbol_history(x, taps.shape[-1])
+            )
+            re, im = jnp.real(x), jnp.imag(x)
+            hs_r = hs_i = None
+        else:
+            # Flat models: per-link or per-symbol complex scalar gains
+            # ride into the kernel; AWGN-only passes h = None.
+            hs = None if h is None else h[:, :, 0]
+            hs_r = None if hs is None else jnp.real(hs)
+            hs_i = None if hs is None else jnp.imag(hs)
+        # Off-TPU the on-core PRNG has no lowering: inject per-channel
+        # threefry noise (keyed like the jnp path, so the sharded
+        # bit-exactness contract holds on the virtual CPU mesh too).
+        noise = None
+        if jax.default_backend() != "tpu":
+            noise_z = jax.vmap(
+                lambda k: jax.random.normal(k, (2,) + re.shape[1:])
+            )(k_noise)
+            noise = (noise_z[:, 0], noise_z[:, 1])
+        re, im = fade_awgn_pallas(
+            re, im, hs_r, hs_i,
+            seed32(prng.role_key(key, prng.ROLE_NOISE)),
+            tvar, ch_ids=ch_ids, noise=noise,
+        )
+        if layout == "cl":
+            return _to_cl(re, im)
+        return re, im
 
     x = jax.lax.complex(re, im)
     if model == ChannelModel.MULTIPATH:
@@ -178,11 +283,14 @@ def tx_channel_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
         x = x * h
     if model != ChannelModel.IDENTITY:
         x = jax.vmap(lambda k, xc: chan.awgn(k, xc, tvar))(k_noise, x)
+    if layout == "cl":
+        return _to_cl(jnp.real(x), jnp.imag(x))
     return jnp.real(x), jnp.imag(x)
 
 
 def rx_count_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
-                  re: jnp.ndarray, im: jnp.ndarray, backend: str):
+                  re: jnp.ndarray, im: jnp.ndarray, backend: str,
+                  layout: str = "rows"):
     """Demod + error count over impaired planar samples.
 
     Recomputes the channel plane AND the transmitted bits from the
@@ -198,6 +306,37 @@ def rx_count_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
 
     k_idx, _, k_fade = _role_keys(key, ch_ids)
     h, _ = _fade_state(cfg, k_fade)
+    if layout == "cl":
+        # Channels-last demod terminal (the headline kernel family).
+        # The transmitted indices are regenerated DIRECTLY in the
+        # (S, N, B) layout (out_axes=-1) — per-channel draws are
+        # identical to the rows path's, so no transpose is ever paid
+        # for them; only the h plane (n_fft·B, tiny) is transposed.
+        if h is not None and h.shape[1] != 1:
+            raise NotImplementedError(
+                "channels-last demod takes a per-link channel plane; "
+                "per-symbol fading models run in the rows layout"
+            )
+        if h is None:
+            hr_t = jnp.ones((N, B), jnp.float32)
+            hi_t = jnp.zeros((N, B), jnp.float32)
+        else:
+            hb = jnp.broadcast_to(h[:, 0, :], (B, N))
+            hr_t = jnp.real(hb).T
+            hi_t = jnp.imag(hb).T
+        idx_t = jax.vmap(
+            lambda k: jax.random.randint(k, (S, N), 0, 1 << bps, jnp.int32),
+            out_axes=-1,
+        )(k_idx)
+        from sdr_tpu.ops.demod import demod_count_chain_cl
+
+        errors = demod_count_chain_cl(
+            re, im, hr_t, hi_t, idx_t.reshape(S * N, B),
+            cfg.ofdm.cp_len, mod, max(nv, 1e-12),
+            backend=backend,
+        )
+        counted = jnp.full((B,), S * N * bps, jnp.int32)
+        return errors, counted
     if h is None:
         hb = jnp.broadcast_to(jnp.complex64(1.0), (B, 1, N))
     else:
@@ -226,7 +365,8 @@ def rx_count_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
     return errors, counted
 
 
-def fast_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray, backend: str):
+def fast_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray, backend: str,
+              layout: str = "auto"):
     """The batched link over explicit GLOBAL channel ids.
 
     Every random draw is keyed by fold_in(key, channel_id) — the same
@@ -235,12 +375,23 @@ def fast_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray, backend: str
     makes the sharded fast path (parallel.shard.make_sharded_fast_fn)
     bit-exact vs the unsharded one. Returns per-channel
     (bit_errors, bits_counted), both (len(ch_ids),) int32.
+
+    ``layout="auto"`` resolves per ``select_layout``: the channels-last
+    pipelined demod wherever it applies (TPU, per-link channel plane,
+    128-tiling batch), the rows kernels otherwise. Both layouts draw
+    identical per-channel randomness, so BER statistics agree; the
+    bit-exactness contract (sharded == unsharded) holds within a
+    layout, which resolves identically on every shard of a 128-tiling
+    split.
     """
-    re, im = tx_channel_core(cfg, key, ch_ids, backend)
-    return rx_count_core(cfg, key, ch_ids, re, im, backend)
+    if layout == "auto":
+        layout = select_layout(cfg, ch_ids.shape[0], jax.default_backend())
+    re, im = tx_channel_core(cfg, key, ch_ids, backend, layout=layout)
+    return rx_count_core(cfg, key, ch_ids, re, im, backend, layout=layout)
 
 
-def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto"):
+def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto",
+                  layout: str = "auto"):
     """Full link over (n_channels, n_symbols) as one batched program.
 
     Returns (bit_errors (n_channels,) int32, bits_counted (n_channels,)).
@@ -260,9 +411,13 @@ def fast_simulate(cfg: LinkConfig, key: jax.Array, backend: str = "auto"):
     # receive = per-tone equalize + one fused IDFT matmul). The
     # pilot_spacing gate above already routes block-pilot SC-FDMA to
     # link.pipeline.
-    return fast_core(cfg, key, jnp.arange(cfg.n_channels), backend)
+    return fast_core(cfg, key, jnp.arange(cfg.n_channels), backend,
+                     layout=layout)
 
 
-def make_fast_fn(cfg: LinkConfig, backend: str = "auto"):
+def make_fast_fn(cfg: LinkConfig, backend: str = "auto",
+                 layout: str = "auto"):
     """Jitted fast link with cfg closed over."""
-    return jax.jit(functools.partial(fast_simulate, cfg, backend=backend))
+    return jax.jit(
+        functools.partial(fast_simulate, cfg, backend=backend, layout=layout)
+    )

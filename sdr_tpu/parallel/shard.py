@@ -62,7 +62,8 @@ def make_sharded_simulate_fn(cfg: LinkConfig, mesh: Mesh):
     return jax.jit(f)
 
 
-def make_sharded_fast_fn(cfg: LinkConfig, mesh: Mesh, backend: str = "auto"):
+def make_sharded_fast_fn(cfg: LinkConfig, mesh: Mesh, backend: str = "auto",
+                         layout: str = "auto"):
     """Channel-batch data parallelism for the FUSED-KERNEL fast link.
 
     Each device runs link.fast.fast_core — the throughput path whose
@@ -72,6 +73,13 @@ def make_sharded_fast_fn(cfg: LinkConfig, mesh: Mesh, backend: str = "auto"):
     channel-axis layout (tests/test_parallel.py). This is the
     composition BASELINE configs 4/5 describe: fused kernels inside
     the mesh program, not just the jnp oracle.
+
+    ``layout="auto"`` resolves ONCE here against the per-device shard
+    size (so every shard — and the bit-exactness comparison — uses the
+    same demod layout; a per-shard resolution could diverge from the
+    unsharded oracle's). "cl" runs the channels-last pipelined demod
+    inside the mesh program (the headline kernel under DP —
+    MULTICHIP row "fast path CL").
     """
     if cfg.pilot_spacing:
         raise NotImplementedError(
@@ -93,13 +101,17 @@ def make_sharded_fast_fn(cfg: LinkConfig, mesh: Mesh, backend: str = "auto"):
         )
     local = cfg.n_channels // n_shards
     cdev = mesh.shape["channel"]
+    if layout == "auto":
+        from sdr_tpu.link.fast import select_layout
+
+        layout = select_layout(cfg, local, jax.default_backend())
 
     def local_fn(key):
         me = lax.axis_index("time") * cdev + lax.axis_index("channel")
         ch_ids = me * local + jnp.arange(local)
         from sdr_tpu.link.fast import fast_core
 
-        return fast_core(cfg, key, ch_ids, backend)
+        return fast_core(cfg, key, ch_ids, backend, layout=layout)
 
     f = shard_map(
         local_fn,
