@@ -63,9 +63,18 @@ def main() -> None:
 
     if layout == "cl":
         from sdr_tpu.kernels.demod_cl_pallas import (
-            demod_count_cl, demod_sum_cl, dif_perm,
+            demod_count_cl, demod_llr_cl, demod_sum_cl, dif_perm,
         )
 
+        # llr_plane terminal: the LLR-MATERIALIZING chain (kernel-order
+        # plane, the coded-consumer form); SDR_BENCH_LLR_DTYPE=bf16
+        # halves the output write. Consumption cost is kept off the
+        # measured path via a tiny strided sample of the plane.
+        llr_dtype = (
+            jnp.bfloat16
+            if os.environ.get("SDR_BENCH_LLR_DTYPE", "f32") == "bf16"
+            else jnp.float32
+        )
         perm = jnp.asarray(dif_perm(n_fft))
 
         @jax.jit
@@ -97,6 +106,18 @@ def main() -> None:
                         idx, cp, mod, nv, h_in_dif_order=True,
                     )
                     return acc + jnp.sum(err).astype(jnp.float32) * jnp.float32(1e-12)
+            elif terminal == "llr_plane":
+                def body(_, acc):
+                    llr = demod_llr_cl(
+                        re, im,
+                        hr_d + acc * jnp.float32(1e-30), hi_d,
+                        cp, mod, nv, out_dtype=llr_dtype,
+                        kernel_order=True, h_in_dif_order=True,
+                    )
+                    probe = jnp.sum(
+                        llr[::1021, ::127].astype(jnp.float32)
+                    )
+                    return acc + probe * jnp.float32(1e-12)
             else:
                 def body(_, acc):
                     s = demod_sum_cl(

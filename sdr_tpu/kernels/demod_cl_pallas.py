@@ -457,11 +457,15 @@ _VMEM_BUDGET = 11 * 2**20  # operand-buffer budget; ~5 MB headroom for
 #                            compute temporaries under the 16 MB limit
 
 
-def _vmem_budget(n_fft: int) -> int:
-    """Wideband kernels raise the compiler's scoped-vmem cap to 64 MB
-    (v5e VMEM is 128 MB; 16 MB is only the default), so their operand
-    budget scales accordingly."""
-    return _VMEM_BUDGET if n_fft <= 512 else (40 << 20)
+def _vmem_budget(n_fft: int, out_mode: str = "sum") -> int:
+    """Wideband kernels — and the llr mode at ANY size (its output
+    window is 4·bps× the input's, and a larger s_blk is what amortizes
+    the per-block h window) — raise the compiler's scoped-vmem cap to
+    64 MB (v5e VMEM is 128 MB; 16 MB is only the default), so their
+    operand budget scales accordingly."""
+    if n_fft > 512 or out_mode == "llr":
+        return 40 << 20
+    return _VMEM_BUDGET
 
 
 def _h_dtype(n_fft: int):
@@ -476,7 +480,7 @@ def _h_dtype(n_fft: int):
 
 def _block_bytes(
     n_fft: int, cp_len: int, lb: int, s_blk: int, out_mode: str,
-    mod: Modulation, x_item: int,
+    mod: Modulation, x_item: int, out_item: int = 4,
 ) -> int:
     """Double-buffered VMEM bytes of the pipeline's operand windows."""
     sym_len = n_fft + cp_len
@@ -486,30 +490,35 @@ def _block_bytes(
     if out_mode == "count":
         b += 2 * (s_blk * n_fft * lb * 4 + 8 * lb * 4)
     elif out_mode == "llr":
-        b += 2 * (s_blk * mod.bits_per_symbol * n_fft * lb * 4)
+        b += 2 * (s_blk * mod.bits_per_symbol * n_fft * lb * out_item)
     return b
 
 
 def _pick_blocks(
     n_fft: int, cp_len: int, batch: int, n_syms: int, out_mode: str,
-    mod: Modulation, x_item: int,
+    mod: Modulation, x_item: int, out_item: int = 4,
 ):
     """Resolve (lb, s_blk) to divisors of (batch, n_syms) near the
     measured optimum (256 lanes × 16 symbols at the bf16 headline
     shape, docs/PERF.md round 4), shrunk to the VMEM operand budget
-    (the llr/count modes carry extra output/index windows)."""
+    (the llr/count modes carry extra output/index windows — llr mode's
+    output window dominates, so it lands on smaller s_blk; round 4's
+    hard s_blk=1 restriction is gone, which is what amortizes the h
+    window across symbols and took the llr terminal from 4.7 GS/s to
+    the output-roofline class, docs/PERF.md round 5)."""
     lb = _cl_lb()
     while batch % lb:
         lb //= 2
     if lb < 128:
         raise ValueError(f"batch {batch} does not tile 128 lanes")
-    s_blk = 1 if out_mode == "llr" else _cl_sblk()
+    s_blk = _cl_sblk()
     while n_syms % s_blk:
         s_blk //= 2
     s_blk = max(s_blk, 1)
     while (
-        _block_bytes(n_fft, cp_len, lb, s_blk, out_mode, mod, x_item)
-        > _vmem_budget(n_fft)
+        _block_bytes(n_fft, cp_len, lb, s_blk, out_mode, mod, x_item,
+                     out_item)
+        > _vmem_budget(n_fft, out_mode)
     ):
         if s_blk > 1 and n_syms % (s_blk // 2) == 0:
             s_blk //= 2
@@ -531,7 +540,7 @@ def _operands(n_fft: int, mode: str):
 
 def _run_cl(
     re_t, im_t, hr_t, hi_t, cp_len, mod, noise_var, out_mode,
-    idx_t=None, h_in_dif_order=False,
+    idx_t=None, h_in_dif_order=False, out_dtype=jnp.float32,
 ):
     n_fft = hr_t.shape[0]
     sym_len = n_fft + cp_len
@@ -543,16 +552,11 @@ def _run_cl(
         raise ValueError(
             f"unsupported channels-last shape n_fft={n_fft} batch={batch}"
         )
-    if out_mode == "llr" and n_fft > 512:
-        raise ValueError(
-            "channels-last full-LLR output is gated to n_fft <= 512: at "
-            "wideband sizes the (bps·n_fft, lanes) LLR window blows the "
-            "VMEM block budget — use the sum/count terminals (the "
-            "throughput surfaces) or the jnp/fourstep2 LLR paths"
-        )
     mode = _matmul.mxu_mode()
+    out_dtype = jnp.dtype(out_dtype)
     lb, s_blk = _pick_blocks(
-        n_fft, cp_len, batch, n_syms, out_mode, mod, re_t.dtype.itemsize
+        n_fft, cp_len, batch, n_syms, out_mode, mod, re_t.dtype.itemsize,
+        out_item=out_dtype.itemsize if out_mode == "llr" else 4,
     )
 
     perm = dif_perm(n_fft)
@@ -572,13 +576,13 @@ def _run_cl(
     w_ops, tw_ops = _operands(n_fft, mode)
     kernel = _make_cl_kernel(
         n_fft, cp_len, lb, s_blk, n_syms, batch, mod,
-        float(noise_var), out_mode, mode,
+        float(noise_var), out_mode, mode, out_dtype=out_dtype,
     )
 
     n_in = 5 if out_mode == "count" else 4
     if out_mode == "llr":
         out_shape = jax.ShapeDtypeStruct(
-            (n_syms * mod.bits_per_symbol * n_fft, batch), jnp.float32
+            (n_syms * mod.bits_per_symbol * n_fft, batch), out_dtype
         )
     elif out_mode == "count":
         out_shape = jax.ShapeDtypeStruct(
@@ -606,9 +610,14 @@ def _run_cl(
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # Wideband windows (x + double-buffered bf16 h + cascade
-            # temps) legitimately exceed the compiler's 16 MB DEFAULT
+            # temps) — and llr-mode output windows at any size —
+            # legitimately exceed the compiler's 16 MB DEFAULT
             # scoped-vmem cap; v5e VMEM is 128 MB.
-            vmem_limit_bytes=(64 << 20) if n_fft >= 1024 else None,
+            vmem_limit_bytes=(
+                (64 << 20)
+                if (n_fft >= 1024 or out_mode == "llr")
+                else None
+            ),
         ),
     )(*args, *w_ops, *tw_ops)
     return out
@@ -642,18 +651,39 @@ def demod_count_cl(
 
 def demod_llr_cl(
     re_t, im_t, hr_t, hi_t, cp_len: int, mod: Modulation, noise_var: float,
+    out_dtype=jnp.float32, kernel_order: bool = False,
+    h_in_dif_order: bool = False,
 ) -> jnp.ndarray:
-    """Public-order LLRs (batch, n_syms, n_fft·bps) — validation path.
+    """LLR-materializing terminal (the coded receiver's product plane).
 
-    The kernel emits per-symbol bit-major planes in DIF row order; this
-    wrapper un-permutes bins and transposes to the public layout
-    (matches ops.demod.demod_chain's output for transposed inputs).
+    ``kernel_order=True`` (the THROUGHPUT form): returns the raw
+    (n_syms·bps·n_fft, batch) plane exactly as the kernel writes it —
+    per symbol, bit-major planes whose rows are in ``dif_perm`` bin
+    order. A coded consumer composes its (de)interleaver with
+    ``dif_perm`` at trace time (permutation composition is free), so
+    no restore pass is ever paid; link.coded's fused fast path and the
+    llr bench terminal consume this form.
+
+    ``kernel_order=False`` (the VALIDATION/compat form): un-permutes
+    bins and transposes to the public (batch, n_syms, n_fft·bps)
+    layout (matches ops.demod.demod_chain for transposed inputs) —
+    costs an extra HBM round trip of the plane.
+
+    ``out_dtype=jnp.bfloat16`` halves the output write traffic (the
+    llr-terminal bottleneck); LLR magnitudes carry ~3 significant
+    digits there — the BER/decoder impact is gated in
+    tests/test_demod_cl.py and docs/PERF.md round 5.
     """
     n_fft = hr_t.shape[0]
     rows, batch = re_t.shape
     n_syms = rows // (n_fft + cp_len)
     bps = mod.bits_per_symbol
-    out = _run_cl(re_t, im_t, hr_t, hi_t, cp_len, mod, noise_var, "llr")
+    out = _run_cl(
+        re_t, im_t, hr_t, hi_t, cp_len, mod, noise_var, "llr",
+        h_in_dif_order=h_in_dif_order, out_dtype=out_dtype,
+    )
+    if kernel_order:
+        return out
     out = out.reshape(n_syms, bps, n_fft, batch)[:, :, inv_dif_perm(n_fft), :]
     # (syms, bps, n_fft, batch) → (batch, syms, n_fft, bps) public order.
     return out.transpose(3, 0, 2, 1).reshape(batch, n_syms, n_fft * bps)
@@ -661,7 +691,8 @@ def demod_llr_cl(
 
 def demod_cl_jnp(
     re_t, im_t, hr_t, hi_t, cp_len: int, mod: Modulation, noise_var: float,
-    out_mode: str = "llr", idx_t=None,
+    out_mode: str = "llr", idx_t=None, out_dtype=jnp.float32,
+    kernel_order: bool = False,
 ):
     """Pure-jnp twin of the kernel's exact math (DIF cascade + LHS Gauss
     matmuls + division-free tail) for any backend. Used by the CPU test
@@ -704,6 +735,8 @@ def demod_cl_jnp(
         return acc
     if out_mode == "count":
         return jnp.sum(acc, axis=0, dtype=jnp.float32).astype(jnp.int32)
-    out = jnp.stack(outs).reshape(n_syms, bps, n_fft, batch)
-    out = out[:, :, inv_dif_perm(n_fft), :]
+    out = jnp.stack(outs).astype(out_dtype)
+    if kernel_order:
+        return out.reshape(n_syms * bps * n_fft, batch)
+    out = out.reshape(n_syms, bps, n_fft, batch)[:, :, inv_dif_perm(n_fft), :]
     return out.transpose(3, 0, 2, 1).reshape(batch, n_syms, n_fft * bps)

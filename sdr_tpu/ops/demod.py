@@ -406,3 +406,46 @@ def demod_count_chain_cl(
         re_t, im_t, hr_n, hi_n, cp_len, mod, noise_var,
         out_mode="count", idx_t=idx_t,
     )
+
+
+def demod_llr_chain_cl(
+    re_t: jnp.ndarray,
+    im_t: jnp.ndarray,
+    hr_t: jnp.ndarray,
+    hi_t: jnp.ndarray,
+    cp_len: int,
+    mod: Modulation,
+    noise_var: float,
+    backend: str | None = None,
+    out_dtype=jnp.float32,
+    kernel_order: bool = False,
+    h_in_dif_order: bool = False,
+) -> jnp.ndarray:
+    """LLR-materializing channels-last terminal — what a coded receiver
+    consumes (the reference's product is the demapper output,
+    modulation.hpp:96-112; here soft LLRs instead of hard bytes).
+
+    ``kernel_order=True`` returns the kernel-native
+    (n_syms·bps·n_fft, batch) plane (rows in DIF bin order — compose
+    any (de)interleaver with ``kernels.demod_cl_pallas.dif_perm`` at
+    trace time instead of paying a restore pass);
+    ``out_dtype=jnp.bfloat16`` halves the dominant output write.
+    """
+    b = _resolve_cl(re_t, hr_t, cp_len, mod, backend)
+    if b == "cl":
+        from sdr_tpu.kernels.demod_cl_pallas import demod_llr_cl
+
+        return demod_llr_cl(
+            re_t, im_t, hr_t, hi_t, cp_len, mod, noise_var,
+            out_dtype=out_dtype, kernel_order=kernel_order,
+            h_in_dif_order=h_in_dif_order,
+        )
+    if b != "jnp":
+        raise ValueError(f"unknown channels-last backend {b!r}")
+    from sdr_tpu.kernels.demod_cl_pallas import demod_cl_jnp
+
+    hr_n, hi_n = _h_natural(hr_t, hi_t, h_in_dif_order)
+    return demod_cl_jnp(
+        re_t, im_t, hr_n, hi_n, cp_len, mod, noise_var, out_mode="llr",
+        out_dtype=out_dtype, kernel_order=kernel_order,
+    )

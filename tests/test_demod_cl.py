@@ -184,13 +184,100 @@ def test_cl_twin_wideband_matches_reference(rng, n_fft, monkeypatch):
     )
 
 
-def test_cl_llr_mode_wideband_gated():
-    """Full-LLR output at wideband sizes is an explicit physics/VMEM
-    gate, not a silent failure."""
-    from sdr_tpu.kernels.demod_cl_pallas import demod_llr_cl
+def test_cl_llr_mode_wideband_supported(rng):
+    """Round 4 hard-gated full-LLR output to n_fft ≤ 512; round 5's
+    leafwise per-bit-plane writes lifted it (measured 13.4 GS/s bf16 at
+    4096sc, docs/PERF.md round 5). The twin covers the wideband llr
+    math on CPU; the block picker resolves a valid window."""
+    from sdr_tpu.kernels.demod_cl_pallas import _pick_blocks
 
-    re = jnp.zeros((8 * (1024 + 128), 128), jnp.float32)
-    im = jnp.zeros_like(re)
-    h = jnp.ones((1024, 128), jnp.float32)
-    with pytest.raises(ValueError, match="gated to n_fft"):
-        demod_llr_cl(re, im, h, h, 128, Modulation.QAM16, 0.05)
+    lb, sb = _pick_blocks(
+        1024, 128, 128, 8, "llr", Modulation.QAM16, 4, 4
+    )
+    assert lb >= 128 and sb >= 1
+    n_fft, cp, batch, n_syms = 1024, 128, 8, 2
+    re, im, hr, hi = _inputs(rng, batch, n_syms, n_fft + cp, n_fft)
+    ref = demod_chain_jnp(
+        jnp.asarray(re), jnp.asarray(im), jnp.asarray(hr), jnp.asarray(hi),
+        cp, Modulation.QAM16, 0.05,
+    )
+    got = demod_cl_jnp(*_cl_views(re, im, hr, hi), cp, Modulation.QAM16, 0.05)
+    scale = np.abs(np.asarray(ref)).max()
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, np.asarray(ref) / scale, atol=2e-4
+    )
+
+
+def test_llr_multi_symbol_block_matches_single(rng, monkeypatch):
+    """Round 5 lifted the llr mode's s_blk=1 restriction: the twin's
+    multi-symbol math is symbol-independent by construction, and the
+    block picker now assigns s_blk > 1 under the raised budget."""
+    from sdr_tpu.kernels.demod_cl_pallas import _pick_blocks
+
+    monkeypatch.delenv("SDR_TPU_CL_LB", raising=False)
+    monkeypatch.delenv("SDR_TPU_CL_SBLK", raising=False)
+    lb, sb = _pick_blocks(256, 64, 8192, 64, "llr", Modulation.QAM16, 2, 4)
+    assert sb > 1
+    # bf16 output halves the window → at least as many symbols/block.
+    lb2, sb2 = _pick_blocks(256, 64, 8192, 64, "llr", Modulation.QAM16, 2, 2)
+    assert sb2 >= sb
+
+
+def test_llr_kernel_order_and_bf16(rng):
+    """kernel_order plane un-permutes to the public layout; bf16 output
+    is sign-identical with ~3-digit magnitudes (the decoder-facing
+    contract of the halved-write llr mode)."""
+    from sdr_tpu.ops.demod import demod_llr_chain_cl
+
+    mod = Modulation.QAM16
+    n_fft, cp, batch, n_syms = 128, 32, 128, 4
+    bps = mod.bits_per_symbol
+    re, im, hr, hi = _inputs(rng, batch, n_syms, n_fft + cp, n_fft)
+    views = _cl_views(re, im, hr, hi)
+    pub = demod_llr_chain_cl(*views, cp, mod, 0.05)
+    kern = demod_llr_chain_cl(*views, cp, mod, 0.05, kernel_order=True)
+    unk = (
+        np.asarray(kern)
+        .reshape(n_syms, bps, n_fft, batch)[:, :, inv_dif_perm(n_fft), :]
+        .transpose(3, 0, 2, 1)
+        .reshape(batch, n_syms, n_fft * bps)
+    )
+    np.testing.assert_allclose(unk, np.asarray(pub), rtol=1e-6)
+
+    bf = np.asarray(
+        demod_llr_chain_cl(*views, cp, mod, 0.05, out_dtype=jnp.bfloat16)
+        .astype(jnp.float32)
+    )
+    f = np.asarray(pub)
+    assert ((bf < 0) != (f < 0)).mean() < 1e-4
+    rel = np.abs(bf - f) / (np.abs(f) + 1e-3)
+    assert np.median(rel) < 1e-2
+
+
+def test_llr_bf16_through_ldpc_decoder(rng):
+    """bf16 LLR planes decode identically to f32 through the LDPC
+    min-sum at operating SNR (the coded-consumer gate for the
+    halved-write llr mode)."""
+    from sdr_tpu.ops.ldpc import ldpc_decode, ldpc_encode, make_qc_ldpc
+
+    code = make_qc_ldpc(8, 4, 128)
+    rng2 = np.random.default_rng(7)
+    info = jnp.asarray(
+        rng2.integers(0, 2, (16, code.k)).astype(np.int8)
+    )
+    cw = ldpc_encode(code, info)
+    snr = 2.5
+    sigma = float(np.sqrt(1.0 / (2 * 10 ** (snr / 10))))
+    llr = (1 - 2 * np.asarray(cw, np.float32)) + sigma * rng2.standard_normal(
+        (16, code.n)
+    ).astype(np.float32)
+    llr = llr * 2 / sigma**2
+    hard_f32 = np.asarray(ldpc_decode(code, jnp.asarray(llr), iters=12))
+    hard_bf16 = np.asarray(
+        ldpc_decode(
+            code,
+            jnp.asarray(llr).astype(jnp.bfloat16).astype(jnp.float32),
+            iters=12,
+        )
+    )
+    assert (hard_f32 != hard_bf16).mean() < 1e-3
