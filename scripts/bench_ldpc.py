@@ -27,6 +27,10 @@ from jax import lax
 
 def main() -> None:
     rate = os.environ.get("SDR_BENCH_LDPC_RATE", "1/2")
+    # flooding (decision-identical default) | layered (≈half the
+    # iterations for the same waterfall; set SDR_BENCH_LDPC_ITERS=13).
+    schedule = os.environ.get("SDR_BENCH_LDPC_SCHEDULE", "flooding")
+    backend = os.environ.get("SDR_BENCH_LDPC_BACKEND", "auto")
     n_cw = int(os.environ.get("SDR_BENCH_LDPC_CW", "256"))
     ms_iters = int(os.environ.get("SDR_BENCH_LDPC_ITERS", "25"))
     iters = int(os.environ.get("SDR_BENCH_ITERS", "8"))
@@ -49,7 +53,8 @@ def main() -> None:
     def run(llr):
         def body(_, carry):
             acc, l = carry
-            hard = ldpc_decode(code, l, iters=ms_iters)
+            hard = ldpc_decode(code, l, iters=ms_iters, backend=backend,
+                               schedule=schedule)
             s = jnp.sum(hard, dtype=jnp.float32)
             # Perturb the input by a decode-dependent epsilon so no
             # iteration is hoistable.
@@ -70,6 +75,8 @@ def main() -> None:
         json.dumps(
             {
                 "code": f"qc-ldpc nb=24 z=128 rate {rate}",
+                "schedule": schedule,
+                "backend": backend,
                 "minsum_iters": ms_iters,
                 "codewords": n_cw,
                 "info_mbps": info_bits / best / 1e6,

@@ -181,9 +181,10 @@ def ldpc_decode(
     iters: int = 25,
     offset: float = 0.5,
     backend: str = "auto",
+    schedule: str = "flooding",
 ) -> jnp.ndarray:
-    """Flooding offset min-sum over (..., n) channel LLRs → (..., n)
-    hard bits (int8). Positive LLR = bit 0 (demapper convention).
+    """Offset min-sum over (..., n) channel LLRs → (..., n) hard bits
+    (int8). Positive LLR = bit 0 (demapper convention).
 
     Messages are per-edge (…, Z) float32 planes in VARIABLE alignment;
     the row update rotates them into check alignment, computes the
@@ -192,24 +193,50 @@ def ldpc_decode(
     The iteration loop is a ``lax.fori_loop`` with the stacked edge
     messages as carry — fixed trip count, jit-static structure.
 
-    ``backend="auto"`` routes 2-D sublane-aligned batches on TPU to the
-    fused VMEM-resident kernel (kernels/ldpc_pallas.py — bit-identical,
-    measured 1.8× at 2048 codewords: the fori_loop carry here
-    round-trips HBM every iteration); anything else decodes in jnp.
+    ``backend="auto"`` routes 2-D 128-tiling batches to the fused
+    sublane-major kernel (kernels/ldpc_pallas.ldpc_decode_pallas_sublane
+    — DECISION-IDENTICAL for the flooding schedule, measured 1.6× over
+    the round-2c lane-major kernel: Z rides the sublane axis so cyclic
+    shifts are cheap sublane concats and sign transport is bitwise);
+    ``backend="pallas"`` forces the round-2c lane-major kernel for
+    128-multiple-Z codes, the sublane kernel otherwise. Anything else
+    decodes in jnp.
+
+    ``schedule="layered"`` (sublane kernel only) halves the iteration
+    count for the same waterfall — use iters ≈ half the flooding
+    count; statistically gated, not decision-identical.
     """
     z, nb, mb = code.z, code.nb, code.mb
     if llr.shape[-1] != code.n:
         raise ValueError(f"llr length {llr.shape[-1]} != n={code.n}")
-    if backend in ("auto", "pallas") and llr.ndim == 2:
+    if backend in ("auto", "pallas", "sublane") and llr.ndim == 2:
         from sdr_tpu.kernels.ldpc_pallas import (
             ldpc_decode_pallas,
+            ldpc_decode_pallas_sublane,
             supported as _pl_ok,
+            supported_sublane as _sub_ok,
         )
 
-        if _pl_ok(code, llr.shape[0]) and (
-            backend == "pallas" or jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
+        if backend == "pallas" and _pl_ok(code, llr.shape[0]) and (
+            schedule == "flooding"
         ):
             return ldpc_decode_pallas(code, llr, iters=iters, offset=offset)
+        if _sub_ok(code, llr.shape[0]) and (
+            backend in ("pallas", "sublane") or on_tpu
+        ):
+            return ldpc_decode_pallas_sublane(
+                code, llr, iters=iters, offset=offset, schedule=schedule
+            )
+        if schedule == "flooding" and _pl_ok(code, llr.shape[0]) and (
+            backend == "pallas" or on_tpu
+        ):
+            return ldpc_decode_pallas(code, llr, iters=iters, offset=offset)
+    if schedule != "flooding":
+        raise ValueError(
+            "schedule='layered' needs the sublane kernel: 2-D LLRs with "
+            "a 128-tiling batch (and backend auto/pallas/sublane)"
+        )
     ch = llr.reshape(llr.shape[:-1] + (nb, z)).astype(jnp.float32)
     edges = [(i, j, s) for i in range(mb) for j, s in code.row_edges(i)]
     e_by_row = [

@@ -136,3 +136,82 @@ def test_pallas_decoder_bit_identical(rng):
     ref = np.asarray(ldpc_decode(code, llr, iters=15))
     got = np.asarray(ldpc_decode_pallas(code, llr, iters=15, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_sublane_decoder_bit_identical(rng):
+    """Round 5's sublane-major kernel (Z on sublanes, bitwise sign
+    transport): flooding schedule DECISION-IDENTICAL to the jnp
+    decoder — the bit tricks change representation, not arithmetic."""
+    from sdr_tpu.kernels.ldpc_pallas import (
+        ldpc_decode_pallas_sublane,
+        supported_sublane,
+    )
+
+    code = make_qc_ldpc(8, 4, 128)
+    n_cw = 128
+    assert supported_sublane(code, n_cw)
+    info = jnp.asarray(rng.integers(0, 2, (n_cw, code.k)), jnp.int8)
+    cw = ldpc_encode(code, info)
+    sigma = 0.8
+    x = 1.0 - 2.0 * np.asarray(cw, np.float32)
+    llr = jnp.asarray(
+        2.0
+        * (x + rng.standard_normal(x.shape).astype(np.float32) * sigma)
+        / sigma**2
+    )
+    ref = np.asarray(ldpc_decode(code, llr, iters=15, backend="jnp"))
+    got = np.asarray(
+        ldpc_decode_pallas_sublane(code, llr, iters=15, interpret=True)
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_layered_schedule_waterfall(rng):
+    """Layered at ~half the iterations matches the flooding waterfall
+    (the gate for the 1.4 Gb/s library schedule): frame-error counts
+    within 30% relative at an operating point, and clean codewords
+    decode exactly."""
+    from sdr_tpu.kernels.ldpc_pallas import ldpc_decode_pallas_sublane
+
+    code = make_qc_ldpc(8, 4, 128)
+    n_cw = 256
+    info = jnp.asarray(rng.integers(0, 2, (n_cw, code.k)), jnp.int8)
+    cw = ldpc_encode(code, info)
+    esno = 10 ** (2.0 / 10.0) * code.rate
+    sigma = float(np.sqrt(1.0 / (2.0 * esno)))
+    x = 1.0 - 2.0 * np.asarray(cw, np.float32)
+    llr = jnp.asarray(
+        2.0
+        * (x + rng.standard_normal(x.shape).astype(np.float32) * sigma)
+        / sigma**2
+    )
+    flood = np.asarray(
+        ldpc_decode_pallas_sublane(code, llr, iters=24, interpret=True)
+    )
+    lay = np.asarray(
+        ldpc_decode_pallas_sublane(
+            code, llr, iters=12, schedule="layered", interpret=True
+        )
+    )
+    info_np = np.asarray(info)
+    be_f = (flood[:, : code.k].astype(np.int8) != info_np).sum()
+    be_l = (lay[:, : code.k].astype(np.int8) != info_np).sum()
+    assert be_f > 0  # operating point produces errors to compare
+    assert abs(be_l - be_f) <= max(0.3 * be_f, 20)
+
+    clean = jnp.asarray(2.0 * x * 50.0)
+    out = np.asarray(
+        ldpc_decode_pallas_sublane(
+            code, clean, iters=4, schedule="layered", interpret=True
+        )
+    )
+    np.testing.assert_array_equal(out, np.asarray(cw))
+
+
+def test_decode_schedule_dispatch(rng):
+    """schedule='layered' without the sublane kernel is an explicit
+    error, not a silent flooding decode."""
+    code = make_qc_ldpc(8, 4, 128)
+    llr = jnp.asarray(rng.standard_normal((4, code.n)).astype(np.float32))
+    with pytest.raises(ValueError, match="layered"):
+        ldpc_decode(code, llr, backend="jnp", schedule="layered")
