@@ -183,7 +183,28 @@ def dft_cl(xr, xi, w_refs, tw_consts, mode: str):
     return yr, yi
 
 
-def _llr_axis_dfree(p, h2, inv_nv, mod: Modulation):
+def dfree_h_consts(hr, hi, mod: Modulation):
+    """Symbol-INVARIANT h-derived terms of the division-free tail:
+    |h|² and the per-level h²·lev² planes (shared between ±lev — two
+    distinct planes for 16-QAM). Round 4 recomputed these every symbol
+    (16× per block at the headline shape); hoisting them across the
+    s_blk loop is tail-thinning fix 1 of VERDICT round 4 item 6
+    (per-op budget in scripts/tail_probe.py / docs/PERF.md round 5)."""
+    h2 = hr * hr + hi * hi
+    _, pam, norm, _ = _tables(mod)
+    cache = {}
+    hlev2 = []
+    for a in pam:
+        lev = float(a) * float(norm)
+        k = lev * lev
+        if k not in cache:
+            cache[k] = h2 * jnp.float32(k)
+        hlev2.append(cache[k])
+    return h2, tuple(hlev2)
+
+
+def _llr_axis_dfree(p, h2, inv_nv, mod: Modulation, hlev2=None,
+                    scale_out=True):
     """Division-free per-axis max-log LLRs from UN-equalized inner
     products: p = Re/Im of conj(h)·y, h2 = |h|².
 
@@ -193,7 +214,11 @@ def _llr_axis_dfree(p, h2, inv_nv, mod: Modulation):
     LLR = (min_{S1} g − min_{S0} g)·inv_nv with NO reciprocal, exactly
     the unrolled-scan LLR (demod_pallas._llr_axis_unrolled) up to fp
     rounding, and with the better h→0 limit (LLR → 0 with no clamp).
-    """
+
+    ``hlev2``: optional pre-hoisted h²·lev² planes (``dfree_h_consts``).
+    The ±lev level pairs share one |2·lev·p| product either way.
+    ``scale_out=False`` skips the final ·inv_nv (sign-invariant — the
+    count terminal's decisions don't need it)."""
     from sdr_tpu.ops.llr import _axis_bit_masks
 
     _, pam, norm, _ = _tables(mod)
@@ -202,9 +227,14 @@ def _llr_axis_dfree(p, h2, inv_nv, mod: Modulation):
     big = jnp.float32(3.4e38)
     d0 = [None] * m
     d1 = [None] * m
+    qcache = {}
     for l, a in enumerate(pam):
         lev = float(a) * float(norm)
-        g = h2 * jnp.float32(lev * lev) - p * jnp.float32(2.0 * lev)
+        hl = hlev2[l] if hlev2 is not None else h2 * jnp.float32(lev * lev)
+        al = abs(lev)
+        if al not in qcache:
+            qcache[al] = p * jnp.float32(2.0 * al)
+        g = hl - qcache[al] if lev >= 0 else hl + qcache[al]
         for j in range(m):
             if masks[j, l]:
                 d1[j] = g if d1[j] is None else jnp.minimum(d1[j], g)
@@ -215,10 +245,13 @@ def _llr_axis_dfree(p, h2, inv_nv, mod: Modulation):
             d0[j] = big
         if d1[j] is None:
             d1[j] = big
+    if not scale_out:
+        return [d1[j] - d0[j] for j in range(m)]
     return [(d1[j] - d0[j]) * inv_nv for j in range(m)]
 
 
-def equalize_llr_bits_cl(yr, yi, hr, hi, inv_nv, mod: Modulation):
+def equalize_llr_bits_cl(yr, yi, hr, hi, inv_nv, mod: Modulation,
+                         h_consts=None, scale_out=True):
     """Channels-last fused tail: conj(h)·y inner products + max-log LLR.
 
     For m ≤ 2 bits/axis (BPSK/QPSK/16-QAM) the whole tail is
@@ -226,16 +259,25 @@ def equalize_llr_bits_cl(yr, yi, hr, hi, inv_nv, mod: Modulation):
     VPU reciprocal and reuse the exact Gray fold recursion
     (demod_pallas._llr_axis_recursive). Plane order identical to the
     row-major kernel: I-axis bits then Q-axis bits, MSB first.
+
+    ``h_consts``: pre-hoisted ``dfree_h_consts`` output (symbol-
+    invariant); ``scale_out=False`` returns UNSCALED metric differences
+    (same signs — the count terminal's form). Both only apply on the
+    division-free path.
     """
-    h2 = hr * hr + hi * hi
+    if h_consts is not None and mod.bits_per_axis <= 2:
+        h2, hlev2 = h_consts
+    else:
+        h2 = hr * hr + hi * hi
+        hlev2 = None
     pr = hr * yr + hi * yi
     pi = hr * yi - hi * yr
     if mod.bits_per_axis <= 2:
         if mod is Modulation.BPSK:
-            return _llr_axis_dfree(pr, h2, inv_nv, mod)
-        return _llr_axis_dfree(pr, h2, inv_nv, mod) + _llr_axis_dfree(
-            pi, h2, inv_nv, mod
-        )
+            return _llr_axis_dfree(pr, h2, inv_nv, mod, hlev2, scale_out)
+        return _llr_axis_dfree(
+            pr, h2, inv_nv, mod, hlev2, scale_out
+        ) + _llr_axis_dfree(pi, h2, inv_nv, mod, hlev2, scale_out)
     inv_h2 = jnp.float32(1.0) / jnp.maximum(h2, jnp.float32(1e-12))
     inv_eff = h2 * inv_nv
     vr = pr * inv_h2
@@ -248,14 +290,20 @@ def equalize_llr_bits_cl(yr, yi, hr, hi, inv_nv, mod: Modulation):
 
 
 def _symbol_tail(
-    yr, yi, hr, hi, inv_nv, mod: Modulation, out_mode: str, idx=None
+    yr, yi, hr, hi, inv_nv, mod: Modulation, out_mode: str, idx=None,
+    h_consts=None,
 ):
     """Per-symbol VPU leg shared by the kernel and the jnp twin.
 
     Returns the per-symbol contribution: f32 scalar-plane sum ("sum"),
     the (n_fft, lanes) error plane ("count"), or the (bps·n_fft, lanes)
-    bit-major LLR plane ("llr")."""
-    llr_bits = equalize_llr_bits_cl(yr, yi, hr, hi, inv_nv, mod)
+    bit-major LLR plane ("llr"). The count terminal consumes the
+    UNSCALED metric differences (·inv_nv is sign-invariant — dropped,
+    tail-thinning fix 2 of VERDICT round 4 item 6)."""
+    llr_bits = equalize_llr_bits_cl(
+        yr, yi, hr, hi, inv_nv, mod, h_consts=h_consts,
+        scale_out=(out_mode != "count" or mod.bits_per_axis > 2),
+    )
     if out_mode == "llr":
         if len(llr_bits) == 1:
             return llr_bits[0]
@@ -313,6 +361,15 @@ def _make_cl_kernel(
             # (|h|², conj(h)·y) always runs in f32.
             hr = shr[:].astype(jnp.float32)
             hi = shi[:].astype(jnp.float32)
+            # Symbol-invariant h terms hoisted across the s_blk loop
+            # (narrowband: the full-plane tail; wideband's leafwise
+            # path keeps per-leaf computation — s_blk is 1-2 there and
+            # the hoisted planes would blow the VMEM stack).
+            h_consts = (
+                dfree_h_consts(hr, hi, mod)
+                if n_fft < 1024 and mod.bits_per_axis <= 2
+                else None
+            )
             acc = None
             outs = []
             # Wideband (n_fft ≥ 1024): the full-width y (and working
@@ -388,7 +445,10 @@ def _make_cl_kernel(
                     walk(xr, xi, 0, 0)
                     continue
                 yr, yi = dft_cl(xr, xi, w_refs, tw_consts, mode)
-                r = _symbol_tail(yr, yi, hr, hi, inv_nv, mod, out_mode, idx_s)
+                r = _symbol_tail(
+                    yr, yi, hr, hi, inv_nv, mod, out_mode, idx_s,
+                    h_consts=h_consts,
+                )
                 if out_mode == "llr":
                     outs.append(r)
                 else:
