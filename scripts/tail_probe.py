@@ -79,6 +79,7 @@ def make(what: str):
         hi = hi_ref[:].astype(jnp.float32)
 
         def per_symbol(xr, xi, acc):
+            x_dtype = xr.dtype
             if what in ("ip", "llr"):
                 # Tail-only legs: feed the first n_fft rows as "y".
                 yr = xr[:N_FFT].astype(jnp.float32)
@@ -114,7 +115,9 @@ def make(what: str):
                         return acc + jnp.sum(
                             br.astype(jnp.float32), dtype=jnp.float32
                         ) + jnp.sum(bi.astype(jnp.float32), dtype=jnp.float32)
-                    yr, yi = _matmul.complex_dot_lhs(br, bi, w_refs, mode)
+                    yr, yi = _matmul.complex_dot_lhs(
+                        br.astype(x_dtype), bi.astype(x_dtype), w_refs, mode
+                    )
                     if what == "dft":
                         return acc + jnp.sum(yr, dtype=jnp.float32) + jnp.sum(
                             yi, dtype=jnp.float32
@@ -129,16 +132,29 @@ def make(what: str):
                 h2_ = br.shape[0] // 2
                 x1r, x2r = br[:h2_], br[h2_:]
                 x1i, x2i = bi[:h2_], bi[h2_:]
-                dt = br.dtype
-                sr_ = x1r + x2r
-                si_ = x1i + x2i
-                dr = (x1r - x2r).astype(jnp.float32)
-                di = (x1i - x2i).astype(jnp.float32)
-                er = (dr * twr - di * twi).astype(dt)
-                ei = (dr * twi + di * twr).astype(dt)
+                f32c = n_lvl >= 2
+                if f32c:
+                    sr_ = x1r + x2r
+                    si_ = x1i + x2i
+                    dr = x1r - x2r
+                    di = x1i - x2i
+                    er = dr * twr - di * twi
+                    ei = dr * twi + di * twr
+                else:
+                    dt = br.dtype
+                    sr_ = x1r + x2r
+                    si_ = x1i + x2i
+                    dr = (x1r - x2r).astype(jnp.float32)
+                    di = (x1i - x2i).astype(jnp.float32)
+                    er = (dr * twr - di * twi).astype(dt)
+                    ei = (dr * twi + di * twr).astype(dt)
                 acc = walk(sr_, si_, lvl + 1, row0, acc)
                 return walk(er, ei, lvl + 1, row0 + h2_, acc)
 
+            if n_lvl >= 2:
+                return walk(
+                    xr.astype(jnp.float32), xi.astype(jnp.float32), 0, 0, acc
+                )
             return walk(xr, xi, 0, 0, acc)
 
         def rep(c, total):

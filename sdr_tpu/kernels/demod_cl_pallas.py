@@ -142,14 +142,26 @@ def _twiddle_levels(n_fft: int):
 def dif_blocks(xr, xi, tw_levels):
     """Apply the DIF butterfly/twiddle cascade down to 128-row blocks.
 
-    xr/xi: (n_fft, lanes) in f32 or bf16. Returns the list of 2^k
-    (128, lanes) block pairs whose per-block 128-pt DFTs concatenate to
-    the full transform in ``dif_perm`` row order. Sums stay in the
-    input dtype; the twiddled difference branch computes in f32 and is
-    cast back (for bf16 inputs this is the same error class as the
-    single-pass operand truncation the matmul applies anyway).
+    xr/xi: (n_fft, lanes) in f32 or bf16. Returns (blocks, leaf_dtype):
+    the list of 2^k (128, lanes) block pairs whose per-block 128-pt
+    DFTs concatenate to the full transform in ``dif_perm`` row order,
+    plus the dtype leaves should be cast to before the matmul.
+
+    Cascade precision: one level (n_fft ≤ 512) keeps sums in the input
+    dtype and computes the twiddled branch in f32 cast back — the
+    round-4 scheme. At ≥ 2 levels the WHOLE cascade runs in f32 with a
+    single downcast at the leaf (tail_probe measured the per-level
+    bf16↔f32 cast pairs at ~1/3 of the wideband cascade leg, which is
+    as expensive as the MXU leg there — docs/PERF.md round 5); the
+    leaf downcast preserves the matmul's operand precision, and the
+    f32 intermediate is strictly MORE accurate than per-level
+    truncation.
     """
     dtype = xr.dtype
+    f32_cascade = len(tw_levels) >= 2
+    if f32_cascade:
+        xr = xr.astype(jnp.float32)
+        xi = xi.astype(jnp.float32)
     blocks = [(xr, xi)]
     for twr, twi in tw_levels:
         nxt = []
@@ -159,14 +171,20 @@ def dif_blocks(xr, xi, tw_levels):
             x1i, x2i = bi[:h], bi[h:]
             sr = x1r + x2r
             si = x1i + x2i
-            dr = (x1r - x2r).astype(jnp.float32)
-            di = (x1i - x2i).astype(jnp.float32)
-            er = (dr * twr - di * twi).astype(dtype)
-            ei = (dr * twi + di * twr).astype(dtype)
+            if f32_cascade:
+                dr = x1r - x2r
+                di = x1i - x2i
+                er = dr * twr - di * twi
+                ei = dr * twi + di * twr
+            else:
+                dr = (x1r - x2r).astype(jnp.float32)
+                di = (x1i - x2i).astype(jnp.float32)
+                er = (dr * twr - di * twi).astype(dtype)
+                ei = (dr * twi + di * twr).astype(dtype)
             nxt.append((sr, si))
             nxt.append((er, ei))
         blocks = nxt
-    return blocks
+    return blocks, dtype
 
 
 def dft_cl(xr, xi, w_refs, tw_consts, mode: str):
@@ -174,8 +192,13 @@ def dft_cl(xr, xi, w_refs, tw_consts, mode: str):
     rows of the result in ``dif_perm`` order. The DIF cascade feeds
     2^k 128-point LHS Gauss matmuls (half the MACs per level vs the
     direct N-point matmul)."""
-    blocks = dif_blocks(xr, xi, tw_consts)
-    outs = [_matmul.complex_dot_lhs(br, bi, w_refs, mode) for br, bi in blocks]
+    blocks, leaf_dt = dif_blocks(xr, xi, tw_consts)
+    outs = [
+        _matmul.complex_dot_lhs(
+            br.astype(leaf_dt), bi.astype(leaf_dt), w_refs, mode
+        )
+        for br, bi in blocks
+    ]
     if len(outs) == 1:
         return outs[0]
     yr = jnp.concatenate([o[0] for o in outs], axis=0)
@@ -400,8 +423,11 @@ def _make_cl_kernel(
 
                     def consume(row0, br, bi):
                         nonlocal acc
+                        # Leaf downcast to the input dtype: preserves
+                        # the matmul's operand precision while the
+                        # cascade above ran un-truncated in f32.
                         yr, yi = _matmul.complex_dot_lhs(
-                            br, bi, w_refs, mode
+                            br.astype(x_dt), bi.astype(x_dt), w_refs, mode
                         )
                         sl = slice(row0, row0 + _BASE)
                         r = _symbol_tail(
@@ -425,6 +451,8 @@ def _make_cl_kernel(
                         acc = r if acc is None else acc + r
 
                     def walk(br, bi, lvl, row0):
+                        # f32 cascade (≥3 levels here): no per-level
+                        # truncation, one downcast at the leaf.
                         if br.shape[0] == _BASE:
                             consume(row0, br, bi)
                             return
@@ -432,17 +460,19 @@ def _make_cl_kernel(
                         h2 = br.shape[0] // 2
                         x1r, x2r = br[:h2], br[h2:]
                         x1i, x2i = bi[:h2], bi[h2:]
-                        dt = br.dtype
                         sr_ = x1r + x2r
                         si_ = x1i + x2i
-                        dr = (x1r - x2r).astype(jnp.float32)
-                        di = (x1i - x2i).astype(jnp.float32)
-                        er = (dr * twr - di * twi).astype(dt)
-                        ei = (dr * twi + di * twr).astype(dt)
+                        dr = x1r - x2r
+                        di = x1i - x2i
+                        er = dr * twr - di * twi
+                        ei = dr * twi + di * twr
                         walk(sr_, si_, lvl + 1, row0)
                         walk(er, ei, lvl + 1, row0 + h2)
 
-                    walk(xr, xi, 0, 0)
+                    x_dt = xr.dtype
+                    walk(
+                        xr.astype(jnp.float32), xi.astype(jnp.float32), 0, 0
+                    )
                     continue
                 yr, yi = dft_cl(xr, xi, w_refs, tw_consts, mode)
                 r = _symbol_tail(

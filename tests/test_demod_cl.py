@@ -66,7 +66,7 @@ def test_dif_cascade_matches_fft(rng, n_fft):
     x = (
         rng.standard_normal((n_fft, 8)) + 1j * rng.standard_normal((n_fft, 8))
     ).astype(np.complex64)
-    blocks = dif_blocks(
+    blocks, _leaf_dt = dif_blocks(
         jnp.asarray(np.real(x)), jnp.asarray(np.imag(x)),
         [(jnp.asarray(a), jnp.asarray(b)) for a, b in _twiddle_levels(n_fft)],
     )
