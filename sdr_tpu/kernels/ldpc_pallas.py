@@ -216,6 +216,26 @@ def ldpc_decode_pallas_sublane(
     batch = llr.shape[0]
     if not supported_sublane(code, batch):
         raise ValueError(f"unsupported batch {batch} for the sublane decoder")
+    llr_t = jnp.transpose(
+        llr.reshape(batch, code.nb, code.z).astype(jnp.float32), (1, 2, 0)
+    )
+    out = _sublane_call(code, llr_t, iters, offset, schedule, interpret)
+    return (
+        jnp.transpose(out, (2, 0, 1)).reshape(batch, code.n).astype(jnp.int8)
+    )
+
+
+def _sublane_call(
+    code: QcLdpcCode,
+    llr_t: jnp.ndarray,
+    iters: int,
+    offset: float,
+    schedule: str,
+    interpret: bool | None,
+) -> jnp.ndarray:
+    """Shared sublane-major min-sum body: (nb, Z, batch) f32 LLR planes
+    → (nb, Z, batch) f32 hard bits."""
+    batch = llr_t.shape[2]
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule {schedule!r}")
     z, nb, mb = code.z, code.nb, code.mb
@@ -325,9 +345,6 @@ def ldpc_decode_pallas_sublane(
                 tot[j] < 0, jnp.float32(1.0), jnp.float32(0.0)
             )
 
-    llr_t = jnp.transpose(
-        llr.reshape(batch, nb, z).astype(jnp.float32), (1, 2, 0)
-    )
     out = pl.pallas_call(
         kernel,
         grid=(batch // lt,),
@@ -347,6 +364,37 @@ def ldpc_decode_pallas_sublane(
         ),
         interpret=interpret,
     )(llr_t)
-    return (
-        jnp.transpose(out, (2, 0, 1)).reshape(batch, code.n).astype(jnp.int8)
-    )
+    return out
+
+
+def ldpc_decode_sublane_t(
+    code: QcLdpcCode,
+    llr_t: jnp.ndarray,
+    iters: int = 25,
+    offset: float = 0.5,
+    schedule: str = "flooding",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Transposed-input form: (n, batch) LLRs → (n, batch) hard bits.
+
+    The fused-seam entry for the coded fast engine: the CL demod's
+    kernel-order LLR plane is bit-major × channel-lanes, so after the
+    composed deinterleave gather the codeword axis is ALREADY on
+    lanes — (n, batch) reshapes to the kernel's (nb, Z, batch) blocks
+    for free, skipping the rows-major round trip
+    ``ldpc_decode_pallas_sublane`` pays on both sides.
+    """
+    if llr_t.ndim != 2 or llr_t.shape[0] != code.n:
+        raise ValueError(f"expected ({code.n}, batch) LLRs, got {llr_t.shape}")
+    batch = llr_t.shape[1]
+    if not supported_sublane(code, batch):
+        raise ValueError(f"unsupported batch {batch} for the sublane decoder")
+    # Same kernel body as ldpc_decode_pallas_sublane, minus the
+    # relayout: route through a private helper to keep one source of
+    # truth for the min-sum dataflow.
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _sublane_call(
+        code, llr_t.reshape(code.nb, code.z, batch).astype(jnp.float32),
+        iters, offset, schedule, interpret,
+    ).reshape(code.n, batch).astype(jnp.int8)

@@ -198,12 +198,28 @@ def tx_channel_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
     nv = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps)
     tvar = nv / N
 
-    k_idx, k_noise, k_fade = _role_keys(key, ch_ids)
+    k_idx, _, _ = _role_keys(key, ch_ids)
     idx = jax.vmap(
         lambda k: jax.random.randint(k, (S, N), 0, 1 << bps, jnp.int32)
     )(k_idx)
     re, im = _tx(cfg, idx, backend)
+    return apply_channel_fast(cfg, key, ch_ids, re, im, layout=layout)
 
+
+def apply_channel_fast(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
+                       re: jnp.ndarray, im: jnp.ndarray,
+                       layout: str = "rows"):
+    """The fast engine's channel stage over an externally-built
+    waveform: fading + AWGN, keyed by global channel id, through the
+    fused Pallas channel kernel where it applies (else the threefry
+    XLA path). Shared by tx_channel_core and the coded fast engine."""
+    B = ch_ids.shape[0]
+    bps = cfg.modulation.bits_per_symbol
+    N = cfg.ofdm.n_fft
+    nv = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps)
+    tvar = nv / N
+
+    _, k_noise, k_fade = _role_keys(key, ch_ids)
     model = cfg.channel.model
     h, taps = _fade_state(cfg, k_fade)
 

@@ -223,7 +223,9 @@ def ldpc_decode(
         ):
             return ldpc_decode_pallas(code, llr, iters=iters, offset=offset)
         if _sub_ok(code, llr.shape[0]) and (
-            backend in ("pallas", "sublane") or on_tpu
+            backend in ("pallas", "sublane")
+            or on_tpu
+            or schedule == "layered"  # only the sublane kernel has it
         ):
             return ldpc_decode_pallas_sublane(
                 code, llr, iters=iters, offset=offset, schedule=schedule
