@@ -108,8 +108,15 @@ def _pin_precision(mod: Modulation):
     (docs/PERF.md) shows single-pass bf16 is BER-neutral through
     64-QAM but moves 1024-QAM error counts +10% — an adaptation
     ladder must not let a bench-mode env leak threshold errors into
-    its dense rungs."""
-    cur = _os.environ.get("SDR_TPU_MXU_PRECISION", "bf16x3")
+    its dense rungs.
+
+    Mutates the process-global environment around tracing — NOT safe
+    under concurrent calibrations in one process (run them
+    sequentially, as the CLI does). Restores the variable's exact
+    prior state, including absence.
+    """
+    raw = _os.environ.get("SDR_TPU_MXU_PRECISION")
+    cur = raw if raw is not None else "bf16x3"
     needs_pin = (
         mod.bits_per_symbol > 6 and cur.lower() in ("default", "bf16x1")
     )
@@ -120,7 +127,10 @@ def _pin_precision(mod: Modulation):
     try:
         yield
     finally:
-        _os.environ["SDR_TPU_MXU_PRECISION"] = cur
+        if raw is None:
+            _os.environ.pop("SDR_TPU_MXU_PRECISION", None)
+        else:
+            _os.environ["SDR_TPU_MXU_PRECISION"] = raw
 
 
 def efficiency(mod: Modulation, rate: str, family: str = "conv") -> float:
@@ -211,12 +221,17 @@ def calibrate(
             ber = float(errors.sum()) / float(counted.sum())
             return ber, float(counted.sum()), cfg.n_channels
 
-        # Coded BER is monotone non-increasing in Es/N0 (the waterfall),
-        # so the smallest passing grid point binary-searches in
+        # The smallest passing grid point is binary-searched in
         # O(log |grid|) simulations instead of a linear walk — what
         # makes full-roster (BPSK→1024-QAM × waveform) calibration
-        # affordable on hardware. The result is IDENTICAL to the
-        # linear scan (tests pin the thresholds).
+        # affordable on hardware. This ASSUMES the measured pass/fail
+        # predicate is monotone in Es/N0 (the waterfall). The true BER
+        # is monotone, but a Monte-Carlo estimate near the target can
+        # flicker: on such a draw the search may return a neighboring
+        # grid point where a linear scan would have caught the first
+        # flicker — both are within the estimator's own noise, and the
+        # fixed per-rung keys keep the result deterministic (tests pin
+        # the thresholds for the shipped grids/keys).
         top = measure(esno_grid[-1])
         if top is None or top[0] > target_ber:
             continue  # infeasible, or never meets target on this grid

@@ -117,6 +117,18 @@ def _mc_scfdma_wideband(cfg: LinkConfig, seed, iters: int):
     """
     from sdr_tpu.link.fast import fast_core
 
+    # Same int32 counter guard as the main mc_simulate path (this
+    # branch returns before it — the per-channel accumulator and the
+    # bits-counted fill below are int32 too).
+    bits_per_pass = (
+        cfg.n_symbols * cfg.ofdm.n_fft * cfg.modulation.bits_per_symbol
+    )
+    if bits_per_pass * iters >= 2**31:
+        raise ValueError(
+            f"iters={iters} overflows the int32 per-channel bit counter "
+            f"({bits_per_pass} bits/pass); accumulate across mc_simulate "
+            "calls at the caller instead"
+        )
     ch_ids = jnp.arange(cfg.n_channels, dtype=jnp.int32)
     seed = jnp.asarray(seed, jnp.int32)
 

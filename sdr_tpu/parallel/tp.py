@@ -217,7 +217,21 @@ def make_tp_demod_fn(
     when a tile fits. Numerics match the same four-step decomposition
     computed unsharded to f32 rounding; hard decisions are identical
     (tests/test_tp.py).
+
+    Signature note (round-4 break, defended here): round 3's build
+    signature was ``(n_fft, cp_len, mod, noise_var, mesh, ...)``; a
+    positional caller of that order would now pass a float where the
+    Mesh belongs — rejected below with a pointed error instead of a
+    silent late failure.
     """
+    if not isinstance(mesh, Mesh):
+        raise TypeError(
+            "make_tp_demod_fn's 4th positional argument is the Mesh "
+            "since round 4 (noise_var moved to a runtime argument of "
+            f"the returned fn); got {type(mesh).__name__!r} — update "
+            "the call to make_tp_demod_fn(n_fft, cp_len, mod, mesh) "
+            "or pass the legacy build-time noise_var= keyword"
+        )
     n_dev = mesh.shape[axis]
     n1, n2 = tp_split(n_fft, n_dev)
     twr, twi = _twiddle_np(n1, n2)
