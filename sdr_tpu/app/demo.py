@@ -119,6 +119,59 @@ def render_frame_panel(wave_ring, const_pts, text: str) -> str:
 # --- frame loop ------------------------------------------------------------
 
 
+class _KeyPoller:
+    """Non-blocking single-key reader for an interactive terminal.
+
+    The live-control analog of the reference's speed slider
+    (QFDemoWindow.cpp:119-162, 1–200 ms on the running timer): on a
+    POSIX tty, '+'/'-' retune the frame interval WHILE the demo runs
+    and 'q' quits. On non-tty stdin (tests, pipes, CI) every poll
+    returns None and the demo behaves exactly as before.
+    """
+
+    def __init__(self, stream=None):
+        self._stream = stream if stream is not None else sys.stdin
+        self._active = False
+        self._old = None
+        try:
+            self._fd = self._stream.fileno()
+            self._isatty = self._stream.isatty()
+        except (AttributeError, OSError, ValueError):
+            self._fd = None
+            self._isatty = False
+
+    def __enter__(self):
+        if self._isatty:
+            try:
+                import termios
+                import tty
+
+                self._old = termios.tcgetattr(self._fd)
+                tty.setcbreak(self._fd)
+                self._active = True
+            except Exception:
+                self._active = False
+        return self
+
+    def __exit__(self, *exc):
+        if self._active and self._old is not None:
+            import termios
+
+            termios.tcsetattr(self._fd, termios.TCSADRAIN, self._old)
+        return False
+
+    def poll(self):
+        if not self._active:
+            return None
+        import select
+
+        r, _, _ = select.select([self._fd], [], [], 0)
+        if not r:
+            return None
+        ch = self._stream.read(1)
+        return ch or None
+
+
 def run_demo(
     cfg: DemoConfig | None = None,
     frames: int = 100,
@@ -126,6 +179,7 @@ def run_demo(
     render: bool = True,
     out=sys.stdout,
     snapshot: str | None = None,
+    keys=None,
 ) -> str:
     """Run the loopback frame loop; returns the final decoded text ring.
 
@@ -133,6 +187,12 @@ def run_demo(
     graphical views the reference's Qt window shows (time-domain Re/Im
     of the sliding plot history, RX constellation scatter) into one
     figure, with the decoded text as the caption.
+
+    Live controls on an interactive terminal (the reference slider's
+    analog, clamped to its same 1–200 ms range): '+' speeds the frame
+    timer up, '-' slows it down, 'q' stops. ``keys``: optional iterable
+    of key events consumed one per frame (the testable injection form
+    of the tty poller).
     """
     cfg = cfg or DemoConfig()
     frame, bpf = make_frame_fn(cfg)
@@ -144,25 +204,45 @@ def run_demo(
     pos = 0
     im_ring = SlidingBuffer(cfg.history)
     pts = np.zeros(0, np.complex64)
-    for fi in range(frames):
-        chunk = bytes(
-            PAYLOAD[(pos + i) % len(PAYLOAD)] for i in range(bpf)
-        )
-        pos = (pos + bpf) % len(PAYLOAD)
-        decoded, tx_re, tx_im, rx_re, rx_im = frame(
-            jnp.asarray(np.frombuffer(chunk, np.uint8)), jax.random.fold_in(key, fi)
-        )
-        plot_ring.push_back([float(v) for v in np.asarray(tx_re)])
-        im_ring.push_back([float(v) for v in np.asarray(tx_im)])
-        text_ring.push_back(list(bytes(np.asarray(decoded))))
-        pts = np.asarray(rx_re) + 1j * np.asarray(rx_im)
-        if render:
-            txt = bytes(b & 0x7F for b in text_ring.tolist()).decode("ascii", "replace")
-            out.write("\x1b[2J\x1b[H" if out.isatty() else "")
-            out.write(render_frame_panel(plot_ring, pts, txt) + "\n")
-            out.flush()
-        if interval_ms and render:
-            time.sleep(interval_ms / 1000.0)
+    key_iter = iter(keys) if keys is not None else None
+    with _KeyPoller() as poller:
+        for fi in range(frames):
+            chunk = bytes(
+                PAYLOAD[(pos + i) % len(PAYLOAD)] for i in range(bpf)
+            )
+            pos = (pos + bpf) % len(PAYLOAD)
+            decoded, tx_re, tx_im, rx_re, rx_im = frame(
+                jnp.asarray(np.frombuffer(chunk, np.uint8)), jax.random.fold_in(key, fi)
+            )
+            plot_ring.push_back([float(v) for v in np.asarray(tx_re)])
+            im_ring.push_back([float(v) for v in np.asarray(tx_im)])
+            text_ring.push_back(list(bytes(np.asarray(decoded))))
+            pts = np.asarray(rx_re) + 1j * np.asarray(rx_im)
+            if render:
+                txt = bytes(b & 0x7F for b in text_ring.tolist()).decode("ascii", "replace")
+                out.write("\x1b[2J\x1b[H" if out.isatty() else "")
+                out.write(render_frame_panel(plot_ring, pts, txt) + "\n")
+                out.write(
+                    f"[frame {fi + 1}/{frames}  interval "
+                    f"{interval_ms:.0f} ms   +/- speed, q quit]\n"
+                )
+                out.flush()
+            # Live speed control: injected key events first (testable),
+            # then the tty poller; clamped to the reference slider's
+            # 1-200 ms range (QFDemoWindow.cpp:119-125).
+            ch = None
+            if key_iter is not None:
+                ch = next(key_iter, None)
+            if ch is None:
+                ch = poller.poll()
+            if ch == "+":
+                interval_ms = max(1.0, interval_ms / 1.25)
+            elif ch == "-":
+                interval_ms = min(200.0, max(1.0, interval_ms) * 1.25)
+            elif ch == "q":
+                break
+            if interval_ms and render:
+                time.sleep(interval_ms / 1000.0)
 
     text = bytes(b & 0x7F for b in text_ring.tolist()).decode("ascii", "replace")
     if snapshot:

@@ -291,3 +291,38 @@ def test_cli_bench_mc_rejects_unsupported_config(capsys):
     # floor) — the MC gate must reject it with a clear error, not crash.
     assert main(["bench", "--config", "0", "--mc", "2"]) == 2
     assert "--mc needs" in capsys.readouterr().err
+
+
+def test_demo_live_speed_control():
+    """The reference slider's analog (QFDemoWindow.cpp:119-162): '+'
+    and '-' retune the running frame interval within 1-200 ms and 'q'
+    stops the loop — driven through the injected-key form."""
+    import io
+
+    from sdr_tpu.app.demo import DemoConfig, run_demo
+
+    out = io.StringIO()
+    # '-' twice then 'q' on frame 3: the loop must stop early (the
+    # text ring stays mostly blank padding).
+    text = run_demo(
+        DemoConfig(), frames=50, interval_ms=0.0, render=True, out=out,
+        keys=["-", "-", "q"],
+    )
+    assert "interval" in out.getvalue()
+    assert len(text) == 50
+    rendered = out.getvalue().count("[frame")
+    assert rendered == 3  # stopped by 'q', not by the frame budget
+
+
+def test_demo_interval_clamped():
+    import io
+
+    from sdr_tpu.app.demo import DemoConfig, run_demo
+
+    out = io.StringIO()
+    run_demo(
+        DemoConfig(), frames=6, interval_ms=2.0, render=True, out=out,
+        keys=["+", "+", "+", "+", "+"],
+    )
+    # last rendered interval is clamped at the reference slider's 1 ms
+    assert "interval 1 ms" in out.getvalue()
