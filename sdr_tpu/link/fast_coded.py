@@ -91,8 +91,9 @@ def _fused_rowperm(n_fft: int, n_syms: int, bps: int, sent: int, seed: int):
     by_pub = np.empty(frame, np.int32)
     by_pub[pub] = rows
     # deinterleave(x) = x[inv], so coded-stream position t reads
-    # public position inv[t]:
-    return jnp.asarray(by_pub[inv[:sent]])
+    # public position inv[t]. Cached as NUMPY (an lru-cached jnp array
+    # created under one trace would leak its tracer into the next).
+    return by_pub[inv[:sent]]
 
 
 def ldpc_fast_simulate(
@@ -175,7 +176,7 @@ def ldpc_fast_simulate(
             re_t, im_t, hr_t, hi_t, cfg.ofdm.cp_len, mod, nv_eff,
             kernel_order=True,
         )  # (S·bps·N, B)
-        rowperm = _fused_rowperm(N, S, bps, sent, 0x1EAF)
+        rowperm = jnp.asarray(_fused_rowperm(N, S, bps, sent, 0x1EAF))
         llr_t = plane[rowperm]  # (sent, B) deinterleaved coded stream
         # (n_cw·n, B) → (n, n_cw·B): codewords stay on lanes.
         llr_cw_t = (

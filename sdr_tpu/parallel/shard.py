@@ -368,3 +368,70 @@ def make_sharded_coded_fn(
         check_vma=False,
     )
     return jax.jit(f)
+
+
+def make_sharded_coded_fast_fn(
+    cfg: LinkConfig,
+    mesh: Mesh,
+    rate: str = "1/2",
+    ldpc_iters: int = 25,
+    schedule: str = "flooding",
+    seam: str = "auto",
+):
+    """Channel-batch DP for the CODED FAST engine (link.fast_coded —
+    the batched LDPC chain with the fused demod→decoder seam).
+
+    Every draw in the engine is keyed by global channel id (payload,
+    fading AND the channel kernel's noise), so each device running its
+    own consecutive id slice is bit-exact vs the unsharded
+    ``ldpc_fast_simulate`` — the round-5 coded analog of
+    ``make_sharded_fast_fn``. The seam resolves once here against the
+    per-shard batch so all shards (and the oracle comparison) take the
+    same path.
+    """
+    from sdr_tpu.link.fast_coded import ldpc_fast_simulate
+
+    n_shards = mesh.shape["time"] * mesh.shape["channel"]
+    if cfg.n_channels % n_shards != 0:
+        raise ValueError(
+            f"n_channels={cfg.n_channels} not divisible by "
+            f"device count {n_shards}"
+        )
+    local = cfg.n_channels // n_shards
+    cdev = mesh.shape["channel"]
+    if seam == "auto":
+        from sdr_tpu.kernels.demod_cl_pallas import supported_cl
+        from sdr_tpu.link.coded import (
+            ldpc_code_for,
+            ldpc_codewords_per_channel,
+        )
+
+        n_cw = ldpc_codewords_per_channel(cfg, ldpc_code_for(rate))
+        seam = (
+            "fused"
+            if (
+                jax.default_backend() == "tpu"
+                and supported_cl(
+                    cfg.ofdm.n_fft, local, cfg.n_symbols, cfg.modulation
+                )
+                and local * n_cw % 128 == 0
+            )
+            else "staged"
+        )
+
+    def local_fn(key):
+        me = lax.axis_index("time") * cdev + lax.axis_index("channel")
+        ch_ids = me * local + jnp.arange(local)
+        return ldpc_fast_simulate(
+            cfg, key, rate=rate, iters=ldpc_iters, schedule=schedule,
+            seam=seam, ch_ids=ch_ids,
+        )
+
+    f = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=(P(("time", "channel")), P(("time", "channel"))),
+        check_vma=False,  # pallas_call, as in make_sharded_fast_fn
+    )
+    return jax.jit(f)

@@ -132,3 +132,22 @@ def test_unsupported_configs_raise():
     )
     with pytest.raises(NotImplementedError):
         ldpc_fast_simulate(bad, jax.random.PRNGKey(0))
+
+
+def test_sharded_coded_fast_bit_exact():
+    """Sharded coded fast engine == unsharded, bit-exact (channel-DP
+    over the batched coded chain; the round-5 coded analog of the
+    fast-path sharding contract)."""
+    from sdr_tpu.parallel import make_link_mesh, make_sharded_coded_fast_fn
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    cfg = _cfg(n_ch=8 * 16, n_syms=6)
+    mesh = make_link_mesh(2, 4)
+    key = jax.random.PRNGKey(5)
+    e_sh, c_sh = make_sharded_coded_fast_fn(cfg, mesh, seam="staged")(key)
+    e_un, _ = jax.jit(
+        lambda k: ldpc_fast_simulate(cfg, k, seam="staged")
+    )(key)
+    np.testing.assert_array_equal(np.asarray(e_sh), np.asarray(e_un))
+    assert int(np.asarray(c_sh).sum()) > 0
