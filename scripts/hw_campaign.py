@@ -40,7 +40,44 @@ HEAD = {"SDR_BENCH_NFFT": "256", "SDR_BENCH_CP": "64",
         "SDR_BENCH_BATCH": "4096", "SDR_BENCH_SYMS": "64"}
 
 CAMPAIGN = [
-    # Round 4 first: the channels-last pipelined headline (bench.py
+    # Round 5 first: the library-entry headline, the LLR-materializing
+    # terminal (f32/bf16 out), the sublane LDPC decoder (flooding +
+    # layered), the coded fast engine (staged vs fused seam), and the
+    # kernel-channel e2e engine — each wants one healthy-window
+    # confirmation with the same probe-labeled discipline.
+    ("r5_headline_library_entry", "../bench.py", {"SDR_BENCH_RETRY_S": "0"}),
+    ("r5_llr_plane_f32", "bench_demod.py",
+     {"SDR_BENCH_LAYOUT": "cl", "SDR_BENCH_TERMINAL": "llr_plane",
+      "SDR_BENCH_BATCH": "8192", "SDR_BENCH_INPUT_DTYPE": "bf16"}),
+    ("r5_llr_plane_bf16", "bench_demod.py",
+     {"SDR_BENCH_LAYOUT": "cl", "SDR_BENCH_TERMINAL": "llr_plane",
+      "SDR_BENCH_BATCH": "8192", "SDR_BENCH_INPUT_DTYPE": "bf16",
+      "SDR_BENCH_LLR_DTYPE": "bf16"}),
+    ("r5_ldpc_flooding_16k", "bench_ldpc.py",
+     {"SDR_BENCH_LDPC_CW": "16384", "SDR_BENCH_ITERS": "3"}),
+    ("r5_ldpc_layered13_16k", "bench_ldpc.py",
+     {"SDR_BENCH_LDPC_CW": "16384", "SDR_BENCH_ITERS": "3",
+      "SDR_BENCH_LDPC_SCHEDULE": "layered", "SDR_BENCH_LDPC_ITERS": "13"}),
+    ("r5_coded_fused_4096", "bench_coded.py",
+     {"SDR_BENCH_CHANNELS": "4096", "SDR_BENCH_CODED_ENGINE": "fused",
+      "SDR_BENCH_LDPC_SCHEDULE": "layered", "SDR_BENCH_LDPC_ITERS": "13"}),
+    ("r5_coded_staged_4096", "bench_coded.py",
+     {"SDR_BENCH_CHANNELS": "4096", "SDR_BENCH_CODED_ENGINE": "staged",
+      "SDR_BENCH_LDPC_SCHEDULE": "layered", "SDR_BENCH_LDPC_ITERS": "13"}),
+    ("r5_fast_kernel_channel_32k", "bench_link.py",
+     {"SDR_BENCH_CHANNELS": "32768", "SDR_BENCH_SYMS": "64",
+      "SDR_BENCH_ITERS": "4", "SDR_BENCH_ENGINE": "fast",
+      "SDR_BENCH_CHANNEL_MODEL": "rayleigh_flat"}),
+    ("r5_fast_threefry_32k", "bench_link.py",
+     {"SDR_BENCH_CHANNELS": "32768", "SDR_BENCH_SYMS": "64",
+      "SDR_BENCH_ITERS": "4", "SDR_BENCH_ENGINE": "fast",
+      "SDR_BENCH_CHANNEL_MODEL": "rayleigh_flat",
+      "SDR_TPU_CHANNEL_BACKEND": "jnp"}),
+    ("r5_wb4096_cl_f32cascade", "bench_demod.py",
+     {"SDR_BENCH_NFFT": "4096", "SDR_BENCH_CP": "512",
+      "SDR_BENCH_BATCH": "4096", "SDR_BENCH_SYMS": "8",
+      "SDR_BENCH_LAYOUT": "cl", "SDR_BENCH_INPUT_DTYPE": "bf16"}),
+    # Round 4 next: the channels-last pipelined headline (bench.py
     # defaults to it), its block-shape knobs, the fast-SSCL polar
     # decoder, and the fused wideband SC-FDE — each wants one
     # healthy-window (>= 300 GB/s probe) confirmation; 0/52+ probes
