@@ -602,6 +602,12 @@ def _pick_blocks(
     if lb < 128:
         raise ValueError(f"batch {batch} does not tile 128 lanes")
     s_blk = _cl_sblk()
+    if n_fft >= 1024 and out_mode != "llr" and "SDR_TPU_CL_SBLK" not in os.environ:
+        # Wideband sum/count optimum is ONE symbol per block (measured
+        # 29.7 vs 28.8 GS/s at s_blk=2 same-window, and the round-5
+        # 30.8 GS/s config-5 capture — the deep leafwise DFS already
+        # fills the pipeline, and s_blk=1 halves the live x window).
+        s_blk = 1
     while n_syms % s_blk:
         s_blk //= 2
     s_blk = max(s_blk, 1)
