@@ -408,7 +408,7 @@ def _make_cl_kernel(
                 xr = sre[o : o + n_fft, :]
                 xi = sim[o : o + n_fft, :]
                 idx_s = (
-                    sidx[s * n_fft : (s + 1) * n_fft, :]
+                    sidx[s * n_fft : (s + 1) * n_fft, :].astype(jnp.int32)
                     if out_mode == "count"
                     else None
                 )
@@ -578,7 +578,8 @@ def _block_bytes(
     b = 2 * (2 * s_blk * sym_len * lb * x_item)  # re+im, 2 buffers
     b += 2 * (2 * n_fft * lb * h_item)  # hr+hi
     if out_mode == "count":
-        b += 2 * (s_blk * n_fft * lb * 4 + 8 * lb * 4)
+        idx_item = 1 if mod.bits_per_symbol <= 8 else 2
+        b += 2 * (s_blk * n_fft * lb * idx_item + 8 * lb * 4)
     elif out_mode == "llr":
         b += 2 * (s_blk * mod.bits_per_symbol * n_fft * lb * out_item)
     return b
@@ -666,7 +667,11 @@ def _run_cl(
         idx_t = (
             idx_t.reshape(n_syms, n_fft, batch)[:, perm, :]
             .reshape(n_syms * n_fft, batch)
-            .astype(jnp.int32)
+            # Narrow index plane: the idx read is 4 B/sample in int32 —
+            # as much HBM as BOTH bf16 sample planes. int8 covers
+            # bps ≤ 8 (through 256-QAM), int16 the rest; the kernel
+            # widens in-register.
+            .astype(jnp.int8 if mod.bits_per_symbol <= 8 else jnp.int16)
         )
 
     w_ops, tw_ops = _operands(n_fft, mode)
