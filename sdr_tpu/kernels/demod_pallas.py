@@ -288,7 +288,13 @@ def _make_kernel(
         # per-symbol fading plane (tb,S,N) → (rows,N).
         hr = jnp.broadcast_to(hr_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
         hi = jnp.broadcast_to(hi_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
-        idx = idx_ref[:].reshape(rows, n_fft) if count else None
+        # idx rides HBM/VMEM narrow (int8/int16, round 5) and widens
+        # in-register — the int32 plane read was 4 B/sample.
+        idx = (
+            idx_ref[:].reshape(rows, n_fft).astype(jnp.int32)
+            if count
+            else None
+        )
 
         def tail(c, y):
             """VPU leg for row chunk c: equalize + max-log LLR (+count)."""
@@ -540,7 +546,11 @@ def demod_count_pallas(
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(re, im, hr, hi, idx.astype(jnp.int32), *w_ops)
+    )(
+        re, im, hr, hi,
+        idx.astype(jnp.int8 if mod.bits_per_symbol <= 8 else jnp.int16),
+        *w_ops,
+    )
     return jnp.sum(
         out.reshape(batch, n_fft), axis=-1, dtype=jnp.float32
     ).astype(jnp.int32)
