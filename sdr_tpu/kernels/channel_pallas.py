@@ -224,3 +224,70 @@ def seed32(key: jax.Array) -> jnp.ndarray:
     return lax.bitcast_convert_type(
         x[0] ^ x[-1], jnp.int32
     )
+
+
+def payload_supported(B: int, S: int, N: int) -> bool:
+    return B % _TB == 0 and (S * N) % 128 == 0
+
+
+def payload_idx_pallas(
+    B: int,
+    S: int,
+    N: int,
+    bps: int,
+    seed: jnp.ndarray,
+    ch_ids: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """(B, S, N) random symbol indices from the on-core PRNG — the fast
+    engine's payload draw without the threefry pass.
+
+    Determinism contract (same as ``fade_awgn_pallas``): the stream is
+    a pure function of (seed, global channel id) with a FIXED 128-
+    channel block rule — so the TX side, the RX side's recompute, and
+    any shard of consecutive 128-aligned channels draw IDENTICAL
+    indices regardless of where they execute. Output dtype is int8
+    (bps ≤ 8) or int16 — the narrow form every consumer kernel widens
+    in-register (round-5 idx-plane narrowing).
+
+    No CPU lowering for the PRNG: off-TPU callers keep the threefry
+    path (link.fast gates on the backend).
+    """
+    if not payload_supported(B, S, N):
+        raise ValueError(f"unsupported payload shape ({B},{S},{N})")
+    out_dt = jnp.int8 if bps <= 7 else jnp.int16
+    if ch_ids is None:
+        chb = jnp.arange(0, B, _TB, dtype=jnp.int32)
+    else:
+        chb = ch_ids[::_TB].astype(jnp.int32)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cols = S * N
+
+    def kernel(seed_ref, chb_ref, out_ref):
+        c = pl.program_id(0)
+        pltpu.prng_seed(
+            seed_ref[0] ^ (chb_ref[c] * jnp.int32(-1640531527)),
+            jnp.int32(0x5DEECE66),
+        )
+        bits = pltpu.prng_random_bits((_TB, cols))
+        idx = jax.lax.bitcast_convert_type(bits, jnp.int32) & jnp.int32(
+            (1 << bps) - 1
+        )
+        out_ref[:] = idx.astype(out_dt)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // _TB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_TB, cols), lambda c: (c, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, cols), out_dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)), chb)
+    return out.reshape(B, S, N)

@@ -578,7 +578,7 @@ def _block_bytes(
     b = 2 * (2 * s_blk * sym_len * lb * x_item)  # re+im, 2 buffers
     b += 2 * (2 * n_fft * lb * h_item)  # hr+hi
     if out_mode == "count":
-        idx_item = 1 if mod.bits_per_symbol <= 8 else 2
+        idx_item = 1 if mod.bits_per_symbol <= 7 else 2
         b += 2 * (s_blk * n_fft * lb * idx_item + 8 * lb * 4)
     elif out_mode == "llr":
         b += 2 * (s_blk * mod.bits_per_symbol * n_fft * lb * out_item)
@@ -671,7 +671,7 @@ def _run_cl(
             # as much HBM as BOTH bf16 sample planes. int8 covers
             # bps ≤ 8 (through 256-QAM), int16 the rest; the kernel
             # widens in-register.
-            .astype(jnp.int8 if mod.bits_per_symbol <= 8 else jnp.int16)
+            .astype(jnp.int8 if mod.bits_per_symbol <= 7 else jnp.int16)
         )
 
     w_ops, tw_ops = _operands(n_fft, mode)

@@ -548,7 +548,7 @@ def demod_count_pallas(
         interpret=interpret,
     )(
         re, im, hr, hi,
-        idx.astype(jnp.int8 if mod.bits_per_symbol <= 8 else jnp.int16),
+        idx.astype(jnp.int8 if mod.bits_per_symbol <= 7 else jnp.int16),
         *w_ops,
     )
     return jnp.sum(

@@ -84,7 +84,8 @@ def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int, mod: Modulation)
     def kernel(idx_ref, *rest):
         w_refs = rest[:n_w]
         re_ref, im_ref = rest[n_w], rest[n_w + 1]
-        idx = idx_ref[:].reshape(rows, n_fft)
+        # idx may ride narrow (int8/int16, round 5) — widen in-register.
+        idx = idx_ref[:].reshape(rows, n_fft).astype(jnp.int32)
         if mod is Modulation.BPSK:
             gi = idx
             gq = None
@@ -166,7 +167,12 @@ def tx_chain_pallas(
         ),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(indices.astype(jnp.int32), *w_ops)
+    )(
+        indices
+        if jnp.issubdtype(indices.dtype, jnp.integer)
+        else indices.astype(jnp.int32),
+        *w_ops,
+    )
     return (
         re.reshape(batch, n_syms, sym_len),
         im.reshape(batch, n_syms, sym_len),

@@ -71,6 +71,10 @@ def _tx(cfg: LinkConfig, idx: jnp.ndarray, backend: str):
     )
     if want and small_ok:
         return tx_chain_pallas(idx, cfg.ofdm.cp_len, cfg.modulation)
+    # The wideband TX variants and the jnp fallback take int32 indices
+    # (only the small fused kernel widens narrow planes in-register).
+    if idx.dtype != jnp.int32 and not (want and small_ok):
+        idx = idx.astype(jnp.int32)
     wide_variant = os.environ.get("SDR_TPU_TX_WIDEBAND", "fourstep2")
     if (
         want
@@ -93,6 +97,47 @@ def _role_keys(key: jax.Array, ch_ids: jnp.ndarray):
     k_noise = jax.vmap(lambda k: prng.role_key(k, prng.ROLE_NOISE))(ch_keys)
     k_fade = jax.vmap(lambda k: prng.role_key(k, prng.ROLE_FADING))(ch_keys)
     return k_idx, k_noise, k_fade
+
+
+def _draw_idx(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray):
+    """Per-channel transmitted symbol indices, (B, S, N).
+
+    On TPU (channel-kernel backend active) the draw runs on the
+    on-core PRNG with the fixed 128-channel block rule — a pure
+    function of (key, global channel id), so the TX side, the RX
+    side's recompute and any 128-aligned shard draw IDENTICAL indices
+    (the pp/shard bit-exactness contract), without the threefry pass
+    the probe priced at ~1/4 of the engine. Returns the narrow int8/
+    int16 form every consumer kernel widens in-register. Off-TPU:
+    the original per-channel threefry draw (int32)."""
+    from sdr_tpu.kernels.channel_pallas import (
+        channel_backend,
+        payload_idx_pallas,
+        payload_supported,
+        seed32,
+    )
+
+    B = ch_ids.shape[0]
+    S, N = cfg.n_symbols, cfg.ofdm.n_fft
+    bps = cfg.modulation.bits_per_symbol
+    ckb = channel_backend()
+    # TPU only: the on-core PRNG has no interpret lowering, and unlike
+    # the noise kernel there is no injection form (the indices ARE the
+    # payload — off-TPU simply keeps threefry).
+    if (
+        jax.default_backend() == "tpu"
+        and ckb in ("auto", "pallas")
+        and payload_supported(B, S, N)
+    ):
+        return payload_idx_pallas(
+            B, S, N, bps,
+            seed32(prng.role_key(key, prng.ROLE_PAYLOAD)),
+            ch_ids=ch_ids,
+        )
+    k_idx, _, _ = _role_keys(key, ch_ids)
+    return jax.vmap(
+        lambda k: jax.random.randint(k, (S, N), 0, 1 << bps, jnp.int32)
+    )(k_idx)
 
 
 def _fade_state(cfg: LinkConfig, k_fade: jnp.ndarray):
@@ -198,10 +243,7 @@ def tx_channel_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
     nv = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps)
     tvar = nv / N
 
-    k_idx, _, _ = _role_keys(key, ch_ids)
-    idx = jax.vmap(
-        lambda k: jax.random.randint(k, (S, N), 0, 1 << bps, jnp.int32)
-    )(k_idx)
+    idx = _draw_idx(cfg, key, ch_ids)
     re, im = _tx(cfg, idx, backend)
     return apply_channel_fast(cfg, key, ch_ids, re, im, layout=layout)
 
@@ -340,10 +382,8 @@ def rx_count_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
             hb = jnp.broadcast_to(h[:, 0, :], (B, N))
             hr_t = jnp.real(hb).T
             hi_t = jnp.imag(hb).T
-        idx_t = jax.vmap(
-            lambda k: jax.random.randint(k, (S, N), 0, 1 << bps, jnp.int32),
-            out_axes=-1,
-        )(k_idx)
+        idx_b = _draw_idx(cfg, key, ch_ids)  # (B, S, N), possibly narrow
+        idx_t = jnp.moveaxis(idx_b, 0, -1)
         from sdr_tpu.ops.demod import demod_count_chain_cl
 
         errors = demod_count_chain_cl(
@@ -361,9 +401,7 @@ def rx_count_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
         h_syms = h.shape[1]
         hb = jnp.broadcast_to(h, (B, h_syms, N)).astype(jnp.complex64)
 
-    idx = jax.vmap(
-        lambda k: jax.random.randint(k, (S, N), 0, 1 << bps, jnp.int32)
-    )(k_idx)
+    idx = _draw_idx(cfg, key, ch_ids)
     # Fused count path where available: hard decisions compared in the
     # demod kernel itself — no LLR plane or bit-order transpose in HBM
     # (ops.demod.demod_count_chain; decision-identical fallback).

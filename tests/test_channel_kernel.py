@@ -158,3 +158,19 @@ def test_seed32_stable():
     b = int(seed32(k))
     assert a == b
     assert int(seed32(jax.random.fold_in(k, 1))) != a
+
+
+def test_payload_kernel_gating():
+    """The on-core payload draw is TPU-only (no interpret lowering, no
+    injection form): off-TPU the engine keeps the threefry draw."""
+    from sdr_tpu.kernels.channel_pallas import payload_supported
+    from sdr_tpu.link.fast import _draw_idx
+
+    assert payload_supported(128, 8, 64)
+    assert not payload_supported(100, 8, 64)
+    assert not payload_supported(128, 3, 3)  # S*N % 128
+    cfg = _cfg(ChannelModel.AWGN)
+    idx = _draw_idx(cfg, jax.random.PRNGKey(0), jnp.arange(128))
+    assert idx.dtype == jnp.int32  # CPU: threefry path
+    assert idx.shape == (128, cfg.n_symbols, cfg.ofdm.n_fft)
+    assert int(jnp.max(idx)) < 1 << cfg.modulation.bits_per_symbol
