@@ -46,13 +46,27 @@ CAMPAIGN = [
     # kernel-channel e2e engine — each wants one healthy-window
     # confirmation with the same probe-labeled discipline.
     ("r5_headline_library_entry", "../bench.py", {"SDR_BENCH_RETRY_S": "0"}),
-    ("r5_llr_plane_f32", "bench_demod.py",
-     {"SDR_BENCH_LAYOUT": "cl", "SDR_BENCH_TERMINAL": "llr_plane",
-      "SDR_BENCH_BATCH": "8192", "SDR_BENCH_INPUT_DTYPE": "bf16"}),
-    ("r5_llr_plane_bf16", "bench_demod.py",
-     {"SDR_BENCH_LAYOUT": "cl", "SDR_BENCH_TERMINAL": "llr_plane",
-      "SDR_BENCH_BATCH": "8192", "SDR_BENCH_INPUT_DTYPE": "bf16",
-      "SDR_BENCH_LLR_DTYPE": "bf16"}),
+    # (the first r5_llr_plane_* runs inherited bench_demod's 4096sc
+    # default — recorded as such; these pin the 256sc headline shape)
+    ("r5_llr_plane_f32_256sc", "bench_demod.py",
+     {"SDR_BENCH_NFFT": "256", "SDR_BENCH_CP": "64",
+      "SDR_BENCH_SYMS": "64", "SDR_BENCH_LAYOUT": "cl",
+      "SDR_BENCH_TERMINAL": "llr_plane", "SDR_BENCH_BATCH": "8192",
+      "SDR_BENCH_INPUT_DTYPE": "bf16"}),
+    ("r5_llr_plane_bf16_256sc", "bench_demod.py",
+     {"SDR_BENCH_NFFT": "256", "SDR_BENCH_CP": "64",
+      "SDR_BENCH_SYMS": "64", "SDR_BENCH_LAYOUT": "cl",
+      "SDR_BENCH_TERMINAL": "llr_plane", "SDR_BENCH_BATCH": "8192",
+      "SDR_BENCH_INPUT_DTYPE": "bf16", "SDR_BENCH_LLR_DTYPE": "bf16"}),
+    ("r5_count_narrow_idx_256sc", "bench_demod.py",
+     {"SDR_BENCH_NFFT": "256", "SDR_BENCH_CP": "64",
+      "SDR_BENCH_SYMS": "64", "SDR_BENCH_LAYOUT": "cl",
+      "SDR_BENCH_TERMINAL": "count", "SDR_BENCH_BATCH": "8192",
+      "SDR_BENCH_INPUT_DTYPE": "bf16"}),
+    ("r5_fast_payload_kernel_32k", "bench_link.py",
+     {"SDR_BENCH_CHANNELS": "32768", "SDR_BENCH_SYMS": "64",
+      "SDR_BENCH_ITERS": "4", "SDR_BENCH_ENGINE": "fast",
+      "SDR_BENCH_CHANNEL_MODEL": "rayleigh_flat"}),
     ("r5_ldpc_flooding_16k", "bench_ldpc.py",
      {"SDR_BENCH_LDPC_CW": "16384", "SDR_BENCH_ITERS": "3"}),
     ("r5_ldpc_layered13_16k", "bench_ldpc.py",
