@@ -72,7 +72,17 @@ def _gray_to_binary_vec(g, m: int):
     return b
 
 
-def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int, mod: Modulation):
+def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int,
+                 mod: Modulation, channel=None):
+    """TX kernel body; ``channel`` (round 5) fuses the flat-fading
+    multiply and the AWGN draw into the epilogue — the waveform leaves
+    the kernel already impaired, eliminating the separate channel-
+    kernel HBM round trip. ``channel``: dict(sigma=<per-component noise
+    std>, h_syms=<0 | 1 | n_syms>). Noise is seeded PER CHANNEL ROW
+    from the row's GLOBAL channel id, so the stream is independent of
+    the batch tiling — the same split==full contract as
+    kernels/channel_pallas.py, held here even though ``tb`` varies
+    with shape."""
     rows = tb * n_syms
     m = mod.bits_per_axis
     L = mod.levels_per_axis
@@ -80,8 +90,15 @@ def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int, mod: Modulation)
 
     mode = _matmul.mxu_mode()
     n_w = _matmul.n_w_operands(mode)
+    ch = channel
 
     def kernel(idx_ref, *rest):
+        if ch is not None:
+            seed_ref, chid_ref = rest[:2]
+            rest = rest[2:]
+            if ch["h_syms"]:
+                hr_ref, hi_ref = rest[:2]
+                rest = rest[2:]
         w_refs = rest[:n_w]
         re_ref, im_ref = rest[n_w], rest[n_w + 1]
         # idx may ride narrow (int8/int16, round 5) — widen in-register.
@@ -105,6 +122,61 @@ def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int, mod: Modulation)
         yr, yi = _matmul.complex_dot_xbf16(
             xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16), w_refs, mode
         )
+
+        if ch is not None:
+            if ch["h_syms"]:
+                # (tb, h_syms) complex scalar gains → one per row.
+                fr = jnp.broadcast_to(
+                    hr_ref[:], (tb, n_syms) if ch["h_syms"] == n_syms
+                    else (tb, 1)
+                )
+                fi = jnp.broadcast_to(
+                    hi_ref[:], (tb, n_syms) if ch["h_syms"] == n_syms
+                    else (tb, 1)
+                )
+                if ch["h_syms"] == n_syms:
+                    fr = fr.reshape(rows, 1)
+                    fi = fi.reshape(rows, 1)
+                else:
+                    fr = jnp.broadcast_to(
+                        fr[:, :, None], (tb, n_syms, 1)
+                    ).reshape(rows, 1)
+                    fi = jnp.broadcast_to(
+                        fi[:, :, None], (tb, n_syms, 1)
+                    ).reshape(rows, 1)
+                yr, yi = yr * fr - yi * fi, yr * fi + yi * fr
+            from sdr_tpu.kernels.mc_pallas import _gauss_pair
+
+            sigma = jnp.float32(ch["sigma"])
+            g1s = []
+            g2s = []
+            row0 = pl.program_id(0) * tb
+            for i in range(tb):
+                # One seed per GLOBAL channel id; fixed (n_syms,
+                # sym_len) draw shape → tiling-independent stream.
+                pltpu.prng_seed(
+                    seed_ref[0]
+                    ^ (chid_ref[row0 + i] * jnp.int32(-1640531527)),
+                    jnp.int32(0x2545F491),
+                )
+                a, b = _gauss_pair(
+                    pltpu.prng_random_bits((n_syms, sym_len)),
+                    pltpu.prng_random_bits((n_syms, sym_len)),
+                )
+                g1s.append(a)
+                g2s.append(b)
+            g1 = jnp.concatenate(g1s, axis=0) if tb > 1 else g1s[0]
+            g2 = jnp.concatenate(g2s, axis=0) if tb > 1 else g2s[0]
+            if cp_len:
+                re_ref[:, :cp_len] = (
+                    yr[:, n_fft - cp_len:] + sigma * g1[:, :cp_len]
+                )
+                im_ref[:, :cp_len] = (
+                    yi[:, n_fft - cp_len:] + sigma * g2[:, :cp_len]
+                )
+            re_ref[:, cp_len:] = yr + sigma * g1[:, cp_len:]
+            im_ref[:, cp_len:] = yi + sigma * g2[:, cp_len:]
+            return
 
         if cp_len:
             re_ref[:, :cp_len] = yr[:, n_fft - cp_len :]
@@ -173,6 +245,106 @@ def tx_chain_pallas(
         else indices.astype(jnp.int32),
         *w_ops,
     )
+    return (
+        re.reshape(batch, n_syms, sym_len),
+        im.reshape(batch, n_syms, sym_len),
+    )
+
+
+def tx_channel_chain_pallas(
+    indices: jnp.ndarray,
+    cp_len: int,
+    mod: Modulation,
+    seed: jnp.ndarray,
+    ch_ids: jnp.ndarray,
+    noise_var: float,
+    hs_r: jnp.ndarray | None = None,
+    hs_i: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+):
+    """Fused TX + flat channel: indices → IMPAIRED planar time samples.
+
+    The round-5 composition of ``tx_chain_pallas`` and the channel
+    kernel in ONE pass: Gray map → IDFT matmul → CP insert → per-row
+    complex scalar fading (``hs_r/hs_i`` (batch, h_syms), h_syms ∈
+    {1, n_syms}; None = AWGN-only) → on-core-PRNG AWGN — so the clean
+    waveform never round-trips HBM. Noise is a pure function of
+    (seed, global channel id) with a FIXED per-row draw shape,
+    preserving the split==full / sharded bit-exactness contract for
+    any batch tiling. TPU only (no interpret lowering for the PRNG).
+
+    ``noise_var`` is the per-complex-sample time-domain variance
+    (link.fast's ``tvar``); per-component std = sqrt(noise_var/2).
+    """
+    if not supported(indices.shape, mod):
+        raise ValueError(f"unsupported shape {indices.shape} for fused TX kernel")
+    batch, n_syms, n_fft = indices.shape
+    if not 0 <= cp_len <= n_fft:
+        raise ValueError(f"cp_len {cp_len} out of range for n_fft {n_fft}")
+    h_syms = 0 if hs_r is None else hs_r.shape[1]
+    if h_syms not in (0, 1, n_syms):
+        raise ValueError(f"unsupported gain plane shape {hs_r.shape}")
+    tb = _matmul.pick_batch_tile(batch, n_syms, n_fft)
+    grid = (batch // tb,)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    sigma = float(np.sqrt(max(float(noise_var), 0.0) / 2.0))
+
+    w_ops = _matmul.prepare_w(
+        *_idft_mats(n_fft, mod.unit_energy_scale), _matmul.mxu_mode()
+    )
+    kernel, sym_len = _make_kernel(
+        tb, n_syms, n_fft, cp_len, mod,
+        channel={"sigma": sigma, "h_syms": h_syms},
+    )
+    rows_per_block = tb * n_syms
+
+    in_specs = [
+        pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # full ch_ids array
+    ]
+    operands = [
+        indices
+        if jnp.issubdtype(indices.dtype, jnp.integer)
+        else indices.astype(jnp.int32),
+        jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
+        ch_ids.astype(jnp.int32),
+    ]
+    if h_syms:
+        in_specs += [
+            pl.BlockSpec((tb, h_syms), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, h_syms), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [hs_r.astype(jnp.float32), hs_i.astype(jnp.float32)]
+    in_specs += [
+        pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in w_ops
+    ]
+    operands += list(w_ops)
+    re, im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((rows_per_block, sym_len), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_block, sym_len), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch * n_syms, sym_len), jnp.float32),
+            jax.ShapeDtypeStruct((batch * n_syms, sym_len), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(*operands)
     return (
         re.reshape(batch, n_syms, sym_len),
         im.reshape(batch, n_syms, sym_len),

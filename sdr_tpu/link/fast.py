@@ -244,6 +244,48 @@ def tx_channel_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
     tvar = nv / N
 
     idx = _draw_idx(cfg, key, ch_ids)
+
+    # Fully-fused TX+channel (round 5): for flat models at small-kernel
+    # shapes the Gray map → IDFT → CP → fading → AWGN all run in ONE
+    # Pallas pass — the clean waveform never round-trips HBM (the
+    # separate channel-kernel pass measured several ms/iter). Noise is
+    # seeded per GLOBAL channel row (tiling-independent stream —
+    # split==full bit-exact, verified on TPU).
+    from sdr_tpu.kernels.channel_pallas import channel_backend, seed32
+    from sdr_tpu.kernels.tx_pallas import (
+        supported as _tx_ok,
+        tx_channel_chain_pallas,
+    )
+
+    model = cfg.channel.model
+    flat = model in (
+        ChannelModel.AWGN,
+        ChannelModel.RAYLEIGH_FLAT,
+        ChannelModel.RICIAN,
+        ChannelModel.RAYLEIGH_TIME,
+    )
+    want_fused = (
+        flat
+        and not cfg.dft_spread
+        and jax.default_backend() == "tpu"
+        and channel_backend() in ("auto", "pallas")
+        and backend in ("auto", "pallas")
+        and _tx_ok(idx.shape, cfg.modulation)
+    )
+    if want_fused:
+        _, _, k_fade = _role_keys(key, ch_ids)
+        h, _ = _fade_state(cfg, k_fade)
+        hs = None if h is None else h[:, :, 0]
+        re, im = tx_channel_chain_pallas(
+            idx, cfg.ofdm.cp_len, cfg.modulation,
+            seed32(prng.role_key(key, prng.ROLE_NOISE)), ch_ids, tvar,
+            hs_r=None if hs is None else jnp.real(hs),
+            hs_i=None if hs is None else jnp.imag(hs),
+        )
+        if layout == "cl":
+            return _to_cl(re, im)
+        return re, im
+
     re, im = _tx(cfg, idx, backend)
     return apply_channel_fast(cfg, key, ch_ids, re, im, layout=layout)
 
