@@ -244,13 +244,24 @@ def tx_channel_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
     tvar = nv / N
 
     idx = _draw_idx(cfg, key, ch_ids)
+    return tx_with_channel(cfg, key, ch_ids, idx, backend, layout=layout)
 
-    # Fully-fused TX+channel (round 5): for flat models at small-kernel
-    # shapes the Gray map → IDFT → CP → fading → AWGN all run in ONE
-    # Pallas pass — the clean waveform never round-trips HBM (the
-    # separate channel-kernel pass measured several ms/iter). Noise is
-    # seeded per GLOBAL channel row (tiling-independent stream —
-    # split==full bit-exact, verified on TPU).
+
+def tx_with_channel(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
+                    idx: jnp.ndarray, backend: str, layout: str = "rows"):
+    """TX + channel over EXPLICIT indices (shared by the uncoded and
+    coded fast engines).
+
+    Fully-fused TX+channel (round 5): for flat models at small-kernel
+    shapes the Gray map → IDFT → CP → fading → AWGN all run in ONE
+    Pallas pass — the clean waveform never round-trips HBM (the
+    separate channel-kernel pass measured several ms/iter). Noise is
+    seeded per GLOBAL channel row (tiling-independent stream —
+    split==full bit-exact, verified on TPU). Everything else takes the
+    staged TX kernel + channel kernel path.
+    """
+    bps = cfg.modulation.bits_per_symbol
+    tvar = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps) / cfg.ofdm.n_fft
     from sdr_tpu.kernels.channel_pallas import channel_backend, seed32
     from sdr_tpu.kernels.tx_pallas import (
         supported as _tx_ok,

@@ -50,8 +50,7 @@ from sdr_tpu.link.fast import (
     _fade_state,
     _role_keys,
     _to_cl,
-    _tx,
-    apply_channel_fast,
+    tx_with_channel,
 )
 from sdr_tpu.ops.interleave import _perm as _il_perm
 from sdr_tpu.ops.ldpc import ldpc_encode
@@ -149,8 +148,7 @@ def ldpc_fast_simulate(
 
     frame = interleave(frame)
     idx = _frame_to_idx(frame, bps).reshape(B, S, N)
-    re, im = _tx(cfg, idx, backend)
-    re, im = apply_channel_fast(cfg, key, ch_ids, re, im, layout="rows")
+    re, im = tx_with_channel(cfg, key, ch_ids, idx, backend, layout="rows")
 
     # --- RX side -----------------------------------------------------
     _, _, k_fade = _role_keys(key, ch_ids)
