@@ -67,6 +67,16 @@ CAMPAIGN = [
      {"SDR_BENCH_CHANNELS": "32768", "SDR_BENCH_SYMS": "64",
       "SDR_BENCH_ITERS": "4", "SDR_BENCH_ENGINE": "fast",
       "SDR_BENCH_CHANNEL_MODEL": "rayleigh_flat"}),
+    ("r5_fast_fused_txchannel_32k", "bench_link.py",
+     {"SDR_BENCH_CHANNELS": "32768", "SDR_BENCH_SYMS": "64",
+      "SDR_BENCH_ITERS": "4", "SDR_BENCH_ENGINE": "fast",
+      "SDR_BENCH_CHANNEL_MODEL": "rayleigh_flat"}),
+    ("r5_mc_32k_same_window", "bench_link.py",
+     {"SDR_BENCH_CHANNELS": "32768", "SDR_BENCH_SYMS": "64",
+      "SDR_BENCH_ITERS": "4", "SDR_BENCH_ENGINE": "mc"}),
+    ("r5_coded_fused_txchannel_4096", "bench_coded.py",
+     {"SDR_BENCH_CHANNELS": "4096", "SDR_BENCH_CODED_ENGINE": "fused",
+      "SDR_BENCH_LDPC_SCHEDULE": "layered", "SDR_BENCH_LDPC_ITERS": "13"}),
     ("r5_ldpc_flooding_16k", "bench_ldpc.py",
      {"SDR_BENCH_LDPC_CW": "16384", "SDR_BENCH_ITERS": "3"}),
     ("r5_ldpc_layered13_16k", "bench_ldpc.py",
