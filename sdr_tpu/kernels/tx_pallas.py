@@ -125,26 +125,16 @@ def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int,
 
         if ch is not None:
             if ch["h_syms"]:
-                # (tb, h_syms) complex scalar gains → one per row.
-                fr = jnp.broadcast_to(
-                    hr_ref[:], (tb, n_syms) if ch["h_syms"] == n_syms
-                    else (tb, 1)
-                )
-                fi = jnp.broadcast_to(
-                    hi_ref[:], (tb, n_syms) if ch["h_syms"] == n_syms
-                    else (tb, 1)
-                )
-                if ch["h_syms"] == n_syms:
-                    fr = fr.reshape(rows, 1)
-                    fi = fi.reshape(rows, 1)
-                else:
-                    fr = jnp.broadcast_to(
-                        fr[:, :, None], (tb, n_syms, 1)
-                    ).reshape(rows, 1)
-                    fi = jnp.broadcast_to(
-                        fi[:, :, None], (tb, n_syms, 1)
-                    ).reshape(rows, 1)
-                yr, yi = yr * fr - yi * fi, yr * fi + yi * fr
+                # (tb, h_syms) complex scalar gains, applied on the
+                # 3-D (tb, n_syms, n_fft) view — a (rows, 1) gain
+                # column would need a lane→sublane relayout Mosaic
+                # rejects ("unsupported shape cast").
+                fr = hr_ref[:][:, :, None]  # (tb, h_syms, 1)
+                fi = hi_ref[:][:, :, None]
+                y3r = yr.reshape(tb, n_syms, n_fft)
+                y3i = yi.reshape(tb, n_syms, n_fft)
+                yr = (y3r * fr - y3i * fi).reshape(rows, n_fft)
+                yi = (y3r * fi + y3i * fr).reshape(rows, n_fft)
             from sdr_tpu.kernels.mc_pallas import _gauss_pair
 
             sigma = jnp.float32(ch["sigma"])
