@@ -99,6 +99,9 @@ def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int,
             if ch["h_syms"]:
                 hr_ref, hi_ref = rest[:2]
                 rest = rest[2:]
+            if ch.get("n_taps"):
+                tr_ref, ti_ref = rest[:2]
+                rest = rest[2:]
         w_refs = rest[:n_w]
         re_ref, im_ref = rest[n_w], rest[n_w + 1]
         # idx may ride narrow (int8/int16, round 5) — widen in-register.
@@ -124,6 +127,88 @@ def _make_kernel(tb: int, n_syms: int, n_fft: int, cp_len: int,
         )
 
         if ch is not None:
+            n_taps = ch.get("n_taps", 0)
+            if n_taps:
+                # Build the full CP'd waveform, then run the causal FIR
+                # on the 3-D (tb, n_syms, sym_len) view: tap l's input
+                # is the stream delayed by l — same-row samples plus
+                # the PREVIOUS row's tail, with the s=0 head zeroed —
+                # which reproduces apply_multipath's zero-history
+                # stream conv (static taps) and the per-symbol-taps TDL
+                # form (each output symbol uses its OWN taps, history
+                # from the previous symbol: ops.channel.symbol_history).
+                if cp_len:
+                    fr = jnp.concatenate(
+                        [yr[:, n_fft - cp_len:], yr], axis=1
+                    )
+                    fi = jnp.concatenate(
+                        [yi[:, n_fft - cp_len:], yi], axis=1
+                    )
+                else:
+                    fr, fi = yr, yi
+                x3r = fr.reshape(tb, n_syms, sym_len)
+                x3i = fi.reshape(tb, n_syms, sym_len)
+                # Row-shifted planes (previous symbol per row, zeros at
+                # s=0), built ONCE at full lane extent — Mosaic rejects
+                # sublane concats of lane-offset slices, so the tap
+                # loop only lane-concats below.
+                z1 = jnp.zeros((tb, 1, sym_len), jnp.float32)
+                prev_r = jnp.concatenate([z1, x3r[:, :-1, :]], axis=1)
+                prev_i = jnp.concatenate([z1, x3i[:, :-1, :]], axis=1)
+                acc_r = None
+                acc_i = None
+                for l in range(n_taps):
+                    if l == 0:
+                        sr, si = x3r, x3i
+                    else:
+                        sr = jnp.concatenate(
+                            [prev_r[:, :, sym_len - l:], x3r[:, :, :-l]],
+                            axis=2,
+                        )
+                        si = jnp.concatenate(
+                            [prev_i[:, :, sym_len - l:], x3i[:, :, :-l]],
+                            axis=2,
+                        )
+                    if ch["taps_per_sym"]:
+                        t_r = tr_ref[:][:, :, l : l + 1]  # (tb, S, 1)
+                        t_i = ti_ref[:][:, :, l : l + 1]
+                    else:
+                        # (tb, 1) → (tb, 1, 1): trailing-axis reshape
+                        # (None-indexing lowers as an unsupported
+                        # gather in Mosaic).
+                        t_r = tr_ref[:][:, l : l + 1].reshape(tb, 1, 1)
+                        t_i = ti_ref[:][:, l : l + 1].reshape(tb, 1, 1)
+                    cr = t_r * sr - t_i * si
+                    ci = t_r * si + t_i * sr
+                    acc_r = cr if acc_r is None else acc_r + cr
+                    acc_i = ci if acc_i is None else acc_i + ci
+                from sdr_tpu.kernels.mc_pallas import _gauss_pair
+
+                sigma = jnp.float32(ch["sigma"])
+                row0 = pl.program_id(0) * tb
+                g1s = []
+                g2s = []
+                for i in range(tb):
+                    pltpu.prng_seed(
+                        seed_ref[0]
+                        ^ (chid_ref[row0 + i] * jnp.int32(-1640531527)),
+                        jnp.int32(0x2545F491),
+                    )
+                    a, b = _gauss_pair(
+                        pltpu.prng_random_bits((n_syms, sym_len)),
+                        pltpu.prng_random_bits((n_syms, sym_len)),
+                    )
+                    g1s.append(a)
+                    g2s.append(b)
+                g1 = jnp.concatenate(g1s, axis=0) if tb > 1 else g1s[0]
+                g2 = jnp.concatenate(g2s, axis=0) if tb > 1 else g2s[0]
+                re_ref[:] = (
+                    acc_r.reshape(rows, sym_len) + sigma * g1
+                )
+                im_ref[:] = (
+                    acc_i.reshape(rows, sym_len) + sigma * g2
+                )
+                return
             if ch["h_syms"]:
                 # (tb, h_syms) complex scalar gains, applied on the
                 # 3-D (tb, n_syms, n_fft) view — a (rows, 1) gain
@@ -250,6 +335,8 @@ def tx_channel_chain_pallas(
     noise_var: float,
     hs_r: jnp.ndarray | None = None,
     hs_i: jnp.ndarray | None = None,
+    taps_r: jnp.ndarray | None = None,
+    taps_i: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ):
     """Fused TX + flat channel: indices → IMPAIRED planar time samples.
@@ -274,6 +361,12 @@ def tx_channel_chain_pallas(
     h_syms = 0 if hs_r is None else hs_r.shape[1]
     if h_syms not in (0, 1, n_syms):
         raise ValueError(f"unsupported gain plane shape {hs_r.shape}")
+    n_taps = 0 if taps_r is None else taps_r.shape[-1]
+    taps_per_sym = taps_r is not None and taps_r.ndim == 3
+    if taps_r is not None and h_syms:
+        raise ValueError("taps and scalar gains are mutually exclusive")
+    if n_taps > 16:
+        raise ValueError(f"n_taps {n_taps} beyond the fused FIR budget")
     tb = _matmul.pick_batch_tile(batch, n_syms, n_fft)
     grid = (batch // tb,)
     if interpret is None:
@@ -285,7 +378,12 @@ def tx_channel_chain_pallas(
     )
     kernel, sym_len = _make_kernel(
         tb, n_syms, n_fft, cp_len, mod,
-        channel={"sigma": sigma, "h_syms": h_syms},
+        channel={
+            "sigma": sigma,
+            "h_syms": h_syms,
+            "n_taps": n_taps,
+            "taps_per_sym": taps_per_sym,
+        },
     )
     rows_per_block = tb * n_syms
 
@@ -310,6 +408,16 @@ def tx_channel_chain_pallas(
                          memory_space=pltpu.VMEM),
         ]
         operands += [hs_r.astype(jnp.float32), hs_i.astype(jnp.float32)]
+    if n_taps:
+        if taps_per_sym:
+            t_spec = pl.BlockSpec((tb, n_syms, n_taps),
+                                  lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        else:
+            t_spec = pl.BlockSpec((tb, n_taps), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs += [t_spec, t_spec]
+        operands += [taps_r.astype(jnp.float32), taps_i.astype(jnp.float32)]
     in_specs += [
         pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0),
                      memory_space=pltpu.VMEM)

@@ -269,15 +269,21 @@ def tx_with_channel(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
     )
 
     model = cfg.channel.model
-    flat = model in (
+    fusable = model in (
         ChannelModel.AWGN,
         ChannelModel.RAYLEIGH_FLAT,
         ChannelModel.RICIAN,
         ChannelModel.RAYLEIGH_TIME,
+        ChannelModel.MULTIPATH,
+        ChannelModel.MULTIPATH_TIME,
     )
+    n_taps = len(cfg.channel.pdp or ()) if model in (
+        ChannelModel.MULTIPATH, ChannelModel.MULTIPATH_TIME
+    ) else 0
     want_fused = (
-        flat
+        fusable
         and not cfg.dft_spread
+        and n_taps <= 16
         and jax.default_backend() == "tpu"
         and channel_backend() in ("auto", "pallas")
         and backend in ("auto", "pallas")
@@ -285,13 +291,19 @@ def tx_with_channel(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
     )
     if want_fused:
         _, _, k_fade = _role_keys(key, ch_ids)
-        h, _ = _fade_state(cfg, k_fade)
-        hs = None if h is None else h[:, :, 0]
+        h, taps = _fade_state(cfg, k_fade)
+        if n_taps:
+            hs = None  # selective: the FIR runs in-kernel
+            tr, ti = jnp.real(taps), jnp.imag(taps)
+        else:
+            hs = None if h is None else h[:, :, 0]
+            tr = ti = None
         re, im = tx_channel_chain_pallas(
             idx, cfg.ofdm.cp_len, cfg.modulation,
             seed32(prng.role_key(key, prng.ROLE_NOISE)), ch_ids, tvar,
             hs_r=None if hs is None else jnp.real(hs),
             hs_i=None if hs is None else jnp.imag(hs),
+            taps_r=tr, taps_i=ti,
         )
         if layout == "cl":
             return _to_cl(re, im)
