@@ -71,6 +71,10 @@ CAMPAIGN = [
      {"SDR_BENCH_CHANNELS": "32768", "SDR_BENCH_SYMS": "64",
       "SDR_BENCH_ITERS": "4", "SDR_BENCH_ENGINE": "fast",
       "SDR_BENCH_CHANNEL_MODEL": "rayleigh_flat"}),
+    ("r5_fast_fused_multipath_8k", "bench_link.py",
+     {"SDR_BENCH_CHANNELS": "8192", "SDR_BENCH_SYMS": "64",
+      "SDR_BENCH_ITERS": "8", "SDR_BENCH_ENGINE": "fast",
+      "SDR_BENCH_CHANNEL_MODEL": "multipath"}),
     ("r5_mc_32k_same_window", "bench_link.py",
      {"SDR_BENCH_CHANNELS": "32768", "SDR_BENCH_SYMS": "64",
       "SDR_BENCH_ITERS": "4", "SDR_BENCH_ENGINE": "mc"}),
