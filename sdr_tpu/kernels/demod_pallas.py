@@ -257,7 +257,7 @@ def _demod_split(rows: int) -> int:
 def _make_kernel(
     tb: int, n_syms: int, sym_len: int, cp_len: int, mod: Modulation,
     noise_var: float, reduce_sum: bool, count: bool = False,
-    x_bf16: bool = False, despread: bool = False,
+    x_bf16: bool = False, despread: bool = False, taps_lp: int = 0,
 ):
     n_fft = sym_len - cp_len
     rows = tb * n_syms
@@ -279,15 +279,44 @@ def _make_kernel(
         if despread:
             w2_refs = rest[:n_w]
             rest = rest[n_w:]
+        if taps_lp:
+            pr_ref, pi_ref = rest[:2]
+            rest = rest[2:]
         out_ref = rest[0]
         # CP strip + row-major reshape: (tb, S, sym_len) → (rows, n_fft).
         xr = re_ref[:].reshape(rows, sym_len)[:, cp_len:]
         xi = im_ref[:].reshape(rows, sym_len)[:, cp_len:]
 
-        # Channel response, broadcast over symbols: (tb,1,N) or the
-        # per-symbol fading plane (tb,S,N) → (rows,N).
-        hr = jnp.broadcast_to(hr_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
-        hi = jnp.broadcast_to(hi_ref[:], (tb, n_syms, n_fft)).reshape(rows, n_fft)
+        if taps_lp:
+            # FACTORIZED channel plane (round 5, TDL models): hr/hi
+            # carry the per-(channel, symbol) TAPS (tb, S, Lp) and the
+            # (rows, n_fft) frequency response is computed ON-CHIP with
+            # one tiny high-precision matmul against the padded DFT
+            # phase rows — the (B, S, N) complex plane (sample-plane-
+            # sized) is never materialized in HBM.
+            tr = hr_ref[:].reshape(rows, taps_lp)
+            ti = hi_ref[:].reshape(rows, taps_lp)
+
+            def _pdot(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+
+            pr = pr_ref[:]
+            pi = pi_ref[:]
+            hr = _pdot(tr, pr) - _pdot(ti, pi)
+            hi = _pdot(tr, pi) + _pdot(ti, pr)
+        else:
+            # Channel response, broadcast over symbols: (tb,1,N) or the
+            # per-symbol fading plane (tb,S,N) → (rows,N).
+            hr = jnp.broadcast_to(
+                hr_ref[:], (tb, n_syms, n_fft)
+            ).reshape(rows, n_fft)
+            hi = jnp.broadcast_to(
+                hi_ref[:], (tb, n_syms, n_fft)
+            ).reshape(rows, n_fft)
         # idx rides HBM/VMEM narrow (int8/int16, round 5) and widens
         # in-register — the int32 plane read was 4 B/sample.
         idx = (
@@ -479,8 +508,16 @@ def demod_count_pallas(
     noise_var: float,
     interpret: bool | None = None,
     despread: bool = False,
+    taps: tuple | None = None,
 ) -> jnp.ndarray:
     """Fused demod + hard-decision error count vs transmitted indices.
+
+    ``taps``: optional factorized per-symbol channel — a (taps_r,
+    taps_i) pair of (batch, n_syms, L≤8) planes; the (rows, n_fft)
+    frequency response is computed ON-CHIP (one tiny HIGHEST-precision
+    matmul per block against the padded DFT phase rows), so the
+    sample-plane-sized (B, S, N) complex response never exists in HBM
+    (round 5; hr/hi are ignored and may be None).
 
     The BER-counting twin of ``demod_chain_pallas``: identical chain
     (CP strip → DFT → MMSE → max-log LLR) but the hard decisions are
@@ -496,9 +533,22 @@ def demod_count_pallas(
         raise ValueError(f"unsupported shape {re.shape} for fused demod kernel")
     batch, n_syms, sym_len = re.shape
     n_fft = sym_len - cp_len
-    h_syms = hr.shape[1]
-    if hr.shape != (batch, h_syms, n_fft) or h_syms not in (1, n_syms):
-        raise ValueError(f"unsupported channel shape {hr.shape}")
+    taps_lp = 0
+    if taps is not None:
+        # Factorized per-symbol channel (TDL): hr/hi slots carry the
+        # zero-padded taps (batch, n_syms, 8); H computed in-kernel.
+        tr, ti = taps
+        if tr.shape[:2] != (batch, n_syms) or tr.shape[-1] > 8:
+            raise ValueError(f"unsupported taps shape {tr.shape}")
+        taps_lp = 8
+        pad = taps_lp - tr.shape[-1]
+        hr = jnp.pad(tr.astype(jnp.float32), ((0, 0), (0, 0), (0, pad)))
+        hi = jnp.pad(ti.astype(jnp.float32), ((0, 0), (0, 0), (0, pad)))
+        h_syms = n_syms
+    else:
+        h_syms = hr.shape[1]
+        if hr.shape != (batch, h_syms, n_fft) or h_syms not in (1, n_syms):
+            raise ValueError(f"unsupported channel shape {hr.shape}")
     if idx.shape != (batch, n_syms, n_fft):
         raise ValueError(f"unsupported index shape {idx.shape}")
     tb = _matmul.pick_batch_tile(batch, n_syms, n_fft)
@@ -516,12 +566,14 @@ def demod_count_pallas(
         tb, n_syms, sym_len, cp_len, mod, float(noise_var),
         reduce_sum=False, count=True,
         x_bf16=(re.dtype == jnp.bfloat16), despread=despread,
+        taps_lp=taps_lp,
     )
+    h_minor = taps_lp if taps_lp else n_fft
     in_specs = [
         pl.BlockSpec((tb, n_syms, sym_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, n_syms, sym_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tb, h_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tb, h_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, h_syms, h_minor), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, h_syms, h_minor), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, n_syms, n_fft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ] + [
         pl.BlockSpec((n_fft, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -535,6 +587,20 @@ def demod_count_pallas(
                         + batch * n_syms * n_fft) * 4,
         transcendentals=0,
     )
+    p_ops = []
+    if taps_lp:
+        k = np.arange(n_fft)
+        l = np.arange(taps_lp)
+        ang = 2.0 * np.pi * np.outer(l, k) / n_fft
+        p_ops = [
+            jnp.asarray(np.cos(ang).astype(np.float32)),
+            jnp.asarray(-np.sin(ang).astype(np.float32)),
+        ]
+        in_specs += [
+            pl.BlockSpec((taps_lp, n_fft), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in p_ops
+        ]
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -549,7 +615,7 @@ def demod_count_pallas(
     )(
         re, im, hr, hi,
         idx.astype(jnp.int8 if mod.bits_per_symbol <= 7 else jnp.int16),
-        *w_ops,
+        *w_ops, *p_ops,
     )
     return jnp.sum(
         out.reshape(batch, n_fft), axis=-1, dtype=jnp.float32

@@ -428,7 +428,34 @@ def rx_count_core(cfg: LinkConfig, key: jax.Array, ch_ids: jnp.ndarray,
     nv = 1.0 / (10.0 ** (cfg.channel.ebno_db / 10.0) * bps)
 
     k_idx, _, k_fade = _role_keys(key, ch_ids)
-    h, _ = _fade_state(cfg, k_fade)
+    h, taps = _fade_state(cfg, k_fade)
+
+    # TDL fast path (round 5): hand the PER-SYMBOL TAPS to the count
+    # kernel and let it compute the frequency response on-chip — the
+    # (B, S, N) complex plane (sample-plane-sized) is never built.
+    if (
+        cfg.channel.model == ChannelModel.MULTIPATH_TIME
+        and layout == "rows"
+        and not cfg.dft_spread
+        and taps is not None
+        and taps.shape[-1] <= 8
+        and jax.default_backend() == "tpu"
+        and backend in ("auto", "pallas")
+    ):
+        from sdr_tpu.kernels.demod_pallas import (
+            demod_count_pallas,
+            supported as _rows_ok,
+        )
+
+        if _rows_ok(re.shape, cfg.ofdm.cp_len, mod):
+            idx = _draw_idx(cfg, key, ch_ids)
+            errors = demod_count_pallas(
+                re, im, None, None, idx, cfg.ofdm.cp_len, mod,
+                max(nv, 1e-12),
+                taps=(jnp.real(taps), jnp.imag(taps)),
+            )
+            counted = jnp.full((B,), S * N * bps, jnp.int32)
+            return errors, counted
     if layout == "cl":
         # Channels-last demod terminal (the headline kernel family).
         # The transmitted indices are regenerated DIRECTLY in the
